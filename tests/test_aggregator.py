@@ -1,0 +1,221 @@
+"""Aggregator semantics on the clinic fixture graph (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import yaml
+
+from tube_spark.config.mapping import parse_mapping
+from tube_spark.plans.translator import Aggregator
+
+MAPPING_YAML = """
+name: clinic_participant
+doc_type: participant
+type: aggregator
+root: participant
+props:
+  - name: submitter_id
+  - name: project_id
+  - name: consortium
+    src: consortium_id
+  - name: proband
+    src: relationship_to_proband
+    value_mappings:
+      - Unknown: Not Reported
+parent_props:
+  - path: centers[country,center_name:name].projects[data_type]
+flatten_props:
+  - path: visits
+    props:
+      - name: bmi
+      - name: height
+    sorted_by: age_at_visit, desc
+aggregated_props:
+  - name: _samples_count
+    path: samples
+    fn: count
+  - name: sample_types
+    src: sample_type
+    path: samples
+    fn: set
+  - name: total_quantity
+    src: quantity
+    path: samples
+    fn: sum
+  - name: min_bmi
+    src: bmi
+    path: visits
+    fn: min
+  - name: max_bmi
+    src: bmi
+    path: visits
+    fn: max
+nested_props:
+  - name: participant_visits
+    path: visits
+    props:
+      - name: age_at_visit
+      - name: bmi
+"""
+
+
+def _rows(df):
+    return {r["submitter_id"]: r.asDict() for r in df.collect()}
+
+
+def test_full_aggregator(clinic_source):
+    mapping = parse_mapping(yaml.safe_load(MAPPING_YAML))
+    df = Aggregator(clinic_source, mapping).translate()
+    rows = _rows(df)
+    assert set(rows) == {"A", "B"}
+    a, b = rows["A"], rows["B"]
+
+    # props + rename + value_mappings
+    assert a["consortium"] == 7
+    assert a["proband"] == "Not Reported"  # Unknown -> Not Reported
+    assert b["proband"] == "Self"  # unmapped passes through
+
+    # parent_props: chain is unique → scalars; array prop stays array
+    assert a["country"] == "US"
+    assert a["center_name"] == "Center A"
+    assert sorted(a["data_type"]) == ["WGS", "WXS"]
+
+    # flatten_props sorted_by age desc → visit vis2 for A (age 31)
+    assert a["bmi"] == 23.5 and a["height"] == 171.0
+    assert b["bmi"] == 28.0
+
+    # aggregated_props
+    assert a["_samples_count"] == 2 and b["_samples_count"] == 1
+    assert a["sample_types"] == ["Blood", "Saliva"] and b["sample_types"] == ["Blood"]
+    assert a["total_quantity"] == 3.5 and b["total_quantity"] == 0.5
+    assert a["min_bmi"] == 22.0 and a["max_bmi"] == 23.5  # real max, not reference's bug
+
+    # nested
+    assert [v["age_at_visit"] for v in a["participant_visits"]] == [30, 31]
+
+    # id columns
+    assert a["_participant_id"] == "partA" and a["node_id"] == "partA"
+
+
+def test_count_zero_fill(clinic_source):
+    mapping = parse_mapping(
+        {
+            "name": "counts",
+            "doc_type": "participant",
+            "type": "aggregator",
+            "root": "program",
+            "props": [{"name": "name"}],
+            "aggregated_props": [
+                {"name": "n_projects", "path": "projects", "fn": "count"}
+            ],
+        }
+    )
+    df = Aggregator(clinic_source, mapping).translate()
+    assert df.collect()[0]["n_projects"] == 1
+
+
+def test_two_hop_aggregation(clinic_source):
+    mapping = parse_mapping(
+        {
+            "name": "rollup",
+            "doc_type": "center",
+            "type": "aggregator",
+            "root": "center",
+            "props": [{"name": "country"}],
+            "aggregated_props": [
+                {"name": "n_samples", "path": "participants.samples", "fn": "count"},
+                {
+                    "name": "all_sample_types",
+                    "src": "sample_type",
+                    "path": "participants.samples",
+                    "fn": "set",
+                },
+                {
+                    "name": "total_q",
+                    "src": "quantity",
+                    "path": "participants.samples",
+                    "fn": "sum",
+                },
+            ],
+        }
+    )
+    rows = Aggregator(clinic_source, mapping).translate().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_samples"] == 3
+    assert r["all_sample_types"] == ["Blood", "Saliva"]
+    assert r["total_q"] == 4.0
+
+
+def test_filter_dsl(clinic_source):
+    mapping = parse_mapping(
+        {
+            "name": "filtered",
+            "doc_type": "participant",
+            "type": "aggregator",
+            "root": "participant",
+            "props": [{"name": "submitter_id"}, {"name": "consent_codes"}],
+            "filter": {
+                "op": "and",
+                "logics": [
+                    {"op": "contains", "prop": "consent_codes", "value": "c2"},
+                    {"op": "!=", "prop": "submitter_id", "value": "Z"},
+                ],
+            },
+        }
+    )
+    rows = Aggregator(clinic_source, mapping).translate().collect()
+    assert [r["submitter_id"] for r in rows] == ["B"]
+
+
+def test_props_json_source(spark, props_json_dir):
+    from tests.conftest import clinic_dictionary
+    from tube_spark.sources.graph import PropsJsonGraphSource
+
+    source = PropsJsonGraphSource(spark, props_json_dir, clinic_dictionary())
+    mapping = parse_mapping(
+        {
+            "name": "m",
+            "doc_type": "participant",
+            "type": "aggregator",
+            "root": "participant",
+            "props": [{"name": "submitter_id"}, {"name": "consented_for_data_sharing"}],
+            "aggregated_props": [
+                {"name": "_samples_count", "path": "samples", "fn": "count"}
+            ],
+        }
+    )
+    rows = {r["submitter_id"]: r.asDict() for r in Aggregator(source, mapping).translate().collect()}
+    assert rows["A"]["_samples_count"] == 2
+    assert rows["A"]["consented_for_data_sharing"] is True
+
+
+def test_missing_table_empty_frame(spark, props_json_dir, tmp_path):
+    """A node table absent from storage yields a typed empty frame, and
+    downstream aggregation still compiles (reference zero-frame S5)."""
+    import shutil
+
+    from tests.conftest import clinic_dictionary
+    from tube_spark.sources.graph import PropsJsonGraphSource
+
+    partial = tmp_path / "partial"
+    shutil.copytree(props_json_dir, partial)
+    shutil.rmtree(partial / "node_sample")
+
+    source = PropsJsonGraphSource(spark, str(partial), clinic_dictionary())
+    mapping = parse_mapping(
+        {
+            "name": "m",
+            "doc_type": "participant",
+            "type": "aggregator",
+            "root": "participant",
+            "props": [{"name": "submitter_id"}],
+            "aggregated_props": [
+                {"name": "types", "src": "sample_type", "path": "samples", "fn": "set"},
+                {"name": "_samples_count", "path": "samples", "fn": "count"},
+            ],
+        }
+    )
+    rows = {r["submitter_id"]: r.asDict() for r in Aggregator(source, mapping).translate().collect()}
+    # edges still exist but sample props are gone: count from edge = 2
+    assert rows["A"]["_samples_count"] == 2
+    assert rows["A"]["types"] == []

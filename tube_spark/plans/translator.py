@@ -1,0 +1,208 @@
+"""Translators: compile a Mapping into one Catalyst plan.
+
+The reference executed each mapping eagerly step by step with Parquet
+checkpoints between phases (``base/translator.py:330-366``) and blanket
+``drop_duplicates()`` after every join (``base/translator.py:369-376`` —
+a full shuffle each time).  Here ``translate()`` only *declares* the
+plan; nothing runs until the caller writes or collects, so Catalyst
+sees the whole DAG (column pruning reaches the scans, filters push
+down, AQE sizes every shuffle) and dedup happens exactly once, on the
+document key.
+
+Aggregator dataflow (reference ``new_translator.py:386-414``):
+root scan → parent chains → flatten (top-1) → aggregation tree →
+nested docs → cross-index joins (phase 2) → filter → id columns.
+
+Collector dataflow (reference ``injection/new_translator.py:197-213``):
+discover category leaves → per-leaf scan + ancestor-prop injection →
+``unionByName`` → dedup on document key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tube_spark.config.mapping import Mapping, PropSpec
+from tube_spark.functions.filters import compile_filter
+from tube_spark.operators.agg_tree import aggregated_props_df, join_aggregates
+from tube_spark.operators.flatten import flatten_props_df
+from tube_spark.operators.nested import nested_props_df
+from tube_spark.operators.parent import parent_props_df
+from tube_spark.operators.paths import bridge_df, resolve_path
+from tube_spark.sources.graph import GraphSource, id_col
+
+
+class Aggregator:
+    def __init__(self, source: GraphSource, mapping: Mapping):
+        assert mapping.type == "aggregator" and mapping.root
+        self.source = source
+        self.mapping = mapping
+
+    def translate(self) -> DataFrame:
+        m, src = self.mapping, self.source
+        root = m.root
+        df = src.node_df(root, m.props)
+
+        for pp in m.parent_props:
+            frame, _ = parent_props_df(src, root, pp)
+            df = df.join(frame, on=id_col(root), how="left")
+
+        for fp in m.flatten_props:
+            df = df.join(flatten_props_df(src, root, fp), on=id_col(root), how="left")
+
+        if m.aggregated_props:
+            frames = aggregated_props_df(src, root, m.aggregated_props)
+            df = join_aggregates(df, root, frames, m.aggregated_props)
+
+        for np in m.nested_props:
+            df = df.join(nested_props_df(src, root, np), on=id_col(root), how="left")
+
+        if m.filter is not None:
+            df = df.filter(compile_filter(m.filter))
+
+        return self._finalize_ids(df)
+
+    def _finalize_ids(self, df: DataFrame) -> DataFrame:
+        """Document id columns: ``_<doc_type>_id`` + legacy ``node_id``
+        (reference ``base/translator.py:30-35``, ``writer.py:19-22``)."""
+        m = self.mapping
+        rid = id_col(m.root)
+        out = df
+        doc_id = id_col(m.doc_type)
+        if doc_id != rid:
+            out = out.withColumn(doc_id, F.col(rid))
+        return out.withColumn("node_id", F.col(rid))
+
+
+class Collector:
+    """Category-union index: one row per node of ``mapping.category``,
+    with ancestor props injected along the graph (reference
+    ``injection/new_translator.py:81-213``)."""
+
+    def __init__(self, source: GraphSource, mapping: Mapping):
+        assert mapping.type == "collector"
+        self.source = source
+        self.mapping = mapping
+
+    def translate(self) -> DataFrame:
+        m, src = self.mapping, self.source
+        leaves = src.dictionary.nodes_in_category(m.category)
+        if not leaves:
+            raise ValueError(f"no nodes in category {m.category!r}")
+
+        frames = []
+        for leaf in leaves:
+            frames.append(self._collect_leaf(leaf))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out.dropDuplicates(["_doc_id"])
+
+    def _collect_leaf(self, leaf: str) -> DataFrame:
+        m, src = self.mapping, self.source
+        have = set(src.dictionary.nodes[leaf].props) if src.dictionary.nodes[leaf].props else None
+
+        cols: list[PropSpec] = []
+        for p in m.props:
+            if p.name == "source_node":
+                continue
+            if have is None or p.source in have or p.source == "id":
+                cols.append(p)
+        df = src.node_df(leaf, tuple(cols))
+        # align: null-pad props this leaf lacks (reference
+        # injection/new_translator.py:60-66; unionByName fills the rest)
+        df = df.withColumn("source_node", F.lit(leaf))
+        df = df.withColumn("_doc_id", F.col(id_col(leaf))).drop(id_col(leaf))
+
+        for inj in m.injecting_props:
+            frame = self._injected_frame(leaf, inj.node, inj.props)
+            if frame is not None:
+                df = df.join(frame, on="_doc_id", how="left")
+        return df
+
+    def _injected_frame(
+        self, leaf: str, ancestor: str, props: tuple[PropSpec, ...]
+    ) -> DataFrame | None:
+        """Props of ``ancestor`` attached to each leaf row, via the
+        shortest ancestor path (BFS over child→parent links)."""
+        src = self.source
+        path = _bfs_up(src, leaf, ancestor)
+        if path is None:
+            return None
+        walk = resolve_path(src, leaf, tuple(path))
+        bridge = bridge_df(src, leaf, walk)
+        node = src.node_df(ancestor, props)
+        joined = bridge.join(F.broadcast(node), on=id_col(ancestor), how="inner").drop(
+            id_col(ancestor)
+        )
+        joined = joined.withColumnRenamed(id_col(leaf), "_doc_id")
+        if walk.unique_per_root:
+            return joined
+        aggs = [F.sort_array(F.collect_set(p.name)).alias(p.name) for p in props]
+        return joined.groupBy("_doc_id").agg(*aggs)
+
+
+def _bfs_up(source: GraphSource, start: str, goal: str) -> list[str] | None:
+    """Shortest chain of parent labels start→…→goal (exclusive of start)."""
+    from collections import deque
+
+    q = deque([(start, [])])
+    seen = {start}
+    while q:
+        label, path = q.popleft()
+        if label == goal:
+            return path
+        for link in source.dictionary.parents_of(label):
+            if link.parent not in seen:
+                seen.add(link.parent)
+                q.append((link.parent, path + [link.parent]))
+    return None
+
+
+def build_translator(source: GraphSource, mapping: Mapping):
+    if mapping.type == "aggregator":
+        return Aggregator(source, mapping)
+    if mapping.type == "collector":
+        return Collector(source, mapping)
+    raise ValueError(f"unknown mapping type {mapping.type!r}")
+
+
+@dataclass
+class Pipeline:
+    """Multi-index orchestration incl. phase-2 cross-index joins
+    (reference ``interpreter.py:34-55``).  Phase-1 results are reused
+    in-memory (lineage), not round-tripped through Parquet."""
+
+    source: GraphSource
+    mappings: list[Mapping]
+
+    def run(self) -> dict[str, DataFrame]:
+        phase1 = {m.name: build_translator(self.source, m).translate() for m in self.mappings}
+        out: dict[str, DataFrame] = {}
+        for m in self.mappings:
+            df = phase1[m.name]
+            for jp in m.joining_props:
+                other = phase1.get(jp.index)
+                if other is None:
+                    raise KeyError(f"joining_props references unknown index {jp.index!r}")
+                df = _join_index(df, other, jp)
+            out[m.name] = df
+        return out
+
+
+def _join_index(df: DataFrame, other: DataFrame, jp) -> DataFrame:
+    """Cross-index join (reference ``new_translator.py:291-370``):
+    left-join ``other``'s selected props on the shared key, re-aggregated
+    per key with the declared fn."""
+    from tube_spark.functions.aggs import agg_expr
+
+    key = jp.join_on
+    sel = other.select(key, *[F.col(p.source).alias(p.name) for p in jp.props])
+    aggs = [
+        agg_expr(p.fn or "set", F.col(p.name)).alias(p.name) for p in jp.props
+    ]
+    grouped = sel.groupBy(key).agg(*aggs)
+    return df.join(grouped, on=key, how="left")
