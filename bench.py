@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is collected to completion (driver-side count of rows) so the
+timing includes the full plan execution, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    # engine-mapping pipeline
+    "agg_basic",
+    "two_hop_count",
+    "flatten_top1",
+    "nested_docs",
+    "collector_union",
+    "joining_props",
+    # classic analytics
+    "pricing_summary",
+    "top_revenue_nations",
+    "events_window",
+    # corpus curation
+    "dedup_exact",
+    "text_stats",
+    "minhash_lsh",
+    "simhash",
+    "ann_cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def main() -> None:
+    from __spark_entry__ import queries
+    from tube_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("tube_spark-bench", extra_conf={"spark.ui.enabled": "false"})
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers with one cheap action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

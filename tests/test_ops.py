@@ -1,0 +1,145 @@
+"""Operator tests: dedup, similarity, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "THE QUICK  brown fox, jumps over the lazy dog!"),  # normalized dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    from tube_spark.operators.dedup import exact_duplicates
+
+    out = {r["canonical_id"]: r.asDict() for r in
+           exact_duplicates(docs, "doc_id", "text", normalized=False).collect()}
+    grp = out[1]
+    assert grp["n_copies"] == 2 and grp["member_ids"] == [1, 2]
+
+    norm = {r["canonical_id"]: r.asDict() for r in
+            exact_duplicates(docs, "doc_id", "text", normalized=True).collect()}
+    assert norm[1]["n_copies"] == 3 and norm[1]["member_ids"] == [1, 2, 5]
+
+
+def test_ngram_jaccard(docs):
+    from tube_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_minhash_lsh(docs):
+    from tube_spark.operators.dedup import minhash_lsh_pairs
+
+    # r = num_hashes/bands = 2 → band-collision prob for a 0.4-Jaccard
+    # pair is 1-(1-0.4²)^32 ≈ 0.996 (r=4 would miss it a third of the time)
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=64,
+                               bands=32, threshold=0.25).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # high-similarity pair must be found by LSH
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash(docs):
+    from tube_spark.operators.dedup import simhash_pairs
+
+    # the (1,3) pair differs by one token → hamming 7; 8 bands of 8 bits
+    # guarantee recall for any pair under hamming 8 (pigeonhole)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(docs, "doc_id", "text", max_hamming=10, bands=8).collect()}
+    assert pairs[(1, 2)] == 0  # identical token sets
+    assert (1, 3) in pairs  # near dup within hamming budget
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_cosine_topk(spark):
+    from tube_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = [r.asDict() for r in cosine_topk(df, q, k=3).orderBy("rank").collect()]
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] > 0.99 and out[2]["cosine"] == -1.0
+
+
+def test_rhp_lsh_recall(spark):
+    """LSH with enough bands must recover the exact top-1 for clustered vectors."""
+    import random
+
+    from tube_spark.operators.similarity import cosine_topk, rhp_lsh_topk
+
+    rnd = random.Random(7)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(20)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, v))
+        rows.append((i * 2 + 1, [x + rnd.gauss(0, 0.01) for x in v]))  # twin
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    exact = cosine_topk(df, q, k=1).collect()[0]["neighbor_id"]
+    approx = rhp_lsh_topk(df, q, dim=16, k=1, bits=16, bands=8).collect()
+    assert approx and approx[0]["neighbor_id"] == exact == 1
+
+
+def test_text_stats(docs):
+    from tube_spark.operators.text_analysis import text_stats
+
+    out = {r["doc_id"]: r.asDict() for r in text_stats(docs).collect()}
+    d1 = out[1]
+    assert d1["n_tokens"] == 9
+    assert d1["lang_pred"] == "en"
+    assert out[1]["fingerprint"] == out[5]["fingerprint"]  # normalization
+    assert 0 <= d1["quality_score"] <= 1
+
+
+def test_multimodal_decode(spark):
+    from tube_spark.operators.multimodal import decode_features, frame_sample_stub
+
+    rows = [(1, bytearray(b"abcdef")), (2, bytearray(b"\x10\x20suffix")), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {r["doc_id"]: r.asDict() for r in decode_features(df).collect()}
+    assert out[1]["width"] == ord("a") + 1 and out[1]["n_bytes"] == 6
+    assert out[2]["height"] == 0x20 + 1
+    assert out[3]["n_bytes"] == 0  # null payload handled
+
+    frames = frame_sample_stub(df.filter(F.col("media").isNotNull())).collect()
+    assert len(frames) >= 2 and all(f["ts_ms"] == f["frame_idx"] * 1000 for f in frames)
+
+
+def test_streaming_window_matches_batch(spark, tmp_path):
+    from tube_spark.streaming.refresh import streaming_daily_event_counts
+
+    src = str(tmp_path / "events")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "click", 1.0), (2, "2024-01-01 11:00:00", "click", 2.0),
+         (3, "2024-01-02 09:00:00", "view", 5.0)],
+        "event_id long, ts_str string, event_type string, value double",
+    ).withColumn("ts", (F.unix_timestamp("ts_str") * F.lit(1_000_000_000)).cast("long")).drop(
+        "ts_str"
+    ).write.parquet(src)
+
+    out = {(str(r["day"]), r["event_type"]): r.asDict() for r in
+           streaming_daily_event_counts(spark, src).collect()}
+    assert out[("2024-01-01 00:00:00", "click")]["n_events"] == 2
+    assert out[("2024-01-01 00:00:00", "click")]["total_value"] == 3.0
+    assert out[("2024-01-02 00:00:00", "view")]["n_events"] == 1

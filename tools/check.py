@@ -1,0 +1,125 @@
+"""Local correctness harness mimicking the driver's differential check.
+
+Runs every ``queries()`` entry at a given scale factor, runs its
+``oracle_sql()`` twin in DuckDB over the same parquet tables, and
+compares row count, column names, and an order-insensitive value hash
+(floats rounded).  Usage::
+
+    python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, dt.datetime):
+        return v.isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm(v[k])}" for k in sorted(v)) + "}"
+    if hasattr(v, "asDict"):  # Row
+        d = v.asDict()
+        return "{" + ",".join(f"{k}:{_norm(d[k])}" for k in sorted(d)) + "}"
+    return repr(v)
+
+
+def value_hash(rows: list[dict]) -> str:
+    lines = sorted(
+        "|".join(_norm(r[k]) for k in sorted(r)) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import oracle_sql, queries
+    from tube_spark.session import get_spark
+
+    spark = get_spark(master="local[16]", extra_conf={"spark.ui.enabled": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = queries(), oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [r.asDict(recursive=True) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        took = time.time() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows  {name}: {len(srows)} rows ({took:.1f}s) [no oracle]")
+            continue
+        try:
+            cur = con.execute(sql)
+            cols = [d[0] for d in cur.description]
+            orows = [dict(zip(cols, row)) for row in cur.fetchall()]
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        s_cols, o_cols = sorted(srows[0]) if srows else [], sorted(orows[0]) if orows else []
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        if srows and orows and s_cols != o_cols:
+            problems.append(f"columns {s_cols} vs {o_cols}")
+        if not problems:
+            hs, ho = value_hash(srows), value_hash(orows)
+            if hs != ho:
+                problems.append(f"value-hash {hs} vs {ho}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} ({took:.1f}s)")
+            if srows and orows:
+                sset = {"|".join(_norm(r[k]) for k in sorted(r)) for r in srows}
+                oset = {"|".join(_norm(r[k]) for k in sorted(r)) for r in orows}
+                for d in sorted(sset - oset)[:3]:
+                    print(f"        spark-only: {d[:200]}")
+                for d in sorted(oset - sset)[:3]:
+                    print(f"        oracle-only: {d[:200]}")
+            failures += 1
+        else:
+            print(f"ok    {name}: {len(srows)} rows match ({took:.1f}s)")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,52 @@
+"""Text expression builders shared by dedup / analysis operators.
+
+Everything here is a pure Catalyst expression (JVM-side, codegen'd) —
+the 100 TB path never leaves the executor JVM.  Each builder documents
+its DuckDB-SQL equivalent so differential oracles stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alpha tokens.  DuckDB equivalent:
+    ``list_filter(regexp_split_to_array(lower(t), '[^a-z]+'), x -> x <> '')``.
+    """
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda x: x != F.lit(""))
+
+
+def normalize(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace.  DuckDB: ``trim(regexp_replace(regexp_replace(
+    lower(t), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))``."""
+    cleaned = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (md5 is bit-identical across Spark and DuckDB, which makes this the
+    one hash usable in differential oracles.)"""
+    return F.md5(normalize(col))
+
+
+def word_shingles(tok: Column, n: int) -> Column:
+    """Distinct word n-grams joined by a space.  DuckDB:
+    ``list_distinct(list_transform(generate_series(1, len(t) - n + 1),
+    i -> array_to_string(t[i:i+n-1], ' ')))`` (1-based inclusive slices).
+    Documents shorter than n words yield an empty array.
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - F.lit(n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok, i, n)))
+    return F.array_distinct(grams)
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """Rough token count for LLM budgeting: splits on whitespace AND
+    punctuation boundaries (a cheap BPE-ish proxy: words + standalone
+    punctuation runs each count as one token).
+    DuckDB: ``len(regexp_extract_all(t, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))``."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))

@@ -56,16 +56,21 @@ def _aggregate_path(
 
     # --- leaf level: raw aggregation keyed by the leaf's hop-parent ------
     hop_parent = labels[-2]
-    edge = source.edge_df(leaf, hop_parent)  # (_leaf_id, _hop_parent_id)
-
     src_props = sorted({s.src for s in specs if s.src})
-    if src_props:
+
+    ewp = getattr(source, "edge_with_props", None)
+    if src_props and ewp is not None and walk.is_child[-1]:
+        # single-scan fast path: edge + leaf props off the child table
+        # (no edge⋈node self-join of the fact table)
+        base = ewp(leaf, hop_parent, src_props)
+    elif src_props:
         from tube_spark.config.mapping import PropSpec
 
         leaf_vals = source.node_df(leaf, tuple(PropSpec(name=p) for p in src_props))
+        edge = source.edge_df(leaf, hop_parent)
         base = edge.join(leaf_vals, on=id_col(leaf), how="left")
     else:
-        base = edge
+        base = source.edge_df(leaf, hop_parent)
 
     def leaf_col(s: AggregatedProp) -> F.Column:
         if s.src:

@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all new scope beyond the reference (its only dedup is
+row-level ``drop_duplicates`` after joins, SURVEY U3):
+
+* exact        — hash-groupBy on content (or normalized content)
+* minhash_lsh  — MinHash signatures + banded LSH for near-dup *candidate*
+                 generation without the O(n²) cross join
+* simhash      — 64-bit SimHash + banded blocking, Hamming-distance filter
+* ngram_jaccard— exact word-n-gram Jaccard via shingle inverted index
+
+Scale design notes (the point of each implementation):
+
+* Everything is native Catalyst expressions — no Python UDFs; the
+  shingle/hash/minhash math runs inside whole-stage codegen.
+* The O(n²) pair space is never materialized.  Jaccard joins docs on
+  *shingle hash* (inverted index); LSH joins on *band bucket*; both
+  shuffle keyed by content, so co-occurring docs land in the same
+  partition and pair counts are map-side combinable.
+* Shingles are carried as 64-bit ``xxhash64`` values, not strings —
+  an 8-byte shuffle key regardless of n-gram width.
+* Known skew hazard: an ultra-common shingle (boilerplate) creates a
+  quadratic bucket.  ``max_shingle_df`` drops shingles whose document
+  frequency exceeds a cap — standard practice (stop-shingles carry no
+  discriminative signal) and it bounds every bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tube_spark.functions.text import fingerprint, tokens, word_shingles
+
+# 31-bit Mersenne prime: with a,b,x < 2^31, a*x+b < 2^62 stays inside
+# int64 (Spark 4 runs ANSI mode — silent overflow would instead throw)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str, normalized: bool = True) -> DataFrame:
+    """Group identical documents: one row per distinct content with the
+    canonical (minimum) id, the duplicate count, and member ids."""
+    key = fingerprint(F.col(text_col)) if normalized else F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), key.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle_hash) exploded inverted-index rows, distinct per doc."""
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets, via a shingle inverted index.
+
+    |A∩B| comes from the self-join on shingle hash; |A∪B| = |A|+|B|−|A∩B|.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    inv = _shingle_hashes(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") <= max_shingle_df
+        )
+        inv = inv.join(keep.select("sh"), on="sh", how="inner")
+
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = inv.select(F.col(id_col).alias("id_a"), "sh")
+    b = inv.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures.
+
+    h_i(x) = (a_i·x + b_i) mod M61 over xxhash64 shingle values; the 64
+    mins are computed in ONE groupBy with ``num_hashes`` native min()
+    aggregates — map-side combinable, no UDFs, no per-doc arrays until
+    the final assembly.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+    inv = _shingle_hashes(df, id_col, text_col, n)
+    # positive 61-bit base value so a*x+b stays in unsigned-comparable range
+    x = F.pmod(F.col("sh"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = inv.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH.
+
+    Signatures split into ``bands`` bands of r = num_hashes/bands rows;
+    docs colliding on any band hash become candidates (probability
+    1−(1−j^r)^b — the classic S-curve).  Candidates are then scored by
+    estimated Jaccard = fraction of matching minhashes, and filtered.
+    Returns (id_a, id_b, est_jaccard).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).cache()
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    ca = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
+    cb = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
+        ca.join(cb, on=["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash per document.
+
+    Tokens are exploded so ``xxhash64(token)`` is computed ONCE per
+    (doc, token); the 64 per-bit ±1 sums are then 64 native sum()
+    aggregates over cheap bit tests of that hash (map-side combinable).
+    Bit b of the result is set iff its sum is positive.
+    """
+    tok = F.array_distinct(tokens(F.col(text_col)))
+    exploded = df.select(F.col(id_col), F.explode(tok).alias("t")).select(
+        F.col(id_col), F.xxhash64("t").alias("h")
+    )
+    sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(F.col(id_col), out.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into ``bands`` chunks; by pigeonhole
+    any pair within distance < bands must agree on ≥1 chunk, so the
+    candidate join is on (chunk index, chunk value) — never all-pairs.
+    """
+    width = 64 // bands
+    sims = simhash_df(df, id_col, text_col)
+
+    chunk = lambda b: F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+        F.lit((1 << width) - 1)
+    )
+    chunks = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("cb"), chunk(b).alias("cv")) for b in range(bands)])
+        ).alias("c"),
+    ).select(F.col(id_col), "simhash", F.col("c.cb").alias("cb"), F.col("c.cv").alias("cv"))
+
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "cb", "cv")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "cb", "cv")
+    return (
+        a.join(b, on=["cb", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,247 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query set
+  against the corpus, dot products as native Catalyst array expressions,
+  per-query top-k via ``min_by``-style window ranking.  This is the
+  correctness baseline and is already the right plan when |queries| is
+  small: the corpus streams once, nothing shuffles except k rows per
+  query.
+* ``rhp_lsh_topk`` — approximate: random-hyperplane LSH.  Each vector
+  gets a ``bits``-bit sign signature; vectors sharing a signature prefix
+  band bucket together and only bucket-mates are scored.  At 100 TB this
+  replaces the corpus×queries product with per-bucket products.
+
+Hyperplanes are generated driver-side from a seeded RNG and shipped as
+*literal arrays* into the plan (they are tiny: bits × dim floats), so
+signature computation is still pure JVM expression work — no UDFs, no
+Python in the executor path.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(u: Column, v: Column) -> Column:
+    """Σ uᵢvᵢ as a native array expression (DuckDB: list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(u: Column) -> Column:
+    return F.sqrt(F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(u: Column, v: Column) -> Column:
+    return dot(u, v) / (norm(u) * norm(v))
+
+
+def cosine_arrow():
+    """Arrow-vectorized cosine for bulk candidate scoring (numpy row-wise
+    kernel per batch).  Same BLAS-shaped-work justification as
+    ``rhp_signature_arrow``; the pure-Catalyst ``cosine`` stays the
+    reference semantics (used by the oracled brute-force query)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(u: pd.Series, v: pd.Series) -> pd.Series:
+        a = np.asarray(u.tolist(), dtype=np.float64)
+        b = np.asarray(v.tolist(), dtype=np.float64)
+        num = (a * b).sum(axis=1)
+        den = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Returns (query_id, neighbor_id, rank, cosine); self-matches excluded.
+    Deterministic: ties broken by neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign signature under random hyperplanes, packed into a long.
+
+    Pure-Catalyst form; fine for a handful of planes.  For 32+ planes
+    the plan embeds bits×dim literals and codegen compilation dominates
+    runtime — ``rhp_signature_arrow`` is the production path.
+    """
+    out = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(vec, plane) > 0).cast("long")
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out
+
+
+def rhp_signature_arrow(planes: list[list[float]]):
+    """Arrow-vectorized signature: one numpy matmul per batch.
+
+    This is the deliberate Pandas-UDF exception in the engine: a dense
+    bits×dim matrix product per row is BLAS work, not relational work —
+    a batch matmul beats a 2048-literal codegen'd fold expression by an
+    order of magnitude and keeps the plan small.  Returns a pandas_udf
+    usable as ``sig_udf(vec_col) -> long``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.asarray(planes, dtype=np.float64)  # (bits, dim)
+    weights = (1 << np.arange(p.shape[0], dtype=np.uint64)).astype(np.uint64)
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (m @ p.T) > 0  # (n, bits)
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(packed)
+
+    return sig
+
+
+def _band_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+) -> DataFrame:
+    """(id, band index, band value) LSH bucket rows — ids only.
+
+    Candidate generation stays narrow: vectors are NOT carried through
+    the bucket join / distinct (hashing 64-double arrays per candidate
+    row is what makes naive LSH implementations fall over); they are
+    joined back by id only for the final exact-cosine scoring.
+    """
+    bits = len(planes)
+    width = bits // bands
+    sig_udf = rhp_signature_arrow(planes)
+    with_sig = df.select(F.col(id_col).alias(id_alias), sig_udf(F.col(vec_col)).alias("sig"))
+    chunk = lambda b: F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+    bandarr = F.array(
+        *[F.struct(F.lit(b).alias("cb"), chunk(b).alias("cv")) for b in range(bands)]
+    )
+    return with_sig.select(id_alias, F.explode(bandarr).alias("c")).select(
+        id_alias, F.col("c.cb").alias("cb"), F.col("c.cv").alias("cv")
+    )
+
+
+def rhp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    bits: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates = signature-band collisions (id-only
+    join), then exact cosine on candidates.  Recall rises with bands
+    (each band is an independent chance to collide); precision of the
+    bucketing rises with band width = bits/bands."""
+    assert bits % bands == 0
+    planes = _hyperplanes(dim, bits, seed)
+
+    qb = _band_buckets(queries, planes, bands, id_col, vec_col, "query_id")
+    cb = _band_buckets(corpus, planes, bands, id_col, vec_col, "neighbor_id")
+    cand = (
+        cb.join(qb, on=["cb", "cv"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    cos = cosine_arrow()
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cos(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold: hyperplane
+    band buckets for candidates (id-only self-join), exact cosine after
+    joining vectors back by id."""
+    assert bits % bands == 0
+    planes = _hyperplanes(dim, bits, seed)
+    buckets = _band_buckets(df, planes, bands, id_col, vec_col, "vid")
+    a = buckets.select(F.col("vid").alias("id_a"), "cb", "cv")
+    b = buckets.select(F.col("vid").alias("id_b"), "cb", "cv")
+    cand = (
+        a.join(b, on=["cb", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    cos = cosine_arrow()
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cos(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -115,7 +115,9 @@ class Collector:
         # align: null-pad props this leaf lacks (reference
         # injection/new_translator.py:60-66; unionByName fills the rest)
         df = df.withColumn("source_node", F.lit(leaf))
-        df = df.withColumn("_doc_id", F.col(id_col(leaf))).drop(id_col(leaf))
+        # document ids are strings: leaves of different types may use
+        # different id types and the union must not coerce lossily
+        df = df.withColumn("_doc_id", F.col(id_col(leaf)).cast("string")).drop(id_col(leaf))
 
         for inj in m.injecting_props:
             frame = self._injected_frame(leaf, inj.node, inj.props)
@@ -138,7 +140,9 @@ class Collector:
         joined = bridge.join(F.broadcast(node), on=id_col(ancestor), how="inner").drop(
             id_col(ancestor)
         )
-        joined = joined.withColumnRenamed(id_col(leaf), "_doc_id")
+        joined = joined.withColumn(
+            "_doc_id", F.col(id_col(leaf)).cast("string")
+        ).drop(id_col(leaf))
         if walk.unique_per_root:
             return joined
         aggs = [F.sort_array(F.collect_set(p.name)).alias(p.name) for p in props]

@@ -30,6 +30,10 @@ _DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Don't let timestamps silently shift; testdata is timestamp[ms/ns].
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) columns (events.ts) surface as long
+    # nanoseconds instead of failing the scan; convert with
+    # timestamp_micros(ts div 1000) where event-time semantics are needed.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "64",
 }
 

@@ -1,0 +1,146 @@
+"""Document sinks: versioned publish, array-config metadata, freshness gate.
+
+Re-expresses the reference's Elasticsearch output layer without the ES
+dependency:
+
+* ``VersionedIndexWriter`` — the zero-downtime versioning scheme
+  (``tube/etl/outputs/es/versioning.py:94-162``): each publish writes a
+  new ``<index>_vN`` directory, then atomically repoints the ``current``
+  alias in a manifest; old versions are retained for rollback and
+  pruned beyond ``keep_versions``.  An OpenSearch deployment would swap
+  the directory writes for ``org.opensearch.spark.sql`` writes and the
+  manifest for alias API calls — the orchestration is identical.
+* ``array_config`` — the side-channel listing array-typed fields that
+  the reference maintains for Guppy (``writer.py:79-118``,
+  ``base/parser.py:99-124``), derived here from the DataFrame schema.
+* ``freshness_check`` — the incremental trigger (``timestamp.py:20-90``):
+  skip a publish when the source high-watermark hasn't advanced past
+  the last published version's watermark.
+
+Scale note: the reference wrote through ``coalesce(1)`` — a single
+writer task (``writer.py:59``).  We keep the write parallel (one file
+per partition) and let the sink connector batch; for file sinks an
+optional ``target_files`` repartition bounds small-file count instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def array_config(df: DataFrame) -> dict:
+    """List array-typed fields (top-level and nested paths)."""
+    arrays: list[str] = []
+
+    def walk(prefix: str, dtype: T.DataType) -> None:
+        if isinstance(dtype, T.ArrayType):
+            arrays.append(prefix)
+            walk(prefix, dtype.elementType)
+        elif isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                walk(f"{prefix}.{f.name}" if prefix else f.name, f.dataType)
+
+    walk("", df.schema)
+    return {"array": sorted(set(arrays))}
+
+
+@dataclass
+class DocumentSink:
+    """Plain one-shot sink: parquet or json documents."""
+
+    path: str
+    format: str = "parquet"  # "parquet" | "json"
+    target_files: int | None = None
+
+    def write(self, df: DataFrame) -> None:
+        out = df
+        if self.target_files is not None:
+            out = out.repartition(self.target_files)
+        out.write.mode("overwrite").format(self.format).save(self.path)
+
+
+class VersionedIndexWriter:
+    """Zero-downtime versioned publish with alias manifest."""
+
+    def __init__(self, base_dir: str, index: str, keep_versions: int = 2,
+                 format: str = "parquet"):
+        self.base_dir = base_dir
+        self.index = index
+        self.keep_versions = keep_versions
+        self.format = format
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.base_dir, f"{self.index}.manifest.json")
+
+    def manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"index": self.index, "current": None, "versions": []}
+
+    def current_path(self) -> str | None:
+        m = self.manifest()
+        if m["current"] is None:
+            return None
+        return os.path.join(self.base_dir, f"{self.index}_v{m['current']}")
+
+    def publish(self, df: DataFrame, watermark: str | None = None) -> str:
+        """Write a new version, then atomically repoint the alias."""
+        m = self.manifest()
+        version = (m["versions"][-1]["version"] + 1) if m["versions"] else 1
+        path = os.path.join(self.base_dir, f"{self.index}_v{version}")
+        df.write.mode("overwrite").format(self.format).save(path)
+
+        with open(os.path.join(path, "_array_config.json"), "w") as f:
+            json.dump(array_config(df), f)
+
+        m["versions"].append(
+            {"version": version, "watermark": watermark, "published_at": time.time()}
+        )
+        m["current"] = version
+        tmp = self._manifest_path + ".tmp"
+        os.makedirs(self.base_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)  # atomic alias swap
+        self._prune(m)
+        return path
+
+    def read_current(self, spark: SparkSession) -> DataFrame:
+        path = self.current_path()
+        if path is None:
+            raise FileNotFoundError(f"index {self.index} has no published version")
+        return spark.read.format(self.format).load(path)
+
+    def _prune(self, m: dict) -> None:
+        import shutil
+
+        stale = m["versions"][: -self.keep_versions]
+        m["versions"] = m["versions"][-self.keep_versions:]
+        for v in stale:
+            p = os.path.join(self.base_dir, f"{self.index}_v{v['version']}")
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        with open(self._manifest_path, "w") as f:
+            json.dump(m, f)
+
+
+def freshness_check(writer: VersionedIndexWriter, source_watermark: str | None) -> bool:
+    """True when a publish is needed: no current version, or the source
+    watermark has advanced past the last published one."""
+    m = writer.manifest()
+    if m["current"] is None:
+        return True
+    last = next(
+        (v for v in reversed(m["versions"]) if v["version"] == m["current"]), None
+    )
+    if last is None or last.get("watermark") is None or source_watermark is None:
+        return True
+    return str(source_watermark) > str(last["watermark"])
