@@ -77,7 +77,13 @@ def _aggregate_path(
             t = source.dictionary.prop_type(leaf, s.src)
             is_arr = bool(t and t.kind == "array")
             return agg_expr(s.fn, F.col(s.src), is_array_input=is_arr)
-        # no src: aggregate presence of the leaf row itself
+        if s.fn == "count":
+            # count of edge rows: no reference to the leaf id, so the
+            # scan prunes to the FK column(s) alone (SURVEY A4 at any
+            # depth — for a relational source this reads 1-2 columns of
+            # the fact table and nothing else)
+            return F.count(F.lit(1))
+        # other src-less fns aggregate the leaf id itself
         return agg_expr(s.fn, F.col(id_col(leaf)))
 
     partial = base.groupBy(id_col(hop_parent)).agg(

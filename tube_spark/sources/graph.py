@@ -63,9 +63,19 @@ def _apply_prop_specs(df: DataFrame, label: str, props: tuple[PropSpec, ...]) ->
     return df.select(*cols)
 
 
+# Sqoop CSV column order for node / edge dumps (reference
+# ``base/lambdas.py:10-71``): domain props live in the _props JSON blob.
+_NODE_CSV_SCHEMA = "created string, acl string, _sysan string, _props string, node_id string"
+_EDGE_CSV_SCHEMA = (
+    "created string, acl string, _sysan string, _props string, src_id string, dst_id string"
+)
+
+
 class PropsJsonGraphSource:
     """Reference-format source: ``node_<label>`` / ``edge_<rel>`` tables
-    with a ``_props`` JSON column, stored as Parquet under ``base_dir``."""
+    with a ``_props`` JSON column, as Parquet or Sqoop-style CSV dumps
+    under ``base_dir`` (``fmt="csv"`` matches the reference's HDFS text
+    shards: no header, explicit 5/6-column schema)."""
 
     def __init__(
         self,
@@ -73,18 +83,25 @@ class PropsJsonGraphSource:
         base_dir: str,
         dictionary: Dictionary,
         legacy_bool_as_string: bool = False,
+        fmt: str = "parquet",
     ):
         self.spark = spark
         self.base_dir = base_dir
         self.dictionary = dictionary
         self.legacy_bool_as_string = legacy_bool_as_string
+        self.fmt = fmt
 
     def _table_path(self, table: str) -> str | None:
-        for ext in ("", ".parquet"):
+        for ext in ("", ".parquet", ".csv"):
             p = os.path.join(self.base_dir, table + ext)
             if os.path.exists(p):
                 return p
         return None
+
+    def _read(self, path: str, csv_schema: str) -> DataFrame:
+        if self.fmt == "csv" or path.endswith(".csv"):
+            return self.spark.read.schema(csv_schema).csv(path)
+        return self.spark.read.parquet(path)
 
     def node_df(self, label: str, props: tuple[PropSpec, ...] = ()) -> DataFrame:
         wanted = sorted({p.source for p in props if p.source != "id"})
@@ -98,7 +115,7 @@ class PropsJsonGraphSource:
             )
             empty = self.spark.createDataFrame([], out_schema)
             return _apply_prop_specs(empty, label, props)
-        raw = self.spark.read.parquet(path)
+        raw = self._read(path, _NODE_CSV_SCHEMA)
         parsed = raw.select(
             F.col("node_id").alias(id_col(label)),
             F.from_json(F.col("_props"), schema).alias("_p"),
@@ -116,10 +133,55 @@ class PropsJsonGraphSource:
                 ]
             )
             return self.spark.createDataFrame([], schema)
-        raw = self.spark.read.parquet(path)
+        raw = self._read(path, _EDGE_CSV_SCHEMA)
         return raw.select(
             F.col("src_id").alias(id_col(child)),
             F.col("dst_id").alias(id_col(parent)),
+        )
+
+
+class JdbcGraphSource(PropsJsonGraphSource):
+    """Direct-from-Postgres source (replaces the reference's
+    Sqoop-dump-to-HDFS hop, ``tube/importers/sql_to_hdfs.py:36-61``).
+
+    Reads ``node_<label>`` / ``edge_<rel>`` tables over ``spark.read.jdbc``
+    with key-range partitioned reads — the executors pull partitions in
+    parallel straight from the database, no intermediate dump.  Untested
+    here (no database in the test environment); the query shapes are the
+    same as the file-based source, so every operator above it is covered
+    by the Parquet/CSV tests.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        dictionary: Dictionary,
+        properties: dict | None = None,
+        num_partitions: int = 16,
+        legacy_bool_as_string: bool = False,
+    ):
+        self.spark = spark
+        self.url = url
+        self.dictionary = dictionary
+        self.properties = properties or {}
+        self.num_partitions = num_partitions
+        self.legacy_bool_as_string = legacy_bool_as_string
+        self.fmt = "jdbc"
+
+    def _table_path(self, table: str) -> str | None:
+        return table  # existence resolved by the database
+
+    def _read(self, table: str, csv_schema: str) -> DataFrame:
+        # hash-partition on the id column so executors read in parallel;
+        # predicates push down to Postgres as WHERE clauses
+        id_column = "src_id" if table.startswith("edge_") else "node_id"
+        preds = [
+            f"abs(hashtext({id_column})) % {self.num_partitions} = {i}"
+            for i in range(self.num_partitions)
+        ]
+        return self.spark.read.jdbc(
+            self.url, table, predicates=preds, properties=self.properties
         )
 
 
