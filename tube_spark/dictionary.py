@@ -177,6 +177,8 @@ class Dictionary:
         the exact label, or the label + trailing 's'/'es'.
         """
         candidates = {step}
+        if step.endswith("ies"):
+            candidates.add(step[:-3] + "y")
         if step.endswith("es"):
             candidates.add(step[:-2])
         if step.endswith("s"):
