@@ -342,6 +342,63 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: ranking window — top-2 orders per customer by price."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("price_rank", F.row_number().over(w))
+        .filter(F.col("price_rank") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "price_rank")
+    )
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: analytic lag — days since the customer's previous order."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+    )
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: ROLLUP subtotals over (returnflag, linestatus)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left-anti join — customers with no orders."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: global sort + limit — 20 most expensive orders."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-curation operators (beyond-reference scope)
 # ---------------------------------------------------------------------------
@@ -446,6 +503,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
         "events_window": q_events_window,
+        "window_rank": q_window_rank,
+        "window_lag": q_window_lag,
+        "rollup_pricing": q_rollup_pricing,
+        "anti_join": q_anti_join,
+        "global_topk": q_global_topk,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -579,6 +641,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   cast(rn AS INTEGER) AS price_rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 2
+        """,
+        "window_lag": """
+            SELECT o_custkey, o_orderkey,
+                   datediff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS days_since_prev
+            FROM orders
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "global_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash,

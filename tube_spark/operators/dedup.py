@@ -52,14 +52,22 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str, normalized: bool
     )
 
 
-def _shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle_hash) exploded inverted-index rows, distinct per doc."""
+def _shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle_hash) exploded inverted-index rows.
+
+    ``word_shingles`` already dedups within a document, so rows are
+    distinct per doc by construction; ``distinct=True`` adds the global
+    guarantee Jaccard counting needs.  Min-hashing passes False — min()
+    over duplicates is identical and the distinct would cost a full
+    shuffle of the exploded rows.
+    """
     sh = word_shingles(tokens(F.col(text_col)), n)
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
-        .distinct()
+    out = df.select(F.col(id_col), F.explode(sh).alias("shingle")).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -120,8 +128,8 @@ def minhash_signatures(
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
 
-    inv = _shingle_hashes(df, id_col, text_col, n)
-    # positive 61-bit base value so a*x+b stays in unsigned-comparable range
+    inv = _shingle_hashes(df, id_col, text_col, n, distinct=False)
+    # positive 31-bit base value so a*x+b stays inside int64
     x = F.pmod(F.col("sh"), F.lit(_MERSENNE))
     aggs = [
         F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE))).alias(f"h{i}")
