@@ -1,0 +1,84 @@
+"""ETL entry point — the engine's equivalent of the reference's
+``run_etl.py``: parse the mapping file, translate every index, publish
+through the versioned sink with a freshness gate.
+
+Usage::
+
+    python -m tube_spark.run \
+        --mapping etlMapping.yaml \
+        --source-dir /data/graph          # node_*/edge_* parquet or CSV \
+        --out-dir   /data/indexes \
+        [--source-format parquet|csv] \
+        [--watermark <txid-or-timestamp>] \
+        [--force]
+
+Unlike the reference there is no Sqoop dump step, no Parquet
+checkpointing between phases, and no per-step eager execution: each
+index is ONE Catalyst plan from scans to sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mapping", required=True, help="etlMapping-style YAML file")
+    ap.add_argument("--source-dir", required=True, help="dir of node_*/edge_* tables")
+    ap.add_argument("--out-dir", required=True, help="index output root")
+    ap.add_argument("--source-format", default="parquet", choices=["parquet", "csv"])
+    ap.add_argument("--dictionary", help="JSON file: {label: json_schema} node schemas")
+    ap.add_argument("--watermark", help="source freshness watermark (txid/timestamp)")
+    ap.add_argument("--force", action="store_true", help="publish even when fresh")
+    ap.add_argument("--master", default=None, help="spark master override")
+    args = ap.parse_args(argv)
+
+    import json
+
+    from tube_spark.config.mapping import parse_mappings_yaml
+    from tube_spark.dictionary import dictionary_from_json_schemas
+    from tube_spark.plans.translator import Pipeline
+    from tube_spark.session import get_spark
+    from tube_spark.sinks.writer import VersionedIndexWriter, freshness_check
+    from tube_spark.sources.graph import PropsJsonGraphSource
+
+    with open(args.mapping) as f:
+        mappings = parse_mappings_yaml(f.read())
+    if not mappings:
+        print("no mappings found", file=sys.stderr)
+        return 2
+
+    if not args.dictionary:
+        print("--dictionary is required for file sources", file=sys.stderr)
+        return 2
+    with open(args.dictionary) as f:
+        dictionary = dictionary_from_json_schemas(json.load(f))
+
+    spark = get_spark("tube_spark-etl", master=args.master)
+    source = PropsJsonGraphSource(
+        spark, args.source_dir, dictionary, fmt=args.source_format
+    )
+
+    writers = {
+        m.name: VersionedIndexWriter(args.out_dir, m.name) for m in mappings
+    }
+    stale = [
+        m
+        for m in mappings
+        if args.force or freshness_check(writers[m.name], args.watermark)
+    ]
+    if not stale:
+        print("all indexes fresh — nothing to do")
+        return 0
+
+    results = Pipeline(source, stale).run()
+    for name, df in results.items():
+        path = writers[name].publish(df, watermark=args.watermark)
+        print(f"published {name} -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
