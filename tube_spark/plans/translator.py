@@ -185,6 +185,15 @@ class Pipeline:
 
     def run(self) -> dict[str, DataFrame]:
         phase1 = {m.name: build_translator(self.source, m).translate() for m in self.mappings}
+        # an index referenced by another index's joining_props is a
+        # fan-out point: it is both published AND re-read — cache it so
+        # the cross-index join doesn't recompute the whole plan (the
+        # reference round-tripped through Parquet here,
+        # interpreter.py:50-55; in-memory reuse skips the write)
+        referenced = {jp.index for m in self.mappings for jp in m.joining_props}
+        for name in referenced:
+            if name in phase1:
+                phase1[name] = phase1[name].cache()
         out: dict[str, DataFrame] = {}
         for m in self.mappings:
             df = phase1[m.name]
