@@ -389,6 +389,16 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user over the events stream (batch form)."""
+    from tube_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+    )
+    return sessionize(ev, gap_minutes=30)
+
+
 def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: global sort + limit — 20 most expensive orders."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -508,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": q_rollup_pricing,
         "anti_join": q_anti_join,
         "global_topk": q_global_topk,
+        "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -673,6 +684,24 @@ def oracle_sql() -> dict[str, str]:
         "global_topk": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "sessionization": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM e
+            )
+            SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash,

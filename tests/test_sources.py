@@ -21,7 +21,9 @@ def test_csv_sqoop_format(spark, tmp_path):
         data = [("2024-01-01", "{}", "{}", json.dumps(props), nid) for nid, props in rows]
         spark.createDataFrame(
             data, "created string, acl string, _sysan string, _props string, node_id string"
-        ).repartition(1).write.mode("overwrite").csv(str(base / f"node_{label}"))
+        ).repartition(1).write.mode("overwrite").option("quote", '"').option(
+            "escape", '"'
+        ).csv(str(base / f"node_{label}"))
     for (child, parent), rows in EDGES.items():
         link = d.link_between(child, parent)
         data = [("2024-01-01", "{}", "{}", "{}", s, t) for s, t in rows]

@@ -193,18 +193,36 @@ class Dictionary:
 
 
 def dictionary_from_json_schemas(schemas: dict[str, dict]) -> Dictionary:
-    """Build a Dictionary from per-node JSON Schemas (the reference's
-    ``schema.json`` test-fixture format: {label: json_schema_dict})."""
+    """Build a Dictionary from per-node JSON Schemas — the Gen3 data
+    dictionary format as found in the reference's ``schema.json``
+    fixtures: keys may be ``<label>.yaml``, properties may embed
+    ``$ref`` includes and link stubs, and the physical edge table name
+    follows the psqlgraph convention
+    ``edge_<child><label><parent>`` with underscores stripped
+    (observed: ``edge_participantrecruitedatcenter``)."""
     nodes, links = [], []
     sys_props = {"id", "type", "created_datetime", "updated_datetime", "state",
                  "submitter_id", "project_id"}
-    for label, schema in schemas.items():
+    clean = {
+        (label[:-5] if label.endswith(".yaml") else label): schema
+        for label, schema in schemas.items()
+    }
+    link_names: dict[str, set[str]] = {}
+    for label, schema in clean.items():
+        if label.startswith("_"):
+            continue
+        link_names[label] = {
+            l.get("name") for l in _iter_links(schema.get("links") or [])
+        }
+    for label, schema in clean.items():
         if label.startswith("_"):
             continue
         props = {}
         for pname, pschema in (schema.get("properties") or {}).items():
-            if pname in ("id", "type") or not isinstance(pschema, dict):
+            if pname in ("id", "type", "$ref") or not isinstance(pschema, dict):
                 continue
+            if pname in link_names.get(label, set()):
+                continue  # link stubs masquerading as properties
             if "$ref" in pschema and pname not in sys_props:
                 continue
             props[pname] = prop_type_from_schema(pschema)
@@ -212,11 +230,12 @@ def dictionary_from_json_schemas(schemas: dict[str, dict]) -> Dictionary:
         for link in _iter_links(schema.get("links") or []):
             parent = link.get("target_type")
             if parent:
+                edge = f"{label}{link.get('label', 'memberof')}{parent}".replace("_", "")
                 links.append(
                     Link(
                         child=label,
                         parent=parent,
-                        edge=f"{label}_{link.get('label', 'memberof')}_{parent}",
+                        edge=edge,
                         multiplicity=link.get("multiplicity", "many_to_one"),
                     )
                 )

@@ -93,9 +93,8 @@ class Collector:
         if not leaves:
             raise ValueError(f"no nodes in category {m.category!r}")
 
-        frames = []
-        for leaf in leaves:
-            frames.append(self._collect_leaf(leaf))
+        frames = [self._collect_leaf(leaf) for leaf in leaves]
+        frames = _harmonize_array_columns(frames)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
@@ -147,6 +146,39 @@ class Collector:
             return joined
         aggs = [F.sort_array(F.collect_set(p.name)).alias(p.name) for p in props]
         return joined.groupBy("_doc_id").agg(*aggs)
+
+
+def _harmonize_array_columns(frames: list[DataFrame]) -> list[DataFrame]:
+    """When the same column is scalar on one leaf and array on another
+    (injection paths of different multiplicity), lift the scalars to
+    single-element arrays so the union types agree — the reference's
+    collector reaches the same shape via its final set/list re-aggregation
+    (``injection/new_translator.py:215-259``)."""
+    from pyspark.sql import types as T
+
+    array_cols: set[str] = set()
+    scalar_seen: set[str] = set()
+    for f in frames:
+        for fld in f.schema.fields:
+            if isinstance(fld.dataType, T.ArrayType):
+                array_cols.add(fld.name)
+            else:
+                scalar_seen.add(fld.name)
+    mixed = array_cols & scalar_seen
+    if not mixed:
+        return frames
+    out = []
+    for f in frames:
+        for name in mixed:
+            if name in f.columns and not isinstance(f.schema[name].dataType, T.ArrayType):
+                f = f.withColumn(
+                    name,
+                    F.when(F.col(name).isNull(), F.lit(None)).otherwise(
+                        F.array(F.col(name))
+                    ),
+                )
+        out.append(f)
+    return out
 
 
 def _bfs_up(source: GraphSource, start: str, goal: str) -> list[str] | None:

@@ -100,7 +100,14 @@ class PropsJsonGraphSource:
 
     def _read(self, path: str, csv_schema: str) -> DataFrame:
         if self.fmt == "csv" or path.endswith(".csv"):
-            return self.spark.read.schema(csv_schema).csv(path)
+            # Sqoop/psql CSV quoting doubles embedded quotes ("" inside a
+            # quoted field) — escape must be '"', not the backslash default
+            return (
+                self.spark.read.schema(csv_schema)
+                .option("quote", '"')
+                .option("escape", '"')
+                .csv(path)
+            )
         return self.spark.read.parquet(path)
 
     def node_df(self, label: str, props: tuple[PropSpec, ...] = ()) -> DataFrame:
