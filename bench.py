@@ -28,12 +28,15 @@ BENCH_QUERIES = [
     "pricing_summary",
     "top_revenue_nations",
     "events_window",
+    "window_rank",
+    "sessionization",
     # corpus curation
     "dedup_exact",
     "text_stats",
     "minhash_lsh",
     "simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "embedding_near_dup",
 ]
 

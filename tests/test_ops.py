@@ -101,6 +101,25 @@ def test_rhp_lsh_recall(spark):
     assert approx and approx[0]["neighbor_id"] == exact == 1
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with enough probes recovers the exact top-1 for clustered data."""
+    import random
+
+    from tube_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rnd = random.Random(11)
+    rows = []
+    for c in range(4):  # 4 well-separated clusters
+        center = [rnd.gauss(0, 1) for _ in range(16)]
+        for i in range(10):
+            rows.append((c * 10 + i, [x + rnd.gauss(0, 0.05) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    exact = cosine_topk(df, q, k=3).orderBy("rank").collect()
+    approx = ivf_topk(df, q, k=3, n_clusters=4, nprobe=2, seed=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in approx] == [r["neighbor_id"] for r in exact]
+
+
 def test_text_stats(docs):
     from tube_spark.operators.text_analysis import text_stats
 
