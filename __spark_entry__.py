@@ -439,16 +439,23 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # bigram shingles: unigram sets over the synthetic vocab are so dense
     # that near-dup pairs are the majority of the pair space — bigrams
-    # make "near duplicate" mean near-duplicate *sequences*
+    # make "near duplicate" mean near-duplicate *sequences*.
+    # portable=True: every intermediate is md5/arithmetic-based so the
+    # DuckDB oracle reproduces the full LSH pipeline bit-for-bit.
     return minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=2, num_hashes=64, bands=16, threshold=0.5
+        _docs(spark, sf_dir), "doc_id", "text", n=2, num_hashes=64, bands=16,
+        threshold=0.5, portable=True,
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=8, bands=4)
+    # portable=True: 60-bit md5-derived hash → the DuckDB oracle
+    # reproduces the whole simhash+banding pipeline
+    return simhash_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=8, bands=4, portable=True
+    )
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,7 +821,89 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_byte
             FROM documents
         """,
-        # minhash_lsh / simhash / ann_lsh_topk / embedding_near_dup /
-        # streaming_events_window are approximate or non-SQL-expressible →
-        # rows-only checks (driver records the weaker check).
+        "minhash_lsh": _minhash_oracle(),
+        "simhash": f"""
+            WITH tok AS (
+                SELECT doc_id, list_distinct({_TOK}) AS tk FROM documents
+            ), th AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(unnest(tk)), 1, 15))::BIGINT AS h
+                FROM tok
+            ), bitsum AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th, (SELECT unnest(generate_series(0, 59)) AS b)
+                GROUP BY 1, 2
+            ), sh AS (
+                SELECT doc_id,
+                       cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                            AS BIGINT) AS simhash
+                FROM bitsum GROUP BY 1
+            ), chunks AS (
+                SELECT doc_id, simhash, cb,
+                       (simhash >> (cb * 15)) & 32767 AS cv
+                FROM sh, (SELECT unnest(generate_series(0, 3)) AS cb)
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sa,
+                                b.doc_id AS id_b, b.simhash AS sb
+                FROM chunks a JOIN chunks b
+                  ON a.cb = b.cb AND a.cv = b.cv AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   cast(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+        """,
+        # ann_lsh_topk / ann_ivf_topk / embedding_near_dup /
+        # streaming_events_window are approximate (engine-specific hash or
+        # sampling choices) or non-SQL-expressible → rows-only checks.
     }
+
+
+def _minhash_oracle() -> str:
+    """DuckDB SQL reproducing the ENTIRE portable MinHash-LSH pipeline:
+    md5-derived shingle hashes → 64 (a·x+b) mod M31 minima → arithmetic
+    band folds → band-collision candidates → estimated-Jaccard filter."""
+    from tube_spark.operators.dedup import _BAND_M, _BAND_P, _MERSENNE, minhash_coefficients
+
+    coeffs = minhash_coefficients(64, 42)
+    coef_values = ", ".join(f"({i}, {a}::BIGINT, {b}::BIGINT)" for i, (a, b) in enumerate(coeffs))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, {_TOK} AS t FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 1, 0)),
+                       i -> concat(t[i], ' ', t[i+1]))) AS gs
+            FROM tok
+        ), sh AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(unnest(gs)), 1, 8))::BIGINT % {_MERSENNE} AS x
+            FROM grams
+        ), coef AS (
+            SELECT * FROM (VALUES {coef_values}) AS c(i, a, b)
+        ), sig AS (
+            SELECT doc_id, i, min((a * x + b) % {_MERSENNE}) AS h
+            FROM sh, coef GROUP BY 1, 2
+        ), sigl AS (
+            SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY 1
+        ), bands AS (
+            SELECT doc_id, band,
+                   list_reduce(sig[band*4+1 : band*4+4],
+                       (acc, v) -> (acc * {_BAND_P} + v) % {_BAND_M}) AS bh
+            FROM sigl, (SELECT unnest(generate_series(0, 15)) AS band)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), est AS (
+            SELECT id_a, id_b,
+                   list_sum(list_transform(generate_series(1, 64),
+                       i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0
+                       AS e
+            FROM cand
+            JOIN sigl sa ON sa.doc_id = id_a
+            JOIN sigl sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5
+    """

@@ -51,6 +51,22 @@ def word_shingles(tok: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def portable_hash(col: Column) -> Column:
+    """32-bit content hash computable bit-identically in DuckDB:
+    first 8 hex digits of md5.  DuckDB twin:
+    ``('0x' || substr(md5(s), 1, 8))::BIGINT``.
+    Slower than ``xxhash64`` (md5 + string slicing) — use only where a
+    differential oracle must reproduce the hash.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit variant (15 md5 hex digits — the most that fit a signed
+    int64).  DuckDB twin: ``('0x' || substr(md5(s), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def token_count_bpe_ish(col: Column) -> Column:
     """Rough token count for LLM budgeting: splits on whitespace AND
     punctuation boundaries (a cheap BPE-ish proxy: words + standalone

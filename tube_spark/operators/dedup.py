@@ -30,11 +30,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tube_spark.functions.text import fingerprint, tokens, word_shingles
+from tube_spark.functions.text import fingerprint, portable_hash, tokens, word_shingles
 
 # 31-bit Mersenne prime: with a,b,x < 2^31, a*x+b < 2^62 stays inside
 # int64 (Spark 4 runs ANSI mode — silent overflow would instead throw)
 _MERSENNE = (1 << 31) - 1
+# band-fold constants: bh = fold(h_i: (bh*P + h_i) mod M) — reproducible
+# in plain SQL (unlike xxhash64).  M < 2^63/P keeps bh*P + h inside int64.
+_BAND_P = 1_000_003
+_BAND_M = 999_999_999_989  # prime < 1e12
+
+
+def minhash_coefficients(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) permutation constants — exposed so differential
+    oracles can embed the identical values."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str, normalized: bool = True) -> DataFrame:
@@ -53,7 +69,12 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str, normalized: bool
 
 
 def _shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    distinct: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, shingle_hash) exploded inverted-index rows.
 
@@ -62,10 +83,14 @@ def _shingle_hashes(
     guarantee Jaccard counting needs.  Min-hashing passes False — min()
     over duplicates is identical and the distinct would cost a full
     shuffle of the exploded rows.
+
+    ``portable=True`` hashes with the md5-derived 32-bit hash instead of
+    xxhash64 so a SQL oracle can reproduce the values exactly.
     """
     sh = word_shingles(tokens(F.col(text_col)), n)
+    h = portable_hash(F.col("shingle")) if portable else F.xxhash64("shingle")
     out = df.select(F.col(id_col), F.explode(sh).alias("shingle")).select(
-        F.col(id_col), F.xxhash64("shingle").alias("sh")
+        F.col(id_col), h.alias("sh")
     )
     return out.distinct() if distinct else out
 
@@ -114,21 +139,23 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64, seed: int = 42
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig array<bigint>) MinHash signatures.
 
-    h_i(x) = (a_i·x + b_i) mod M61 over xxhash64 shingle values; the 64
+    h_i(x) = (a_i·x + b_i) mod M31 over hashed shingle values; the 64
     mins are computed in ONE groupBy with ``num_hashes`` native min()
     aggregates — map-side combinable, no UDFs, no per-doc arrays until
     the final assembly.
     """
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
-
-    inv = _shingle_hashes(df, id_col, text_col, n, distinct=False)
+    coeffs = minhash_coefficients(num_hashes, seed)
+    inv = _shingle_hashes(df, id_col, text_col, n, distinct=False, portable=portable)
     # positive 31-bit base value so a*x+b stays inside int64
     x = F.pmod(F.col("sh"), F.lit(_MERSENNE))
     aggs = [
@@ -150,6 +177,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH.
 
@@ -158,17 +186,26 @@ def minhash_lsh_pairs(
     1−(1−j^r)^b — the classic S-curve).  Candidates are then scored by
     estimated Jaccard = fraction of matching minhashes, and filtered.
     Returns (id_a, id_b, est_jaccard).
+
+    Fully deterministic; with ``portable=True`` every intermediate
+    (shingle hash, signature, band bucket) is reproducible in plain SQL,
+    so an independent engine can verify the entire pipeline — see the
+    ``minhash_lsh`` DuckDB oracle in ``__spark_entry__``.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable).cache()
+
+    def band_hash(b: int):
+        # arithmetic fold (bh*P + h) mod M — SQL-reproducible, unlike xxhash64
+        bh = F.col("sig")[b * r]
+        for i in range(1, r):
+            bh = F.pmod(bh * F.lit(_BAND_P) + F.col("sig")[b * r + i], F.lit(_BAND_M))
+        return bh
 
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(bands)
         ]
     )
@@ -202,17 +239,25 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """(id, simhash) — 64-bit SimHash per document.
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64, portable: bool = False
+) -> DataFrame:
+    """(id, simhash) — 64-bit (60-bit when portable) SimHash per document.
 
-    Tokens are exploded so ``xxhash64(token)`` is computed ONCE per
-    (doc, token); the 64 per-bit ±1 sums are then 64 native sum()
-    aggregates over cheap bit tests of that hash (map-side combinable).
-    Bit b of the result is set iff its sum is positive.
+    Tokens are exploded so the token hash is computed ONCE per
+    (doc, token); the per-bit ±1 sums are then native sum() aggregates
+    over cheap bit tests of that hash (map-side combinable).  Bit b of
+    the result is set iff its sum is positive.  ``portable=True`` uses
+    the md5-derived 60-bit hash a SQL oracle can reproduce.
     """
+    from tube_spark.functions.text import portable_hash60
+
+    if portable:
+        bits = min(bits, 60)
     tok = F.array_distinct(tokens(F.col(text_col)))
+    h = portable_hash60(F.col("t")) if portable else F.xxhash64("t")
     exploded = df.select(F.col(id_col), F.explode(tok).alias("t")).select(
-        F.col(id_col), F.xxhash64("t").alias("h")
+        F.col(id_col), h.alias("h")
     )
     sums = exploded.groupBy(id_col).agg(
         *[
@@ -238,15 +283,17 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Blocking: split the 64-bit hash into ``bands`` chunks; by pigeonhole
-    any pair within distance < bands must agree on ≥1 chunk, so the
+    Blocking: split the hash into ``bands`` chunks; by pigeonhole any
+    pair within distance < bands must agree on ≥1 chunk, so the
     candidate join is on (chunk index, chunk value) — never all-pairs.
     """
-    width = 64 // bands
-    sims = simhash_df(df, id_col, text_col)
+    bits = 60 if portable else 64
+    width = bits // bands
+    sims = simhash_df(df, id_col, text_col, bits=bits, portable=portable)
 
     chunk = lambda b: F.shiftright(F.col("simhash"), b * width).bitwiseAND(
         F.lit((1 << width) - 1)
