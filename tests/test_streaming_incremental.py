@@ -1,0 +1,52 @@
+"""Incremental refresh: availableNow processes only new files per run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_incremental_refresh_processes_only_new_data(spark, tmp_path):
+    from tube_spark.streaming.refresh import incremental_refresh
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.mode(
+        "append"
+    ).parquet(src)
+
+    transform = lambda df: df.withColumn("v2", F.upper("v"))
+    incremental_refresh(spark, src, transform, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 2
+
+    # new file arrives; second run appends ONLY the new rows
+    spark.createDataFrame([(3, "c")], "id long, v string").write.mode("append").parquet(src)
+    incremental_refresh(spark, src, transform, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 3
+    assert {r["v2"] for r in out.collect()} == {"A", "B", "C"}
+
+    # no new data: a third run is a no-op (freshness via checkpoint)
+    incremental_refresh(spark, src, transform, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 3
+
+
+def test_salted_join_and_count(spark):
+    from tube_spark.operators.skew import salted_count, salted_join
+
+    # a pathologically hot key: 900 of 1000 rows share key 7
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(7, "hot"), (950, "cold")], "k long, label string"
+    )
+    joined = salted_join(big, small, on="k", salt=8)
+    assert joined.count() == 901  # 900 hot + 1 cold
+    assert joined.filter(F.col("label") == "hot").count() == 900
+
+    counts = {r["k"]: r["count"] for r in salted_count(big, "k", salt=8).collect()}
+    assert counts[7] == 900 and counts[950] == 1
+    assert len(counts) == 101
