@@ -200,6 +200,33 @@ def q_nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nested_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 recursion: customer → orders[] → lineitems[] as nested structs."""
+    src = star_schema_source(spark, sf_dir)
+    m = parse_mapping(
+        {
+            "name": "cust", "doc_type": "customer", "type": "aggregator", "root": "customer",
+            "props": [{"name": "c_name"}],
+            "nested_props": [
+                {
+                    "name": "orders_docs",
+                    "path": "orders",
+                    "props": [{"name": "o_orderdate"}, {"name": "o_totalprice"}],
+                    "nested_props": [
+                        {
+                            "name": "lineitems",
+                            "path": "lineitems",
+                            "props": [{"name": "l_linenumber"}, {"name": "l_quantity"}],
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    df = Aggregator(src, m).translate()
+    return df.filter(F.col("orders_docs").isNotNull()).select("_customer_id", "orders_docs")
+
+
 def q_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: filter DSL compiled to a Column predicate."""
     src = star_schema_source(spark, sf_dir)
@@ -524,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_set": q_agg_set,
         "two_hop_count": q_two_hop_count,
         "nested_docs": q_nested_docs,
+        "nested_two_level": q_nested_two_level,
         "filter_dsl": q_filter_dsl,
         "collector_union": q_collector_union,
         "joining_props": q_joining_props,
@@ -617,6 +645,25 @@ def oracle_sql() -> dict[str, str]:
                                     o_totalprice := o.o_totalprice)
                         ORDER BY o.o_orderdate, o.o_totalprice) AS customer_orders
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "nested_two_level": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       list(struct_pack(l_linenumber := l_linenumber,
+                                        l_quantity := l_quantity)
+                            ORDER BY l_linenumber, l_quantity) AS lineitems
+                FROM lineitem GROUP BY 1
+            ), od AS (
+                SELECT o.o_custkey,
+                       struct_pack(o_orderdate := o.o_orderdate,
+                                   o_totalprice := o.o_totalprice,
+                                   lineitems := coalesce(li.lineitems, [])) AS od
+                FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+            )
+            SELECT c.c_custkey AS _customer_id,
+                   list(od ORDER BY od.o_orderdate, od.o_totalprice) AS orders_docs
+            FROM customer c JOIN od ON od.o_custkey = c.c_custkey
             GROUP BY 1
         """,
         "filter_dsl": """

@@ -42,11 +42,17 @@ def nested_props_df(source: GraphSource, parent_label: str, spec: NestedProp) ->
     if spec.filter is not None:
         df = df.filter(compile_filter(spec.filter))
 
-    # grandchildren first: each becomes an array column on this level
+    # grandchildren first: each becomes an array column on this level;
+    # rows with no children get an EMPTY array, not null — document
+    # consumers (and the differential oracle) treat "no children" as []
     child_names: list[str] = []
     for child in spec.children:
         cdf = nested_props_df(source, target, child)
-        df = df.join(cdf, on=id_col(target), how="left")
+        child_type = cdf.schema[child.name].dataType
+        df = df.join(cdf, on=id_col(target), how="left").withColumn(
+            child.name,
+            F.coalesce(F.col(child.name), F.expr("array()").cast(child_type)),
+        )
         child_names.append(child.name)
 
     # climb to the immediate parent of this nested level
