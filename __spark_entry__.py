@@ -524,6 +524,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb, threshold=0.3, bits=32, bands=8)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: quality gate → exact dedup → near-dup
+    drop → embedding enrichment, one Catalyst plan."""
+    from tube_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        min_quality=0.5,
+        ngram_n=1,
+        jaccard_threshold=0.8,
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes as a stand-in payload run
     through the Arrow-batched decode (stubbed kernel, real plumbing)."""
@@ -573,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "corpus_curation": q_corpus_curation,
         "multimodal_decode": q_multimodal_decode,
         "streaming_events_window": q_streaming_events_window,
     }
@@ -867,6 +882,65 @@ def oracle_sql() -> dict[str, str]:
                      / cast(least(octet_length(encode(text)), 64) AS DOUBLE), 6)
                      AS mean_byte
             FROM documents
+        """,
+        "corpus_curation": f"""
+            WITH t AS (
+                SELECT doc_id, text, {_TOK} AS toks FROM documents
+            ), stats AS (
+                SELECT doc_id, text,
+                       len(toks) AS n_tokens,
+                       list_sum(list_transform(toks, x -> length(x)))
+                           / greatest(len(toks), 1) AS avg_tok,
+                       len(list_filter(toks, x -> x IN ('the','and','of','to','in',
+                           'is','that','for','with','as')))
+                           / cast(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio,
+                       len(list_intersect(toks, ['the','and','of','to','in','is',
+                           'that','for','with','as'])) AS sc_en,
+                       len(list_intersect(toks, ['el','la','de','que','y','en',
+                           'los','del','las','por'])) AS sc_es,
+                       len(list_intersect(toks, ['le','la','de','et','les','des',
+                           'en','un','du','une'])) AS sc_fr,
+                       len(list_intersect(toks, ['der','die','und','das','von',
+                           'den','mit','für','auf','ist'])) AS sc_de
+                FROM t
+            ), scored AS (
+                SELECT doc_id, text, cast(n_tokens AS BIGINT) AS n_tokens,
+                       round(least(n_tokens / 50.0, 1.0) * 0.4
+                         + CASE WHEN avg_tok >= 3 AND avg_tok <= 10 THEN 0.3 ELSE 0.0 END
+                         + least(stop_ratio * 3, 0.3), 6) AS quality_score,
+                       CASE WHEN greatest(sc_en, sc_es, sc_fr, sc_de) = 0 THEN 'und'
+                            WHEN sc_de = greatest(sc_en, sc_es, sc_fr, sc_de) THEN 'de'
+                            WHEN sc_en = greatest(sc_en, sc_es, sc_fr, sc_de) THEN 'en'
+                            WHEN sc_es = greatest(sc_en, sc_es, sc_fr, sc_de) THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM stats
+            ), quality AS (
+                SELECT * FROM scored WHERE quality_score >= 0.5
+            ), canon AS (
+                SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+            ), surv AS (
+                SELECT q.* FROM quality q JOIN canon USING (doc_id)
+            ), sh AS (
+                SELECT DISTINCT doc_id, unnest(list_distinct({_TOK})) AS s
+                FROM surv AS documents
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), dropped AS (
+                SELECT DISTINCT id_b AS doc_id
+                FROM pairs JOIN sizes sa ON sa.doc_id = id_a
+                           JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ni / cast(sa.sz + sb.sz - ni AS DOUBLE) >= 0.8
+            )
+            SELECT s.doc_id, s.n_tokens, s.lang_pred, s.quality_score,
+                   (e.vec_id IS NOT NULL) AS has_embedding
+            FROM surv s
+            LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
+                   ON e.vec_id = s.doc_id
+            WHERE s.doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "minhash_lsh": _minhash_oracle(),
         "simhash": f"""

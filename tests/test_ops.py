@@ -131,6 +131,45 @@ def test_text_stats(docs):
     assert 0 <= d1["quality_score"] <= 1
 
 
+def test_curate_corpus(spark):
+    from tube_spark.operators.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and that is that for now"),
+            (2, "the quick brown fox jumps over the lazy dog and that is that for now"),  # exact dup
+            (3, "the quick brown fox jumps over the lazy dog and that is that for sure"),  # near dup of 1
+            (4, "x"),  # fails quality gate (too short)
+            (5, "completely different words about engines with many of the usual tokens in them to pass quality"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame([(1, [0.1]), (9, [0.2])], "vec_id long, embedding array<double>")
+    out = {r["doc_id"]: r.asDict() for r in
+           curate_corpus(docs, emb, min_quality=0.3, ngram_n=1, jaccard_threshold=0.8).collect()}
+    assert 2 not in out  # exact dup dropped (canonical 1 kept)
+    assert 3 not in out  # near dup dropped (higher id dies)
+    assert 4 not in out  # quality gate
+    assert set(out) == {1, 5}
+    assert out[1]["has_embedding"] is True and out[5]["has_embedding"] is False
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """DocumentSink partition_by → reading with a partition filter scans
+    only the matching directory (partition pruning)."""
+    from tube_spark.sinks.writer import DocumentSink
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(100)], "id long, part string"
+    )
+    sink = DocumentSink(str(tmp_path / "docs"), partition_by=("part",))
+    sink.write(df)
+    back = spark.read.parquet(str(tmp_path / "docs")).filter(F.col("part") == "a")
+    assert back.count() == 50
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan or "part#" in plan
+
+
 def test_multimodal_decode(spark):
     from tube_spark.operators.multimodal import decode_features, frame_sample_stub
 

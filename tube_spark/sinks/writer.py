@@ -52,17 +52,24 @@ def array_config(df: DataFrame) -> dict:
 
 @dataclass
 class DocumentSink:
-    """Plain one-shot sink: parquet or json documents."""
+    """Plain one-shot sink: parquet or json documents.
+
+    ``partition_by`` lays documents out hive-style so downstream readers
+    get partition pruning; ``target_files`` bounds small-file count."""
 
     path: str
     format: str = "parquet"  # "parquet" | "json"
     target_files: int | None = None
+    partition_by: tuple[str, ...] = ()
 
     def write(self, df: DataFrame) -> None:
         out = df
         if self.target_files is not None:
             out = out.repartition(self.target_files)
-        out.write.mode("overwrite").format(self.format).save(self.path)
+        writer = out.write.mode("overwrite").format(self.format)
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.save(self.path)
 
 
 class VersionedIndexWriter:
