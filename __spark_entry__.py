@@ -407,6 +407,30 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: CUBE over (returnflag, linestatus)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: set ops — customers with both finished AND open orders, minus
+    the BUILDING segment."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    return f_cust.intersect(o_cust).exceptAll(building.distinct()).select(
+        F.col("k").alias("custkey")
+    )
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: left-anti join — customers with no orders."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -575,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "rollup_pricing": q_rollup_pricing,
+        "cube_pricing": q_cube_pricing,
+        "intersect_except": q_intersect_except,
         "anti_join": q_anti_join,
         "global_topk": q_global_topk,
         "sessionization": q_sessionization,
@@ -760,6 +786,20 @@ def oracle_sql() -> dict[str, str]:
         "anti_join": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "intersect_except": """
+            SELECT k AS custkey FROM (
+                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+                INTERSECT
+                SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+            )
+            EXCEPT ALL
+            SELECT DISTINCT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
         """,
         "global_topk": """
             SELECT o_orderkey, o_custkey, o_totalprice

@@ -62,6 +62,30 @@ def cosine_arrow():
     return cos
 
 
+def dot_arrow():
+    """Arrow dot product — cosine for PRE-NORMALIZED vectors (⅓ the
+    flops and no per-candidate norm recomputation)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def d(u: pd.Series, v: pd.Series) -> pd.Series:
+        a = np.asarray(u.tolist(), dtype=np.float64)
+        b = np.asarray(v.tolist(), dtype=np.float64)
+        return pd.Series((a * b).sum(axis=1))
+
+    return d
+
+
+def normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, unit-norm vector) — normalize ONCE per vector so candidate
+    scoring is a bare dot product."""
+    n = norm(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x / n).alias(vec_col),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -320,7 +344,8 @@ def embedding_near_duplicates(
     joining vectors back by id."""
     assert bits % bands == 0
     planes = _hyperplanes(dim, bits, seed)
-    buckets = _band_buckets(df, planes, bands, id_col, vec_col, "vid")
+    unit = normalized(df, id_col, vec_col).cache()
+    buckets = _band_buckets(unit, planes, bands, id_col, vec_col, "vid")
     a = buckets.select(F.col("vid").alias("id_a"), "cb", "cv")
     b = buckets.select(F.col("vid").alias("id_b"), "cb", "cv")
     cand = (
@@ -329,13 +354,13 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    cos = cosine_arrow()
+    va = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    dot_k = dot_arrow()
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cos(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine", dot_k(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

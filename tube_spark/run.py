@@ -44,8 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     from tube_spark.sinks.writer import VersionedIndexWriter, freshness_check
     from tube_spark.sources.graph import PropsJsonGraphSource
 
-    with open(args.mapping) as f:
-        mappings = parse_mappings_yaml(f.read())
+    try:
+        with open(args.mapping) as f:
+            mappings = parse_mappings_yaml(f.read())
+    except OSError as e:
+        print(f"cannot read mapping file: {e}", file=sys.stderr)
+        return 2
     if not mappings:
         print("no mappings found", file=sys.stderr)
         return 2
@@ -53,8 +57,12 @@ def main(argv: list[str] | None = None) -> int:
     if not args.dictionary:
         print("--dictionary is required for file sources", file=sys.stderr)
         return 2
-    with open(args.dictionary) as f:
-        dictionary = dictionary_from_json_schemas(json.load(f))
+    try:
+        with open(args.dictionary) as f:
+            dictionary = dictionary_from_json_schemas(json.load(f))
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"cannot read dictionary: {e}", file=sys.stderr)
+        return 2
 
     spark = get_spark("tube_spark-etl", master=args.master)
     source = PropsJsonGraphSource(
