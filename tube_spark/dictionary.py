@@ -218,7 +218,8 @@ def dictionary_from_json_schemas(schemas: dict[str, dict]) -> Dictionary:
         if label.startswith("_"):
             continue
         props = {}
-        for pname, pschema in (schema.get("properties") or {}).items():
+        properties = schema.get("properties") or {}
+        for pname, pschema in properties.items():
             if pname in ("id", "type", "$ref") or not isinstance(pschema, dict):
                 continue
             if pname in link_names.get(label, set()):
@@ -226,6 +227,13 @@ def dictionary_from_json_schemas(schemas: dict[str, dict]) -> Dictionary:
             if "$ref" in pschema and pname not in sys_props:
                 continue
             props[pname] = prop_type_from_schema(pschema)
+        if "$ref" in properties:
+            # a properties-level $ref pulls in the Gen3 "ubiquitous"
+            # definitions (submitter_id, project_id, timestamps, state);
+            # materialize them as strings when not declared inline
+            for pname in ("submitter_id", "project_id", "state",
+                          "created_datetime", "updated_datetime"):
+                props.setdefault(pname, PropType("string"))
         nodes.append(NodeDef(label=label, props=props, category=schema.get("category")))
         for link in _iter_links(schema.get("links") or []):
             parent = link.get("target_type")

@@ -51,12 +51,17 @@ def _apply_prop_specs(df: DataFrame, label: str, props: tuple[PropSpec, ...]) ->
     """Select id + props with rename + value-mapping applied.
 
     ``src: id`` resolves to the node id column (reference
-    ``base/translator.py:123-153``).
+    ``base/translator.py:123-153``).  Props unknown to the node align as
+    typed nulls (the reference's missing-column alignment, SURVEY P9 /
+    ``injection/new_translator.py:60-66``).
     """
     cols = [F.col(id_col(label))]
     for p in props:
         src = id_col(label) if p.source == "id" else p.source
-        c = F.col(src)
+        if src in df.columns:
+            c = F.col(src)
+        else:
+            c = F.lit(None).cast("string")
         if p.value_mappings:
             c = value_map_col(c, p.value_mappings)
         cols.append(c.alias(p.name))
@@ -92,10 +97,14 @@ class PropsJsonGraphSource:
         self.fmt = fmt
 
     def _table_path(self, table: str) -> str | None:
-        for ext in ("", ".parquet", ".csv"):
-            p = os.path.join(self.base_dir, table + ext)
-            if os.path.exists(p):
-                return p
+        # psqlgraph strips underscores from the LABEL part of physical
+        # table names (node_ct_series_file → node_ctseriesfile)
+        prefix, _, label = table.partition("_")
+        for name in (table, f"{prefix}_{label.replace('_', '')}"):
+            for ext in ("", ".parquet", ".csv"):
+                p = os.path.join(self.base_dir, name + ext)
+                if os.path.exists(p):
+                    return p
         return None
 
     def _read(self, path: str, csv_schema: str) -> DataFrame:
