@@ -92,12 +92,21 @@ def prop_type_from_schema(schema: dict) -> PropType:
 class Link:
     """Child→parent edge class. ``edge`` names the physical edge table
     (sans ``edge_`` prefix); ``multiplicity`` ∈ one_to_one / many_to_one /
-    one_to_many / many_to_many (child-relative-to-parent)."""
+    one_to_many / many_to_many (child-relative-to-parent).
+
+    ``name`` is how the CHILD's schema refers to its parents (link
+    ``name``, e.g. ``participants``); ``backref`` is how the PARENT
+    refers to its children (e.g. ``demographics`` for node
+    ``demographic_baseline``).  Mapping paths use these, not labels —
+    the reference resolves them through its ORM backrefs
+    (``tube/utils/dd.py:19-94``)."""
 
     child: str
     parent: str
     edge: str
     multiplicity: str = "many_to_one"
+    name: str | None = None
+    backref: str | None = None
 
     @property
     def child_unique(self) -> bool:
@@ -183,10 +192,18 @@ class Dictionary:
             candidates.add(step[:-2])
         if step.endswith("s"):
             candidates.add(step[:-1])
+        # declared link names take priority: backref = parent's name for
+        # its children, name = child's name for its parents
         for l in self._by_parent.get(current, []):  # neighbor is child
-            if l.child in candidates:
+            if l.backref == step:
                 return l.child, l, True
         for l in self._by_child.get(current, []):  # neighbor is parent
+            if l.name == step:
+                return l.parent, l, False
+        for l in self._by_parent.get(current, []):
+            if l.child in candidates:
+                return l.child, l, True
+        for l in self._by_child.get(current, []):
             if l.parent in candidates:
                 return l.parent, l, False
         raise KeyError(f"cannot resolve path step {step!r} from node {current!r}")
@@ -245,6 +262,8 @@ def dictionary_from_json_schemas(schemas: dict[str, dict]) -> Dictionary:
                         parent=parent,
                         edge=edge,
                         multiplicity=link.get("multiplicity", "many_to_one"),
+                        name=link.get("name"),
+                        backref=link.get("backref"),
                     )
                 )
     return Dictionary(nodes, links)

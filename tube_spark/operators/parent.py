@@ -57,15 +57,19 @@ def parent_props_df(
 
     assert df is not None
     names = [n for n, _ in prop_cols]
-    if unique:
-        return df.select(id_col(root), *names), names
-
+    # ALWAYS aggregate back to one row per root: even "unique" declared
+    # chains meet data that violates the declared multiplicity (observed
+    # in the reference's own ibdgc fixture: participants with two
+    # centers), and a fanned-out parent join would duplicate documents.
+    # Unique chains keep scalar shape via deterministic min (exactly the
+    # declared value when the data IS unique); fan-out chains collect
+    # sorted distinct sets (reference 1-n semantics).
     aggs = []
     for name, is_arr in prop_cols:
         if is_arr:
-            aggs.append(
-                F.array_distinct(F.flatten(F.collect_list(name))).alias(name)
-            )
+            aggs.append(F.array_distinct(F.flatten(F.collect_list(name))).alias(name))
+        elif unique:
+            aggs.append(F.min(name).alias(name))
         else:
             aggs.append(F.sort_array(F.collect_set(name)).alias(name))
     return df.groupBy(id_col(root)).agg(*aggs), names

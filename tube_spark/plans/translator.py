@@ -136,9 +136,11 @@ class Collector:
         walk = resolve_path(src, leaf, tuple(path))
         bridge = bridge_df(src, leaf, walk)
         node = src.node_df(ancestor, props)
-        joined = bridge.join(F.broadcast(node), on=id_col(ancestor), how="inner").drop(
-            id_col(ancestor)
-        )
+        joined = bridge.join(F.broadcast(node), on=id_col(ancestor), how="inner")
+        # keep the key column when an injected prop deliberately carries
+        # the ancestor id's name (e.g. `_dataset_id` with src: id)
+        if not any(p.name == id_col(ancestor) for p in props):
+            joined = joined.drop(id_col(ancestor))
         joined = joined.withColumn(
             "_doc_id", F.col(id_col(leaf)).cast("string")
         ).drop(id_col(leaf))

@@ -55,9 +55,20 @@ def _apply_prop_specs(df: DataFrame, label: str, props: tuple[PropSpec, ...]) ->
     typed nulls (the reference's missing-column alignment, SURVEY P9 /
     ``injection/new_translator.py:60-66``).
     """
-    cols = [F.col(id_col(label))]
+    id_name = id_col(label)
+    cols = []
+    # a prop may be NAMED like the id column (e.g. injected `_dataset_id`
+    # with src: id) — emit it once, not as a duplicate column
+    id_shadowed = any(p.name == id_name for p in props)
+    if id_shadowed and any(p.name == id_name and p.source != "id" for p in props):
+        raise ValueError(
+            f"prop {id_name!r} on node {label!r} shadows the id column but "
+            "does not select the id (src: id)"
+        )
+    if not id_shadowed:
+        cols.append(F.col(id_name))
     for p in props:
-        src = id_col(label) if p.source == "id" else p.source
+        src = id_name if p.source == "id" else p.source
         if src in df.columns:
             c = F.col(src)
         else:
