@@ -440,6 +440,21 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per segment: exact median (interpolated
+    percentile), stddev, correlation."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_price"),
+        F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("price_balance_corr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user over the events stream (batch form)."""
     from tube_spark.operators.sessions import sessionize
@@ -603,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_except": q_intersect_except,
         "anti_join": q_anti_join,
         "global_topk": q_global_topk,
+        "stats_summary": q_stats_summary,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -804,6 +820,16 @@ def oracle_sql() -> dict[str, str]:
         "global_topk": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "stats_summary": """
+            SELECT c.c_mktsegment,
+                   round(quantile_cont(o.o_totalprice, 0.5), 4) AS median_price,
+                   round(quantile_cont(o.o_totalprice, 0.9), 4) AS p90_price,
+                   round(stddev_samp(o.o_totalprice), 4) AS sd_price,
+                   round(corr(o.o_totalprice, c.c_acctbal), 6) AS price_balance_corr,
+                   count(*) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
         """,
         "sessionization": """
             WITH e AS (
