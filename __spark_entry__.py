@@ -27,11 +27,27 @@ from tube_spark.sources.relational import star_schema_source
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _ensure(spark: SparkSession) -> SparkSession:
+    """Session confs the queries rely on, set at runtime so they hold in
+    ANY caller-provided session (the driver builds its own):
+    - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), unreadable by
+      Spark 4 otherwise;
+    - UTC: timestamp values must not shift vs the DuckDB oracle;
+    - Arrow: the similarity/multimodal kernels use pandas_udfs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -42,7 +58,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H Q1-style pricing summary at sf0.001."""
-    return q_pricing_summary(spark, SF0001)
+    return q_pricing_summary(_ensure(spark), SF0001)
 
 
 # ---------------------------------------------------------------------------
@@ -596,7 +612,18 @@ def q_streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_ensure(spark), sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {k: wrap(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "props_value_map": q_props_value_map,
         "parent_chain": q_parent_chain,
         "flatten_top1": q_flatten_top1,

@@ -72,6 +72,36 @@ class DocumentSink:
         writer.save(self.path)
 
 
+@dataclass
+class BucketedTableSink:
+    """Bucketed managed-table sink for co-located joins.
+
+    Writing two large tables bucketed on their join key lets Spark plan
+    a SortMergeJoin with ZERO Exchange on either side — at 100 TB this
+    removes the dominant shuffle from every recurring fact-to-fact join
+    (the versioned-index equivalent of pre-partitioning).  Requires the
+    session's warehouse/catalog (``saveAsTable``); plain file sinks
+    cannot carry bucket metadata.
+    """
+
+    table: str
+    bucket_cols: tuple[str, ...]
+    n_buckets: int = 64
+    format: str = "parquet"
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        writer = (
+            df.write.mode(mode)
+            .format(self.format)
+            .bucketBy(self.n_buckets, *self.bucket_cols)
+            .sortBy(*self.bucket_cols)
+        )
+        writer.saveAsTable(self.table)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.table(self.table)
+
+
 class VersionedIndexWriter:
     """Zero-downtime versioned publish with alias manifest."""
 
@@ -97,6 +127,43 @@ class VersionedIndexWriter:
         if m["current"] is None:
             return None
         return os.path.join(self.base_dir, f"{self.index}_v{m['current']}")
+
+    def publish_bucketed(
+        self,
+        df: DataFrame,
+        bucket_cols: tuple[str, ...],
+        n_buckets: int = 64,
+        watermark: str | None = None,
+    ) -> str:
+        """Versioned publish as a BUCKETED managed table: writes
+        ``<index>_v<N>`` via ``bucketBy`` and repoints a catalog view
+        ``<index>_current`` at it — zero-downtime alias semantics with
+        co-located join capability for downstream consumers."""
+        m = self.manifest()
+        version = (m["versions"][-1]["version"] + 1) if m["versions"] else 1
+        table = f"{self.index}_v{version}"
+        BucketedTableSink(table, bucket_cols, n_buckets, self.format).write(df)
+        spark = df.sparkSession
+        spark.sql(
+            f"CREATE OR REPLACE VIEW {self.index}_current AS SELECT * FROM {table}"
+        )
+        m["versions"].append(
+            {"version": version, "watermark": watermark, "published_at": time.time(),
+             "bucketed_on": list(bucket_cols)}
+        )
+        m["current"] = version
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)
+        # prune stale table versions beyond keep_versions
+        for v in m["versions"][: -self.keep_versions]:
+            spark.sql(f"DROP TABLE IF EXISTS {self.index}_v{v['version']}")
+        m["versions"] = m["versions"][-self.keep_versions:]
+        with open(self._manifest_path, "w") as f:
+            json.dump(m, f)
+        return table
 
     def publish(self, df: DataFrame, watermark: str | None = None) -> str:
         """Write a new version, then atomically repoint the alias."""
