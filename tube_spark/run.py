@@ -64,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"cannot read dictionary: {e}", file=sys.stderr)
         return 2
 
+    from tube_spark.config.validate import validate_mapping
+
+    problems = [
+        f"{m.name}: {p}" for m in mappings for p in validate_mapping(m, dictionary)
+    ]
+    if problems:
+        for p in problems:
+            print(f"mapping error: {p}", file=sys.stderr)
+        return 3
+
     spark = get_spark("tube_spark-etl", master=args.master)
     source = PropsJsonGraphSource(
         spark, args.source_dir, dictionary, fmt=args.source_format
