@@ -40,6 +40,26 @@ def test_collector_union_and_injection(clinic_source):
     assert rows["samp1"]["project_id"] == "DEV-P1"
 
 
+def test_collector_declared_fn_injection(clinic_source):
+    """fn: set on an injected prop surfaces as an array even when the
+    injection path is unique (reference A7 semantics)."""
+    mapping = parse_mapping(
+        {
+            "name": "files", "doc_type": "file", "type": "collector",
+            "category": "data_file",
+            "props": [{"name": "submitter_id"}],
+            "injecting_props": {
+                "participant": {
+                    "props": [{"name": "participant_ids", "src": "id", "fn": "set"}]
+                }
+            },
+        }
+    )
+    rows = {r["_doc_id"]: r.asDict() for r in Collector(clinic_source, mapping).translate().collect()}
+    assert rows["samp1"]["participant_ids"] == ["partA"]
+    assert rows["samp3"]["participant_ids"] == ["partB"]
+
+
 def test_collector_multi_hop_injection(clinic_source):
     """Inject a grandparent+ prop (center country) into sample docs."""
     mapping = parse_mapping(

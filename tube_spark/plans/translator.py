@@ -144,9 +144,21 @@ class Collector:
         joined = joined.withColumn(
             "_doc_id", F.col(id_col(leaf)).cast("string")
         ).drop(id_col(leaf))
-        if walk.unique_per_root:
+        # aggregate when the path fans out, or when the mapping declares
+        # an aggregating fn on an injected prop (reference A7 semantics:
+        # fn: set/list injected props always surface as arrays,
+        # ibdgc etlMapping.yaml)
+        declared_agg = any(p.fn in ("set", "list") for p in props)
+        if walk.unique_per_root and not declared_agg:
             return joined
-        aggs = [F.sort_array(F.collect_set(p.name)).alias(p.name) for p in props]
+        aggs = []
+        for p in props:
+            if p.fn == "list":
+                aggs.append(F.sort_array(F.collect_list(p.name)).alias(p.name))
+            elif p.fn == "set" or not walk.unique_per_root:
+                aggs.append(F.sort_array(F.collect_set(p.name)).alias(p.name))
+            else:  # unique path, no fn: keep scalar shape deterministically
+                aggs.append(F.min(p.name).alias(p.name))
         return joined.groupBy("_doc_id").agg(*aggs)
 
 
