@@ -82,10 +82,14 @@ class Collector:
     with ancestor props injected along the graph (reference
     ``injection/new_translator.py:81-213``)."""
 
-    def __init__(self, source: GraphSource, mapping: Mapping):
+    def __init__(self, source: GraphSource, mapping: Mapping, dedup_doc_ids: bool = True):
         assert mapping.type == "collector"
         self.source = source
         self.mapping = mapping
+        # node ids are unique per leaf and leaves are distinct node types,
+        # so doc ids are structurally unique — dedup_doc_ids=False skips
+        # the defensive full-shuffle distinct (the reference always paid it)
+        self.dedup_doc_ids = dedup_doc_ids
 
     def translate(self) -> DataFrame:
         m, src = self.mapping, self.source
@@ -98,7 +102,7 @@ class Collector:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
-        return out.dropDuplicates(["_doc_id"])
+        return out.dropDuplicates(["_doc_id"]) if self.dedup_doc_ids else out
 
     def _collect_leaf(self, leaf: str) -> DataFrame:
         m, src = self.mapping, self.source
