@@ -91,7 +91,12 @@ class PropsJsonGraphSource:
     """Reference-format source: ``node_<label>`` / ``edge_<rel>`` tables
     with a ``_props`` JSON column, as Parquet or Sqoop-style CSV dumps
     under ``base_dir`` (``fmt="csv"`` matches the reference's HDFS text
-    shards: no header, explicit 5/6-column schema)."""
+    shards: no header, explicit 5/6-column schema).
+
+    ``edge_overrides`` maps (child, parent) → physical table name for
+    edge tables whose names can't be synthesized from the dictionary
+    (psqlgraph hashes names over 63 chars); see
+    ``discover_edge_tables`` for automatic inference."""
 
     def __init__(
         self,
@@ -100,12 +105,14 @@ class PropsJsonGraphSource:
         dictionary: Dictionary,
         legacy_bool_as_string: bool = False,
         fmt: str = "parquet",
+        edge_overrides: dict[tuple[str, str], str] | None = None,
     ):
         self.spark = spark
         self.base_dir = base_dir
         self.dictionary = dictionary
         self.legacy_bool_as_string = legacy_bool_as_string
         self.fmt = fmt
+        self.edge_overrides = edge_overrides or {}
 
     def _table_path(self, table: str) -> str | None:
         # psqlgraph strips underscores from the LABEL part of physical
@@ -151,7 +158,10 @@ class PropsJsonGraphSource:
 
     def edge_df(self, child: str, parent: str) -> DataFrame:
         link = self.dictionary.link_between(child, parent)
-        path = self._table_path(f"edge_{link.edge}")
+        override = self.edge_overrides.get((child, parent))
+        path = self._table_path(override) if override else self._table_path(
+            f"edge_{link.edge}"
+        )
         if path is None:
             schema = T.StructType(
                 [
@@ -210,6 +220,64 @@ class JdbcGraphSource(PropsJsonGraphSource):
         return self.spark.read.jdbc(
             self.url, table, predicates=preds, properties=self.properties
         )
+
+
+def discover_edge_tables(
+    spark: SparkSession,
+    base_dir: str,
+    dictionary: Dictionary,
+    fmt: str = "csv",
+    sample: int = 50,
+) -> dict[tuple[str, str], str]:
+    """Infer (child, parent) → table for edge tables whose names don't
+    match the synthesized convention (psqlgraph hash-truncates names
+    over Postgres's 63-char identifier limit, e.g.
+    ``edge_2d0f7d59_moqudepa``).
+
+    Method: sample src/dst ids from each unidentified table and match
+    them against node-id sets; accept only unambiguous matches that
+    correspond to a link declared in the dictionary.  Intended for
+    metadata-scale discovery (runs one scan per node/edge table,
+    driver-collects only ids); production deployments should pass
+    explicit ``edge_overrides`` instead.
+    """
+    src = PropsJsonGraphSource(spark, base_dir, dictionary, fmt=fmt)
+    known = set()
+    for link in dictionary.links:
+        for name in (f"edge_{link.edge}", f"edge_{link.edge.replace('_', '')}"):
+            known.add(name)
+    unknown = [
+        d
+        for d in sorted(os.listdir(base_dir))
+        if d.startswith("edge_") and d not in known
+    ]
+    if not unknown:
+        return {}
+
+    node_ids: dict[str, set] = {}
+    for label in dictionary.nodes:
+        path = src._table_path(f"node_{label}")
+        if path is None:
+            continue
+        rows = src._read(path, _NODE_CSV_SCHEMA).select("node_id").collect()
+        node_ids[label] = {r["node_id"] for r in rows}
+
+    out: dict[tuple[str, str], str] = {}
+    for table in unknown:
+        raw = src._read(os.path.join(base_dir, table), _EDGE_CSV_SCHEMA)
+        rows = raw.select("src_id", "dst_id").limit(sample).collect()
+        if not rows:
+            continue
+        srcs = {r["src_id"] for r in rows}
+        dsts = {r["dst_id"] for r in rows}
+        child_matches = [l for l, ids in node_ids.items() if srcs <= ids]
+        parent_matches = [l for l, ids in node_ids.items() if dsts <= ids]
+        if len(child_matches) != 1 or len(parent_matches) != 1:
+            continue  # ambiguous — require explicit override
+        child, parent = child_matches[0], parent_matches[0]
+        if any(l.child == child and l.parent == parent for l in dictionary.links):
+            out[(child, parent)] = table
+    return out
 
 
 class DataFrameGraphSource:
