@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dictionary", help="JSON file: {label: json_schema} node schemas")
     ap.add_argument("--watermark", help="source freshness watermark (txid/timestamp)")
     ap.add_argument("--force", action="store_true", help="publish even when fresh")
+    ap.add_argument(
+        "--discover-edges",
+        action="store_true",
+        help="infer hash-truncated edge-table names by id sampling",
+    )
     ap.add_argument("--master", default=None, help="spark master override")
     args = ap.parse_args(argv)
 
@@ -75,8 +80,18 @@ def main(argv: list[str] | None = None) -> int:
         return 3
 
     spark = get_spark("tube_spark-etl", master=args.master)
+    edge_overrides = None
+    if args.discover_edges:
+        from tube_spark.sources.graph import discover_edge_tables
+
+        edge_overrides = discover_edge_tables(
+            spark, args.source_dir, dictionary, fmt=args.source_format
+        )
+        for (c, p), t in sorted(edge_overrides.items()):
+            print(f"discovered edge table: {c} -> {p} = {t}", file=sys.stderr)
     source = PropsJsonGraphSource(
-        spark, args.source_dir, dictionary, fmt=args.source_format
+        spark, args.source_dir, dictionary, fmt=args.source_format,
+        edge_overrides=edge_overrides,
     )
 
     writers = {
