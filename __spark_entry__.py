@@ -456,6 +456,55 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (the engine's _props model applied to the
+    events.props blob): per event_type stats over a JSON-embedded field."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: ntile quartiles of order value per customer segment."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy().orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-DSL LIKE extension over the mapping compiler."""
+    src = star_schema_source(spark, sf_dir)
+    m = parse_mapping(
+        {
+            "name": "p", "doc_type": "part", "type": "aggregator", "root": "part",
+            "props": [{"name": "p_name"}, {"name": "p_type"}, {"name": "p_size"}],
+            "filter": {
+                "op": "and",
+                "logics": [
+                    {"op": "like", "prop": "p_type", "value": "S%"},
+                    {"op": ">=", "prop": "p_size", "value": 10},
+                ],
+            },
+        }
+    )
+    df = Aggregator(src, m).translate()
+    return df.select("_part_id", "p_name", "p_type", "p_size")
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per segment: exact median (interpolated
     percentile), stddev, correlation."""
@@ -646,6 +695,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "anti_join": q_anti_join,
         "global_topk": q_global_topk,
         "stats_summary": q_stats_summary,
+        "events_json_extract": q_events_json_extract,
+        "window_ntile": q_window_ntile,
+        "filter_like": q_filter_like,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -857,6 +909,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   count(cast(props->>'k' AS BIGINT)) AS n_with_k,
+                   cast(sum(cast(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   min(cast(props->>'k' AS BIGINT)) AS min_k,
+                   max(cast(props->>'k' AS BIGINT)) AS max_k
+            FROM events GROUP BY 1
+        """,
+        "window_ntile": """
+            SELECT quartile, count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM (
+                SELECT cast(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                            AS INTEGER) AS quartile,
+                       o_totalprice
+                FROM orders
+            ) GROUP BY 1
+        """,
+        "filter_like": """
+            SELECT p_partkey AS _part_id, p_name, p_type, p_size
+            FROM part WHERE p_type LIKE 'S%' AND p_size >= 10
         """,
         "sessionization": """
             WITH e AS (

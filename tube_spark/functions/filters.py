@@ -45,4 +45,7 @@ def compile_filter(node: FilterNode) -> Column:
         return col.isin(*vals)
     if op == "contains":
         return F.array_contains(col, F.lit(node.value))
+    if op == "like":
+        # SQL LIKE pattern (% / _) — extension beyond the reference DSL
+        return col.like(str(node.value))
     raise ValueError(f"unknown filter op {op!r}")
