@@ -520,6 +520,33 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority with one column per status."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/regex functions: numeric suffix of c_name, length, case ops."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("name_num"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.upper(F.substring("c_name", 1, 8)).alias("prefix_upper"),
+    )
+
+
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user over the events stream (batch form)."""
     from tube_spark.operators.sessions import sessionize
@@ -698,6 +725,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_json_extract": q_events_json_extract,
         "window_ntile": q_window_ntile,
         "filter_like": q_filter_like,
+        "pivot_status": q_pivot_status,
+        "regexp_extract": q_regexp_extract,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -930,6 +959,20 @@ def oracle_sql() -> dict[str, str]:
         "filter_like": """
             SELECT p_partkey AS _part_id, p_name, p_type, p_size
             FROM part WHERE p_type LIKE 'S%' AND p_size >= 10
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY 1
+        """,
+        "regexp_extract": """
+            SELECT c_custkey,
+                   cast(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+                   cast(length(c_name) AS BIGINT) AS name_len,
+                   upper(substr(c_name, 1, 8)) AS prefix_upper
+            FROM customer
         """,
         "sessionization": """
             WITH e AS (
