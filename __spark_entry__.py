@@ -687,6 +687,38 @@ def q_streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_daily_event_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the approximate ANN indexes (LSH, IVF) against
+    the exact brute-force top-k, plus the near-dup LSH pair set against
+    brute-force all-pairs.  Self-certifying quality report for the
+    rows-only approximate queries: deterministic given the fixed seeds,
+    asserted ≥ floor in tests/test_ann_recall.py."""
+    from tube_spark.operators.similarity import (
+        exact_near_pairs,
+        pair_recall,
+        topk_recall,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    exact = q_ann_cosine_topk(spark, sf_dir)
+    macro = lambda df, name: (  # noqa: E731
+        df.agg(F.round(F.avg("recall"), 4).alias("recall"))
+        .select(F.lit(name).alias("method"), "recall")
+    )
+    lsh = macro(topk_recall(exact, q_ann_lsh_topk(spark, sf_dir)), "lsh_topk")
+    ivf = macro(topk_recall(exact, q_ann_ivf_topk(spark, sf_dir)), "ivf_topk")
+    near = (
+        pair_recall(
+            exact_near_pairs(emb, threshold=0.3),
+            q_embedding_near_dup(spark, sf_dir),
+        )
+        .select(F.lit("near_dup_pairs").alias("method"), "recall")
+    )
+    return lsh.unionByName(ivf).unionByName(near)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,6 +772,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_curation": q_corpus_curation,
         "multimodal_decode": q_multimodal_decode,
         "streaming_events_window": q_streaming_events_window,
+        "ann_recall_report": q_ann_recall_report,
     }
 
 

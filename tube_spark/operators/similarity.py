@@ -364,3 +364,70 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one: |approx ∩ exact| / |exact| over ``(query_id, neighbor_id)``.
+
+    Used both by the test suite (assert recall ≥ floor) and by the
+    ``ann_recall_report`` driver query, so the quality of the
+    approximate indexes is *measured*, not assumed.  Left-semi join +
+    per-key count — no vector payloads move."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    tot = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tot.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("hits", F.lit(0)) / F.col("n"), 4).alias("recall"),
+        )
+    )
+
+
+def pair_recall(exact_pairs: DataFrame, approx_pairs: DataFrame) -> DataFrame:
+    """Recall of an approximate near-duplicate pair set against the
+    brute-force set: one row ``(n_exact, n_found, recall)``.  Pairs are
+    matched on ``(id_a, id_b)`` (callers keep id_a < id_b canonical)."""
+    e = exact_pairs.select("id_a", "id_b")
+    found = e.join(approx_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            "n_exact",
+            "n_found",
+            F.round(
+                F.when(F.col("n_exact") > 0, F.col("n_found") / F.col("n_exact"))
+                .otherwise(F.lit(1.0)),
+                4,
+            ).alias("recall"),
+        )
+    )
+
+
+def exact_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force all-pairs cosine ≥ threshold (the oracle for
+    ``embedding_near_duplicates``).  O(n²) — correctness baseline for
+    tests and small corpora only; the LSH path is the scale path."""
+    unit = normalized(df, id_col, vec_col)
+    a = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    dot_k = dot_arrow()
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot_k(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
