@@ -114,7 +114,32 @@ class Collector:
                 continue
             if have is None or p.source in have or p.source == "id":
                 cols.append(p)
-        df = src.node_df(leaf, tuple(cols))
+        # resolve every injection path up front: when the source can
+        # surface the first-hop parent id in the leaf scan itself
+        # (relational FK sources), the ancestor props join on that
+        # (small, typically int) parent key instead of re-scanning the
+        # leaf and self-joining on its doc id — one scan of the fact
+        # table instead of two, and no fact⋈fact join.
+        plans = []
+        fused: list[str] = []
+        for inj in m.injecting_props:
+            path = _bfs_up(src, leaf, inj.node)
+            fusible = bool(
+                path
+                and hasattr(src, "node_with_fks_df")
+                # an injected prop named like the hop's id column would
+                # collide with (and be dropped with) the FK helper column
+                and not any(p.name == id_col(path[0]) for p in inj.props)
+            )
+            if fusible and path[0] not in fused:
+                fused.append(path[0])
+            plans.append((inj, path, fusible))
+
+        df = (
+            src.node_with_fks_df(leaf, tuple(fused), tuple(cols))
+            if fused
+            else src.node_df(leaf, tuple(cols))
+        )
         # align: null-pad props this leaf lacks (reference
         # injection/new_translator.py:60-66; unionByName fills the rest)
         df = df.withColumn("source_node", F.lit(leaf))
@@ -122,11 +147,51 @@ class Collector:
         # different id types and the union must not coerce lossily
         df = df.withColumn("_doc_id", F.col(id_col(leaf)).cast("string")).drop(id_col(leaf))
 
-        for inj in m.injecting_props:
-            frame = self._injected_frame(leaf, inj.node, inj.props)
-            if frame is not None:
-                df = df.join(frame, on="_doc_id", how="left")
+        for inj, path, fusible in plans:
+            if path is None:
+                continue
+            if fusible:
+                frame = self._ancestor_frame(path[0], tuple(path[1:]), inj.node, inj.props)
+                df = df.join(frame, on=id_col(path[0]), how="left")
+            else:
+                frame = self._injected_frame(leaf, inj.node, inj.props)
+                if frame is not None:
+                    df = df.join(frame, on="_doc_id", how="left")
+        for hop in fused:
+            df = df.drop(id_col(hop))
         return df
+
+    def _ancestor_frame(
+        self, first_hop: str, rest: tuple[str, ...], ancestor: str, props: tuple[PropSpec, ...]
+    ) -> DataFrame:
+        """Ancestor props keyed by the *first-hop parent* id (the FK the
+        leaf scan already carries), instead of by the leaf doc id.  The
+        remaining path (first_hop→…→ancestor) only touches dim-sized
+        edge projections, never the leaf."""
+        src = self.source
+        node = src.node_df(ancestor, props)
+        if not rest:  # the injected ancestor IS the direct parent
+            joined = F.broadcast(node)
+            unique = True
+        else:
+            walk = resolve_path(src, first_hop, rest)
+            bridge = bridge_df(src, first_hop, walk)
+            joined = bridge.join(F.broadcast(node), on=id_col(ancestor), how="inner")
+            if not any(p.name == id_col(ancestor) for p in props):
+                joined = joined.drop(id_col(ancestor))
+            unique = walk.unique_per_root
+        declared_agg = any(p.fn in ("set", "list") for p in props)
+        if unique and not declared_agg:
+            return joined
+        aggs = []
+        for p in props:
+            if p.fn == "list":
+                aggs.append(F.sort_array(F.collect_list(p.name)).alias(p.name))
+            elif p.fn == "set" or not unique:
+                aggs.append(F.sort_array(F.collect_set(p.name)).alias(p.name))
+            else:
+                aggs.append(F.min(p.name).alias(p.name))
+        return joined.groupBy(id_col(first_hop)).agg(*aggs)
 
     def _injected_frame(
         self, leaf: str, ancestor: str, props: tuple[PropSpec, ...]

@@ -26,7 +26,7 @@ from __future__ import annotations
 import os
 from typing import Protocol
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -47,8 +47,16 @@ class GraphSource(Protocol):
     def edge_df(self, child: str, parent: str) -> DataFrame: ...
 
 
-def _apply_prop_specs(df: DataFrame, label: str, props: tuple[PropSpec, ...]) -> DataFrame:
+def _apply_prop_specs(
+    df: DataFrame,
+    label: str,
+    props: tuple[PropSpec, ...],
+    extra: tuple[Column, ...] = (),
+) -> DataFrame:
     """Select id + props with rename + value-mapping applied.
+
+    ``extra`` columns (e.g. FK ids for the collector's single-scan
+    injection path) are appended verbatim to the projection.
 
     ``src: id`` resolves to the node id column (reference
     ``base/translator.py:123-153``).  Props unknown to the node align as
@@ -76,7 +84,7 @@ def _apply_prop_specs(df: DataFrame, label: str, props: tuple[PropSpec, ...]) ->
         if p.value_mappings:
             c = value_map_col(c, p.value_mappings)
         cols.append(c.alias(p.name))
-    return df.select(*cols)
+    return df.select(*cols, *extra)
 
 
 # Sqoop CSV column order for node / edge dumps (reference

@@ -85,6 +85,30 @@ class RelationalGraphSource:
             F.col(fk).alias(id_col(parent)),
         )
 
+    def node_with_fks_df(
+        self, label: str, parents: tuple[str, ...], props: tuple[PropSpec, ...] = ()
+    ) -> DataFrame:
+        """Node props + graph id + one FK id per requested parent, in ONE
+        scan of the table.
+
+        This is the collector's single-scan injection path: because a
+        relational edge is a projection of the child table, the leaf's
+        first-hop parent id can ride along with its props, so ancestor
+        props join on the (small-int) parent key instead of re-scanning
+        the leaf and self-joining on its (possibly long, string) doc id.
+        At 100 TB that removes a second full scan of the fact table plus
+        a fact⋈fact sort-merge join per injected ancestor.
+        """
+        t = self.tables[label]
+        extra = []
+        for parent in parents:
+            fk = next((k for k, p in t.fks.items() if p == parent), None)
+            if fk is None:
+                raise KeyError(f"no FK {label} -> {parent}")
+            extra.append(F.col(fk).alias(id_col(parent)))
+        df = self._read(label).withColumn(id_col(label), F.expr(t.id_expr))
+        return _apply_prop_specs(df, label, props, extra=tuple(extra))
+
     def edge_with_props(
         self, child: str, parent: str, props: list[str]
     ) -> DataFrame:
