@@ -168,6 +168,30 @@ def q_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension fn: sorted_list — `list` with deterministic
+    (sorted) order; the reference's fn: list is partition-order-dependent
+    and therefore unstable across runs."""
+    src = star_schema_source(spark, sf_dir)
+    m = parse_mapping(
+        {
+            "name": "cust", "doc_type": "customer", "type": "aggregator", "root": "customer",
+            "props": [{"name": "c_name"}],
+            "aggregated_props": [
+                {"name": "order_dates", "src": "o_orderdate", "path": "orders",
+                 "fn": "sorted_list"}
+            ],
+        }
+    )
+    df = Aggregator(src, m).translate()
+    return df.select(
+        "_customer_id",
+        F.coalesce("order_dates", F.expr("cast(array() as array<timestamp>)")).alias(
+            "order_dates"
+        ),
+    )
+
+
 def q_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A3: two-hop roll-up (sum-of-counts merge), count from edges only."""
     src = star_schema_source(spark, sf_dir)
@@ -737,6 +761,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "flatten_top1": q_flatten_top1,
         "agg_basic": q_agg_basic,
         "agg_set": q_agg_set,
+        "agg_sorted_list": q_agg_sorted_list,
         "two_hop_count": q_two_hop_count,
         "nested_docs": q_nested_docs,
         "nested_two_level": q_nested_two_level,
@@ -825,6 +850,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey AS _customer_id,
                    coalesce(list_sort(list_distinct(list(o.o_orderstatus)
                        FILTER (WHERE o.o_orderstatus IS NOT NULL))), []) AS statuses
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "agg_sorted_list": """
+            SELECT c.c_custkey AS _customer_id,
+                   coalesce(list_sort(list(o.o_orderdate)
+                       FILTER (WHERE o.o_orderdate IS NOT NULL)), []) AS order_dates
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,

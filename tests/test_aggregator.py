@@ -146,6 +146,32 @@ def test_two_hop_aggregation(clinic_source):
     assert r["total_q"] == 4.0
 
 
+def test_two_hop_sorted_list(clinic_source):
+    """sorted_list engine extension: deterministic order survives the
+    two-hop partial/merge roll-up (flatten then sort at the top)."""
+    mapping = parse_mapping(
+        {
+            "name": "rollup",
+            "doc_type": "center",
+            "type": "aggregator",
+            "root": "center",
+            "props": [{"name": "country"}],
+            "aggregated_props": [
+                {
+                    "name": "sample_types",
+                    "src": "sample_type",
+                    "path": "participants.samples",
+                    "fn": "sorted_list",
+                },
+            ],
+        }
+    )
+    rows = Aggregator(clinic_source, mapping).translate().collect()
+    assert len(rows) == 1
+    # duplicates preserved (unlike set), order deterministic (unlike list)
+    assert rows[0]["sample_types"] == ["Blood", "Blood", "Saliva"]
+
+
 def test_filter_dsl(clinic_source):
     mapping = parse_mapping(
         {

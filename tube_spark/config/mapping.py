@@ -15,7 +15,8 @@ Grammar cheat-sheet (see reference docs/configuration_file.md):
 * ``flatten_props``:    ``[{path, props, sorted_by: "col, desc"?}]`` — child
                         props pulled onto the root row (top-1 when sorted).
 * ``aggregated_props``: ``[{name, src?, path: "a.b.c", fn}]`` with
-                        ``fn ∈ {count,sum,min,max,set,list,first}``.
+                        ``fn ∈ {count,sum,min,max,set,list,first,sorted_list}``
+                        (sorted_list = engine extension: deterministic list).
 * ``nested_props``:     recursive ``[{name, path, props, filter?, nested_props?}]``.
 * ``joining_props``:    ``[{index, join_on, props: [{name, src, fn}]}]``.
 * ``injecting_props``:  ``{node_label: {props: [...]}}`` (collector only).
@@ -30,7 +31,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Any
 
-AGG_FNS = {"count", "sum", "min", "max", "set", "list", "first"}
+AGG_FNS = {"count", "sum", "min", "max", "set", "list", "first", "sorted_list"}
 
 
 @dataclass(frozen=True)

@@ -1,6 +1,7 @@
 """Aggregation-fn expression builder.
 
-The mapping language's ``fn`` ∈ {count,sum,min,max,set,list,first}
+The mapping language's ``fn`` ∈ {count,sum,min,max,set,list,first} (+ engine
+extension ``sorted_list``)
 (reference docs/configuration_file.md:224-231) compiles to native
 Catalyst aggregate expressions — no Python UDFs anywhere (the reference
 used flatten/concat UDFs, ``base/lambdas.py:339-350``; we use
@@ -59,6 +60,15 @@ def agg_expr(fn: str, src: Column, is_array_input: bool = False) -> Column:
         if is_array_input:
             return F.flatten(F.collect_list(src))
         return F.collect_list(src)
+    if fn == "sorted_list":
+        # Engine extension: `list` with a deterministic (sorted) order.
+        # The reference's fn: list is partition-order-dependent, which
+        # makes documents unstable across runs; sorted_list trades the
+        # original insertion order for reproducibility at zero extra
+        # shuffle cost (sort_array runs post-aggregation, per group).
+        if is_array_input:
+            return F.sort_array(F.flatten(F.collect_list(src)))
+        return F.sort_array(F.collect_list(src))
     raise ValueError(f"unknown aggregation fn {fn!r}")
 
 
@@ -78,6 +88,8 @@ def merge_expr(fn: str, src: Column) -> Column:
         return F.sort_array(F.array_distinct(F.flatten(F.collect_list(src))))
     if fn == "list":
         return F.flatten(F.collect_list(src))
+    if fn == "sorted_list":
+        return F.sort_array(F.flatten(F.collect_list(src)))
     raise ValueError(f"unknown aggregation fn {fn!r}")
 
 

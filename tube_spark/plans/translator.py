@@ -180,12 +180,12 @@ class Collector:
             if not any(p.name == id_col(ancestor) for p in props):
                 joined = joined.drop(id_col(ancestor))
             unique = walk.unique_per_root
-        declared_agg = any(p.fn in ("set", "list") for p in props)
+        declared_agg = any(p.fn in ("set", "list", "sorted_list") for p in props)
         if unique and not declared_agg:
             return joined
         aggs = []
         for p in props:
-            if p.fn == "list":
+            if p.fn in ("list", "sorted_list"):
                 aggs.append(F.sort_array(F.collect_list(p.name)).alias(p.name))
             elif p.fn == "set" or not unique:
                 aggs.append(F.sort_array(F.collect_set(p.name)).alias(p.name))
@@ -217,12 +217,12 @@ class Collector:
         # an aggregating fn on an injected prop (reference A7 semantics:
         # fn: set/list injected props always surface as arrays,
         # ibdgc etlMapping.yaml)
-        declared_agg = any(p.fn in ("set", "list") for p in props)
+        declared_agg = any(p.fn in ("set", "list", "sorted_list") for p in props)
         if walk.unique_per_root and not declared_agg:
             return joined
         aggs = []
         for p in props:
-            if p.fn == "list":
+            if p.fn in ("list", "sorted_list"):
                 aggs.append(F.sort_array(F.collect_list(p.name)).alias(p.name))
             elif p.fn == "set" or not walk.unique_per_root:
                 aggs.append(F.sort_array(F.collect_set(p.name)).alias(p.name))
