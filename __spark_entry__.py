@@ -509,6 +509,20 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of window_ntile: SQL NTILE semantics via
+    range-partition + per-partition local windows + offset arithmetic —
+    no single-partition global window anywhere in the plan (the
+    TeraSort-style distributed global rank, operators/ranking.py)."""
+    from tube_spark.operators.ranking import ntile_distributed
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    tiles = ntile_distributed(
+        o, k=7, order_cols=["o_totalprice", "o_orderkey"], tile_col="tile"
+    )
+    return tiles.select("o_orderkey", "tile")
+
+
 def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-DSL LIKE extension over the mapping compiler."""
     src = star_schema_source(spark, sf_dir)
@@ -781,6 +795,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stats_summary": q_stats_summary,
         "events_json_extract": q_events_json_extract,
         "window_ntile": q_window_ntile,
+        "ntile_distributed": q_ntile_distributed,
         "filter_like": q_filter_like,
         "pivot_status": q_pivot_status,
         "regexp_extract": q_regexp_extract,
@@ -1020,6 +1035,11 @@ def oracle_sql() -> dict[str, str]:
                        o_totalprice
                 FROM orders
             ) GROUP BY 1
+        """,
+        "ntile_distributed": """
+            SELECT o_orderkey,
+                   ntile(7) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+            FROM orders
         """,
         "filter_like": """
             SELECT p_partkey AS _part_id, p_name, p_type, p_size

@@ -1,0 +1,115 @@
+"""Distributed global ranking — the scale path for ORDER BY-the-world.
+
+A plain ``row_number() OVER (ORDER BY …)`` (no PARTITION BY) collapses
+the whole dataset into ONE task: at 100 TB that single sort partition is
+the job.  The classic fix (TeraSort's) is implemented here with
+DataFrame ops:
+
+1. ``repartitionByRange`` on the order key — Spark samples range
+   boundaries, so partition *p* holds keys strictly before partition
+   *p+1*'s;
+2. one tiny job counts rows per partition (#partitions rows to the
+   driver — KBs even with 10k partitions);
+3. every partition ranks **locally** (``row_number`` partitioned by
+   ``spark_partition_id()`` — thousands of concurrent windows instead
+   of one) and adds its global offset, broadcast-joined on partition id.
+
+The range-partitioned frame is cached so the partition layout the
+offsets were counted against is the layout the final plan ranks over
+(range boundaries are sampled, so a re-execution could otherwise draw
+different partition ids).  That one materialization replaces the
+single-reducer global sort — the right trade at any scale.
+
+``ntile_distributed`` derives SQL NTILE semantics from the global rank
+arithmetically (first ``n mod k`` tiles get one extra row), so its
+output is bit-identical to ``ntile(k) OVER (ORDER BY …)`` while never
+shuffling to one partition.
+
+The order columns must form a total order (add a unique tiebreaker);
+otherwise ranks among ties are nondeterministic — same as SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "_gr_pid"
+_OFF = "_gr_offset"
+
+
+def _ranked_with_total(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    num_partitions: int | None,
+    rank_col: str,
+) -> tuple[DataFrame, int]:
+    spark = df.sparkSession
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    part = part.withColumn(_PID, F.spark_partition_id()).cache()
+
+    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias("n")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r[_PID]):
+        offsets.append((row[_PID], acc))
+        acc += row["n"]
+    if not offsets:  # empty input: rank column only
+        return df.withColumn(rank_col, F.lit(None).cast("long")), 0
+    off = spark.createDataFrame(offsets, schema=f"{_PID} int, {_OFF} long")
+
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    ranked = (
+        part.join(F.broadcast(off), on=_PID)
+        .withColumn(rank_col, F.row_number().over(w) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )
+    return ranked, acc
+
+
+def global_ranked(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    num_partitions: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """``df`` + a 1-based global row number over ``order_cols``,
+    computed without a single-partition window."""
+    ranked, _ = _ranked_with_total(df, order_cols, num_partitions, rank_col)
+    return ranked
+
+
+def ntile_distributed(
+    df: DataFrame,
+    k: int,
+    order_cols: list[str | Column],
+    num_partitions: int | None = None,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """SQL ``ntile(k) OVER (ORDER BY order_cols)`` without the global
+    window: tile is pure arithmetic on the distributed global rank.
+
+    NTILE remainder rule: with n rows, q = n div k, r = n mod k, tiles
+    1..r hold q+1 rows and tiles r+1..k hold q rows.
+    """
+    ranked, total = _ranked_with_total(df, order_cols, num_partitions, "_gr_rank")
+    if total == 0:
+        return ranked.withColumn(tile_col, F.lit(None).cast("int")).drop("_gr_rank")
+    q, r = divmod(total, k)
+    rn = F.col("_gr_rank")
+    if q == 0:
+        tile = rn  # fewer rows than tiles: row i is tile i
+    else:
+        big = r * (q + 1)  # rows living in the (q+1)-sized tiles
+        tile = (
+            F.floor(
+                F.when(rn <= F.lit(big), (rn - 1) / F.lit(q + 1)).otherwise(
+                    F.lit(r) + (rn - 1 - F.lit(big)) / F.lit(q)
+                )
+            )
+            + 1
+        )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("_gr_rank")
