@@ -1,0 +1,69 @@
+"""foreachBatch → versioned-index integration, and a non-availableNow
+(processingTime) trigger run."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from tube_spark.sinks.writer import VersionedIndexWriter
+from tube_spark.streaming.refresh import streaming_versioned_refresh
+
+
+def test_streaming_versioned_refresh_lifecycle(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    writer = VersionedIndexWriter(str(tmp_path / "idx"), "docs", keep_versions=2)
+    transform = lambda df: df.withColumn("v2", F.upper("v"))
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.mode(
+        "append"
+    ).parquet(src)
+    p1 = streaming_versioned_refresh(spark, src, transform, writer, ckpt)
+    assert p1 is not None and p1.endswith("docs_v1")
+    assert writer.manifest()["current"] == 1
+    assert writer.read_current(spark).count() == 2
+
+    # no new data → freshness gate: no new version published
+    assert streaming_versioned_refresh(spark, src, transform, writer, ckpt) is None
+    assert writer.manifest()["current"] == 1
+
+    # new file → v2 contains old + new rows, alias swapped atomically
+    spark.createDataFrame([(3, "c")], "id long, v string").write.mode("append").parquet(src)
+    p2 = streaming_versioned_refresh(spark, src, transform, writer, ckpt)
+    assert p2 is not None and p2.endswith("docs_v2")
+    cur = writer.read_current(spark)
+    assert cur.count() == 3
+    assert {r["v2"] for r in cur.collect()} == {"A", "B", "C"}
+
+
+def test_processing_time_trigger_drains_source(spark, tmp_path):
+    """Continuous-refresh shape: a processingTime-triggered query over a
+    file source reaches the same result as batch, then is stopped."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    agg = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("pt_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.table("pt_sink").collect()
+            if rows and rows[0]["n"] == 10:
+                break
+            time.sleep(0.5)
+        assert spark.table("pt_sink").collect()[0]["n"] == 10
+    finally:
+        q.stop()

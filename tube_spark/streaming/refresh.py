@@ -93,3 +93,58 @@ def incremental_refresh(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_versioned_refresh(
+    spark: SparkSession,
+    source_path: str,
+    transform,
+    writer,
+    checkpoint_dir: str,
+    staging_dir: str | None = None,
+) -> str | None:
+    """Incremental refresh INTO a zero-downtime versioned index.
+
+    The missing piece between ``incremental_refresh`` (streams deltas to
+    a parquet dir) and ``VersionedIndexWriter`` (atomic alias swap over
+    immutable versions): stream only-new source files through
+    ``transform`` into an append-only staging area (``foreachBatch``,
+    exactly-once via the checkpoint), then — if and only if new data
+    arrived — publish the full staging content as a NEW index version
+    and swap the alias.  Readers of ``writer.read_current`` never see a
+    half-written refresh; a crash mid-stream resumes from the
+    checkpoint; a crash between staging and publish re-publishes on the
+    next run (idempotent: same staging content → same index content).
+
+    Returns the published version path, or None when no new data.
+    """
+    import os
+
+    staging = staging_dir or os.path.join(writer.base_dir, f"{writer.index}_staging")
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    out = transform(stream)
+
+    saw_data = {"n": 0}
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: the batch feeds two actions (count + write) and must
+        # not recompute (the file-source batch would re-read its files)
+        batch_df.persist()
+        try:
+            saw_data["n"] += batch_df.count()
+            batch_df.write.mode("append").parquet(staging)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        out.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if saw_data["n"] == 0:
+        return None  # freshness gate: nothing new, keep current version live
+    return writer.publish(spark.read.parquet(staging))
