@@ -622,6 +622,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) document fingerprints — any shared run
+    of ≥ k+window−1 words between two docs shares a fingerprint."""
+    from tube_spark.operators.text_analysis import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), "doc_id", "text", k=3, window=4)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -802,6 +810,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1083,6 +1092,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies,
                    list_sort(list(doc_id)) AS member_ids
             FROM documents GROUP BY 1
+        """,
+        "winnow_fingerprint": """
+            WITH tokd AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                      i -> array_to_string(t[i:i+2], ' ')) AS g
+                FROM tokd
+            ), hashes AS (
+                SELECT doc_id,
+                       list_transform(g, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+                FROM grams
+            )
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       generate_series(1, greatest(len(h) - 3, 0)),
+                       i -> list_min(h[i:i+3])))) AS fingerprints
+            FROM hashes
         """,
         "text_stats": f"""
             WITH t AS (

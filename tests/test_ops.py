@@ -201,3 +201,29 @@ def test_streaming_window_matches_batch(spark, tmp_path):
     assert out[("2024-01-01 00:00:00", "click")]["n_events"] == 2
     assert out[("2024-01-01 00:00:00", "click")]["total_value"] == 3.0
     assert out[("2024-01-02 00:00:00", "view")]["n_events"] == 1
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's core property: documents sharing a run of ≥ k+w−1
+    words share at least one fingerprint; disjoint docs share none."""
+    from tube_spark.operators.text_analysis import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words ≥ k+w−1=6
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {shared} delta epsilon"),
+            (2, f"one two three four five {shared} six seven"),
+            (3, "entirely different words without any overlap at all here friend"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnowing_fingerprints(docs, "doc_id", "text", k=3, window=4).collect()
+    }
+    assert fps[1] & fps[2], "docs sharing a long run must share a fingerprint"
+    assert not fps[1] & fps[3] and not fps[2] & fps[3]
+    # short doc (< k words) → empty fingerprint set, not null/error
+    short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    out = winnowing_fingerprints(short, "doc_id", "text", k=3, window=4).collect()
+    assert out[0]["fingerprints"] == []

@@ -92,3 +92,55 @@ def text_stats(
         lang_id_col(tok).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (rolling-hash family).
+
+    Hash every word k-gram, then keep the MIN hash of each sliding
+    window of ``window`` consecutive k-gram hashes; the sorted distinct
+    survivors are the document's fingerprint set.  Winnowing guarantees
+    any shared substring of ≥ k+window−1 words between two documents
+    yields at least one shared fingerprint — the standard local
+    plagiarism/near-copy sketch (Schleimer et al., SIGMOD'03).
+
+    Pure Catalyst: the k-gram array is built with the shifted-copy
+    ``zip_with`` trick, the windowed min with ``window−1`` further
+    ``zip_with(least)`` passes over shifted copies — O(k+window) whole-
+    array ops per document, no HOF-per-element lambdas, no shuffle.
+    Hashes are ``portable_hash`` (md5-derived) so DuckDB reproduces the
+    pipeline bit-for-bit:
+
+    DuckDB twin of the windowed min over hashes ``h`` (1-based):
+      ``list_sort(list_distinct(list_transform(
+            generate_series(1, len(h) - w + 1),
+            i -> list_min(h[i:i+w-1]))))``
+    """
+    from tube_spark.functions.text import portable_hash  # local: avoids cycle risk
+
+    # overlapping word k-grams IN ORDER (winnowing needs positions, so
+    # no array_distinct here, unlike word_shingles)
+    tok = tokens(F.col(text_col))
+    length = F.greatest(F.size(tok) - F.lit(k - 1), F.lit(0))
+    parts = [F.slice(tok, i + 1, length) for i in range(k)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    hashes = F.transform(grams, portable_hash)
+
+    # windowed min via window-1 zip_with(least) passes over shifted copies
+    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+    mins = F.slice(hashes, 1, n_windows)
+    for i in range(1, window):
+        mins = F.zip_with(mins, F.slice(hashes, i + 1, n_windows), lambda a, b: F.least(a, b))
+
+    return df.select(
+        F.col(id_col),
+        F.sort_array(F.array_distinct(mins)).alias("fingerprints"),
+    )
