@@ -409,6 +409,37 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event + the customer's
+    latest order at-or-before the event time.  One shuffle of |L|+|R|
+    on the key — no per-key range cross-product; oracle is DuckDB's
+    native ASOF JOIN."""
+    from tube_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ev_ts"),
+    )
+    # determinism: reduce right to ONE row per (key, t) — ties in order
+    # date resolved to the highest orderkey on both sides
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(
+            F.max("o_orderkey").alias("last_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
+        )
+    )
+    out = asof_join(ev, orders, on="user_id", left_time="ev_ts", right_time="o_orderdate")
+    return out.select(
+        "event_id",
+        "user_id",
+        "last_orderkey",
+        F.round("last_totalprice", 2).alias("last_totalprice"),
+    )
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: ranking window — top-2 orders per customer by price."""
     from pyspark.sql import Window
@@ -793,6 +824,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pricing_summary": q_pricing_summary,
         "top_revenue_nations": q_top_revenue_nations,
         "events_window": q_events_window,
+        "asof_join": q_asof_join,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "rollup_pricing": q_rollup_pricing,
@@ -971,6 +1003,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH ev AS (
+                SELECT event_id, user_id, ts::TIMESTAMP AS ev_ts FROM events
+            ), ord AS (
+                SELECT o_custkey AS user_id, o_orderdate,
+                       max(o_orderkey) AS last_orderkey,
+                       max_by(o_totalprice, o_orderkey) AS last_totalprice
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, o.last_orderkey,
+                   round(o.last_totalprice, 2) AS last_totalprice
+            FROM ev e ASOF LEFT JOIN ord o
+              ON e.user_id = o.user_id AND o.o_orderdate <= e.ev_ts
         """,
         "window_rank": """
             SELECT o_custkey, o_orderkey, o_totalprice,
