@@ -440,6 +440,36 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed band join (operators/rangejoin.py): per event, how many
+    orders the same customer placed in the 30 days up to the event.
+    Times are integer microseconds on both sides so the BETWEEN
+    boundaries are exact in Spark and DuckDB alike."""
+    from tube_spark.operators.rangejoin import interval_point_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ev_us")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"),
+        # NTZ → TZ cast is identity under the UTC session timezone
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ord_us"),
+        "o_orderkey",
+    )
+    month_us = 30 * 24 * 3600 * 1_000_000
+    pairs = interval_point_join(
+        ev, orders, "ev_us", "ord_us", lower=-month_us, upper=0, on="user_id"
+    )
+    counts = pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_recent_orders"))
+    return (
+        ev.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_recent_orders", F.lit(0)).cast("long").alias("n_recent_orders"),
+        )
+    )
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: ranking window — top-2 orders per customer by price."""
     from pyspark.sql import Window
@@ -825,6 +855,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "top_revenue_nations": q_top_revenue_nations,
         "events_window": q_events_window,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "rollup_pricing": q_rollup_pricing,
@@ -1017,6 +1048,17 @@ def oracle_sql() -> dict[str, str]:
                    round(o.last_totalprice, 2) AS last_totalprice
             FROM ev e ASOF LEFT JOIN ord o
               ON e.user_id = o.user_id AND o.o_orderdate <= e.ev_ts
+        """,
+        "range_join": """
+            WITH ev AS (
+                SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ev_us FROM events
+            )
+            SELECT e.event_id,
+                   count(o.o_orderkey) AS n_recent_orders
+            FROM ev e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND epoch_us(o.o_orderdate) BETWEEN e.ev_us - 2592000000000 AND e.ev_us
+            GROUP BY 1
         """,
         "window_rank": """
             SELECT o_custkey, o_orderkey, o_totalprice,
