@@ -470,6 +470,60 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution time rollup: one pass emits
+    day, month, year, and grand-total aggregates via GROUP BY ROLLUP on
+    the time hierarchy (Catalyst plans a single shuffle with partial
+    aggregation — the continuous-aggregate pattern at any scale)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        ev.select(
+            F.year(ts).cast("long").alias("y"),
+            F.month(ts).cast("long").alias("m"),
+            F.dayofmonth(ts).cast("long").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch accuracy, measured not assumed: HyperLogLog++ distinct
+    counts and KLL-style approx quantiles vs their exact twins, with
+    relative error — the self-certifying pattern (like
+    ann_recall_report) for operators whose outputs are approximate by
+    design.  Error floors asserted in tests/test_sketches.py."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("cd_exact"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_exact"),
+    )
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("cd_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("med_approx"),
+    )
+    both = exact.crossJoin(approx)
+    rel = lambda a, e: F.round(F.abs(a - e) / F.greatest(e, F.lit(1e-12)), 6)  # noqa: E731
+    cd = both.select(
+        F.lit("hll_count_distinct").alias("metric"),
+        F.col("cd_approx").cast("double").alias("approx"),
+        F.col("cd_exact").cast("double").alias("exact"),
+        rel(F.col("cd_approx"), F.col("cd_exact")).alias("rel_err"),
+    )
+    med = both.select(
+        F.lit("approx_median").alias("metric"),
+        F.col("med_approx").cast("double").alias("approx"),
+        F.col("med_exact").cast("double").alias("exact"),
+        rel(F.col("med_approx"), F.col("med_exact")).alias("rel_err"),
+    )
+    return cd.unionByName(med)
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: ranking window — top-2 orders per customer by price."""
     from pyspark.sql import Window
@@ -856,6 +910,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_window": q_events_window,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
+        "sketch_report": q_sketch_report,
         "window_rank": q_window_rank,
         "window_lag": q_window_lag,
         "rollup_pricing": q_rollup_pricing,
@@ -1059,6 +1115,15 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND epoch_us(o.o_orderdate) BETWEEN e.ev_us - 2592000000000 AND e.ev_us
             GROUP BY 1
+        """,
+        "time_rollup": """
+            SELECT year(ts::TIMESTAMP)::BIGINT AS y,
+                   month(ts::TIMESTAMP)::BIGINT AS m,
+                   day(ts::TIMESTAMP)::BIGINT AS d,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events
+            GROUP BY ROLLUP (1, 2, 3)
         """,
         "window_rank": """
             SELECT o_custkey, o_orderkey, o_totalprice,
