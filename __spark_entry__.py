@@ -816,6 +816,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb, threshold=0.3, bits=32, bands=8)
 
 
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs cosine ≥ θ — the exact oracle-checked
+    baseline the LSH path (embedding_near_dup) is recall-measured
+    against.  O(n²): correctness baseline only; LSH is the scale path."""
+    from tube_spark.operators.similarity import exact_near_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return exact_near_pairs(emb, threshold=0.3)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: quality gate → exact dedup → near-dup
     drop → embedding enrichment, one Catalyst plan."""
@@ -937,6 +949,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "corpus_curation": q_corpus_curation,
         "multimodal_decode": q_multimodal_decode,
         "streaming_events_window": q_streaming_events_window,
@@ -1348,6 +1361,18 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY cos_raw DESC, neighbor_id) AS rn
                 FROM scored
             ) WHERE rn <= 10
+        """,
+        "embedding_near_dup_exact": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+            FROM p WHERE cos_raw >= 0.3
         """,
         "multimodal_decode": """
             SELECT doc_id,
