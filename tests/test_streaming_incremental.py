@@ -32,6 +32,33 @@ def test_incremental_refresh_processes_only_new_data(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 3
 
 
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    from tube_spark.streaming.refresh import streaming_dedup
+
+    src = str(tmp_path / "dup_src")
+    rows = [
+        (1, "2024-01-01 00:00:00", "a"),
+        (1, "2024-01-01 00:05:00", "a-dup"),
+        (2, "2024-01-01 01:00:00", "b"),
+    ]
+    spark.createDataFrame(rows, "k long, ts string, v string").selectExpr(
+        "k", "cast(ts as timestamp) ts", "v"
+    ).write.mode("append").parquet(src)
+    # duplicates split ACROSS files (a second micro-batch on restart)
+    spark.createDataFrame(
+        [(2, "2024-01-01 01:10:00", "b-dup"), (3, "2024-01-01 02:00:00", "c")],
+        "k long, ts string, v string",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v").write.mode("append").parquet(src)
+
+    out = streaming_dedup(spark, src, keys=["k"], ts_col="ts", watermark="1 hour")
+    batch = spark.read.parquet(src).dropDuplicates(["k"])
+    assert out.count() == batch.count() == 3
+    assert {r["k"] for r in out.collect()} == {1, 2, 3}
+    # exactly one surviving row per key, each a real input row
+    vs = {r["k"]: r["v"] for r in out.collect()}
+    assert vs[1] in {"a", "a-dup"} and vs[3] == "c"
+
+
 def test_salted_join_and_count(spark):
     from tube_spark.operators.skew import salted_count, salted_join
 

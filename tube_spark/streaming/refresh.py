@@ -71,6 +71,47 @@ def streaming_daily_event_counts(
     return spark.table(sink)
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    source_path: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    transform=None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming exact deduplication: the streaming twin of
+    ``operators.dedup.exact_duplicates``'s keep-one side.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's first-seen event time, so state is
+    bounded on an unbounded stream — the property that makes exact
+    dedup viable in a continuous 100 TB ingest (a plain
+    ``dropDuplicates`` on a stream would accumulate state forever).
+    Duplicates arriving within the watermark horizon are suppressed
+    exactly; later re-occurrences are treated as new (by design — the
+    horizon IS the dedup contract).  With an ``availableNow`` drain over
+    files it emits one row per key, matching the batch twin.
+    """
+    schema = spark.read.parquet(source_path).schema
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    if transform is not None:
+        stream = transform(stream)
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    sink = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="tube_spark_ckpt_")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def incremental_refresh(
     spark: SparkSession,
     source_path: str,
