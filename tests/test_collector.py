@@ -76,3 +76,26 @@ def test_collector_multi_hop_injection(clinic_source):
     )
     rows = {r["_doc_id"]: r.asDict() for r in Collector(clinic_source, mapping).translate().collect()}
     assert all(r["center_country"] == "US" for r in rows.values())
+
+
+def test_collector_plan_broadcasts_injection(spark):
+    """Scale posture, pinned: the ancestor-injection side must broadcast
+    (ancestors are small by construction) and the whole collector plan
+    must shuffle only for the semantic doc-key dedup — no stray
+    hash-exchanges from the injection joins or the union."""
+    from tube_spark.sources.relational import star_schema_source
+
+    src = star_schema_source(spark, "/root/testdata/sf0.001")
+    mapping = parse_mapping(
+        {
+            "name": "facts", "doc_type": "fact", "type": "collector", "category": "fact",
+            "props": [{"name": "source_node"}],
+            "injecting_props": {"customer": {"props": [{"name": "cust_id", "src": "id"}]}},
+        }
+    )
+    df = Collector(src, mapping).translate().select("_doc_id", "source_node", "cust_id")
+    df.count()  # AQE finalizes the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan[:2000]
+    non_broadcast = plan.count("Exchange hashpartitioning")
+    assert non_broadcast <= 2, f"{non_broadcast} hash exchanges\n" + plan[:3000]
