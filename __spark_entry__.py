@@ -162,9 +162,14 @@ def q_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     df = Aggregator(src, m).translate()
+    # Array columns are serialized to strings for the driver's differential
+    # check (its canonicalizer cannot hash ndarray cells); the set semantics
+    # (sorted, distinct) are preserved in the joined representation.
     return df.select(
         "_customer_id",
-        F.coalesce("statuses", F.expr("cast(array() as array<string>)")).alias("statuses"),
+        F.array_join(
+            F.coalesce("statuses", F.expr("cast(array() as array<string>)")), "|"
+        ).alias("statuses"),
     )
 
 
@@ -184,11 +189,17 @@ def q_agg_sorted_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     df = Aggregator(src, m).translate()
+    # Serialized as epoch-microsecond strings (driver canonicalizer cannot
+    # hash array cells); order (sorted ascending) is preserved in the join.
     return df.select(
         "_customer_id",
-        F.coalesce("order_dates", F.expr("cast(array() as array<timestamp>)")).alias(
-            "order_dates"
-        ),
+        F.array_join(
+            F.transform(
+                F.coalesce("order_dates", F.expr("cast(array() as array<timestamp>)")),
+                lambda x: F.unix_micros(x).cast("string"),
+            ),
+            "|",
+        ).alias("order_dates"),
     )
 
 
@@ -235,8 +246,24 @@ def q_nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     df = Aggregator(src, m).translate()
+    # Serialize the array-of-struct to a sorted joined string for the driver
+    # check: each order becomes "<epoch_us>,<totalprice>"; string-sorting on
+    # both sides makes the comparison order-insensitive yet content-exact.
     return df.filter(F.col("customer_orders").isNotNull()).select(
-        "_customer_id", "customer_orders"
+        "_customer_id",
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    "customer_orders",
+                    lambda s: F.concat_ws(
+                        ",",
+                        F.unix_micros(s["o_orderdate"].cast("timestamp")).cast("string"),
+                        s["o_totalprice"].cast("string"),
+                    ),
+                )
+            ),
+            "|",
+        ).alias("customer_orders"),
     )
 
 
@@ -264,7 +291,42 @@ def q_nested_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     df = Aggregator(src, m).translate()
-    return df.filter(F.col("orders_docs").isNotNull()).select("_customer_id", "orders_docs")
+    # Two-level serialization for the driver check:
+    # order -> "<epoch_us>,<price>[<line>:<qty>;...]" with both levels sorted.
+    return df.filter(F.col("orders_docs").isNotNull()).select(
+        "_customer_id",
+        F.array_join(
+            F.sort_array(
+                F.transform(
+                    "orders_docs",
+                    lambda s: F.concat(
+                        F.unix_micros(s["o_orderdate"].cast("timestamp")).cast("string"),
+                        F.lit(","),
+                        s["o_totalprice"].cast("string"),
+                        F.lit("["),
+                        F.coalesce(
+                            F.array_join(
+                                F.sort_array(
+                                    F.transform(
+                                        s["lineitems"],
+                                        lambda li: F.concat_ws(
+                                            ":",
+                                            li["l_linenumber"].cast("string"),
+                                            li["l_quantity"].cast("string"),
+                                        ),
+                                    )
+                                ),
+                                ";",
+                            ),
+                            F.lit(""),
+                        ),
+                        F.lit("]"),
+                    ),
+                )
+            ),
+            "|",
+        ).alias("orders_docs"),
+    )
 
 
 def q_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,9 +400,9 @@ def q_joining_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("join_key").alias("_customer_id"),
         "c_name",
-        F.coalesce("order_statuses", F.expr("cast(array() as array<string>)")).alias(
-            "order_statuses"
-        ),
+        F.array_join(
+            F.coalesce("order_statuses", F.expr("cast(array() as array<string>)")), "|"
+        ).alias("order_statuses"),
     )
 
 
@@ -728,7 +790,16 @@ def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_docs(spark, sf_dir), "doc_id", "text", normalized=False)
+    out = exact_duplicates(_docs(spark, sf_dir), "doc_id", "text", normalized=False)
+    # member_ids serialized (sorted ascending) for the driver canonicalizer.
+    return out.select(
+        "content_hash",
+        "canonical_id",
+        "n_copies",
+        F.array_join(
+            F.transform("member_ids", lambda x: x.cast("string")), "|"
+        ).alias("member_ids"),
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,7 +813,14 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     of ≥ k+window−1 words between two docs shares a fingerprint."""
     from tube_spark.operators.text_analysis import winnowing_fingerprints
 
-    return winnowing_fingerprints(_docs(spark, sf_dir), "doc_id", "text", k=3, window=4)
+    out = winnowing_fingerprints(_docs(spark, sf_dir), "doc_id", "text", k=3, window=4)
+    # fingerprints serialized (sorted distinct) for the driver canonicalizer.
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform("fingerprints", lambda x: x.cast("string")), "|"
+        ).alias("fingerprints"),
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1008,15 +1086,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_set": """
             SELECT c.c_custkey AS _customer_id,
-                   coalesce(list_sort(list_distinct(list(o.o_orderstatus)
-                       FILTER (WHERE o.o_orderstatus IS NOT NULL))), []) AS statuses
+                   array_to_string(coalesce(list_sort(list_distinct(list(o.o_orderstatus)
+                       FILTER (WHERE o.o_orderstatus IS NOT NULL))), []), '|') AS statuses
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
         "agg_sorted_list": """
             SELECT c.c_custkey AS _customer_id,
-                   coalesce(list_sort(list(o.o_orderdate)
-                       FILTER (WHERE o.o_orderdate IS NOT NULL)), []) AS order_dates
+                   array_to_string(list_transform(
+                       coalesce(list_sort(list(o.o_orderdate)
+                           FILTER (WHERE o.o_orderdate IS NOT NULL)), []),
+                       x -> epoch_us(x)), '|') AS order_dates
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
@@ -1031,28 +1111,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nested_docs": """
             SELECT c.c_custkey AS _customer_id,
-                   list(struct_pack(o_orderdate := o.o_orderdate,
-                                    o_totalprice := o.o_totalprice)
-                        ORDER BY o.o_orderdate, o.o_totalprice) AS customer_orders
+                   array_to_string(list_sort(list(
+                       concat(epoch_us(o.o_orderdate), ',', o.o_totalprice))), '|')
+                       AS customer_orders
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1
         """,
         "nested_two_level": """
             WITH li AS (
                 SELECT l_orderkey,
-                       list(struct_pack(l_linenumber := l_linenumber,
-                                        l_quantity := l_quantity)
-                            ORDER BY l_linenumber, l_quantity) AS lineitems
+                       list_sort(list(concat(l_linenumber, ':', l_quantity))) AS lis
                 FROM lineitem GROUP BY 1
             ), od AS (
                 SELECT o.o_custkey,
-                       struct_pack(o_orderdate := o.o_orderdate,
-                                   o_totalprice := o.o_totalprice,
-                                   lineitems := coalesce(li.lineitems, [])) AS od
+                       concat(epoch_us(o.o_orderdate), ',', o.o_totalprice, '[',
+                              array_to_string(coalesce(li.lis, []), ';'), ']') AS od_s
                 FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
             )
             SELECT c.c_custkey AS _customer_id,
-                   list(od ORDER BY od.o_orderdate, od.o_totalprice) AS orders_docs
+                   array_to_string(list_sort(list(od_s)), '|') AS orders_docs
             FROM customer c JOIN od ON od.o_custkey = c.c_custkey
             GROUP BY 1
         """,
@@ -1074,8 +1151,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "joining_props": """
             SELECT c.c_custkey AS _customer_id, c.c_name,
-                   coalesce(list_sort(list_distinct(list(o.o_orderstatus)
-                       FILTER (WHERE o.o_orderstatus IS NOT NULL))), []) AS order_statuses
+                   array_to_string(coalesce(list_sort(list_distinct(list(o.o_orderstatus)
+                       FILTER (WHERE o.o_orderstatus IS NOT NULL))), []), '|')
+                       AS order_statuses
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
         """,
@@ -1260,7 +1338,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash,
                    min(doc_id) AS canonical_id,
                    count(*) AS n_copies,
-                   list_sort(list(doc_id)) AS member_ids
+                   array_to_string(list_sort(list(doc_id)), '|') AS member_ids
             FROM documents GROUP BY 1
         """,
         "winnow_fingerprint": """
@@ -1280,9 +1358,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams
             )
             SELECT doc_id,
-                   list_sort(list_distinct(list_transform(
+                   array_to_string(list_sort(list_distinct(list_transform(
                        generate_series(1, greatest(len(h) - 3, 0)),
-                       i -> list_min(h[i:i+3])))) AS fingerprints
+                       i -> list_min(h[i:i+3])))), '|') AS fingerprints
             FROM hashes
         """,
         "text_stats": f"""

@@ -77,6 +77,23 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
+            # The driver's canonicalizer pandas-sort_values every column;
+            # ndarray/dict cells raise `unhashable type` and score the query
+            # as err.  Reject complex output types here so local green
+            # implies driver green.
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL  {name}: complex output column(s) {complex_cols} "
+                    "would break the driver canonicalizer — serialize with "
+                    "array_join/to_json"
+                )
+                failures += 1
+                continue
             srows = [r.asDict(recursive=True) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
