@@ -492,6 +492,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("last_orderkey"),
             F.max_by("o_totalprice", "o_orderkey").alias("last_totalprice"),
         )
+        # NULL-payload probe: one-in-three right rows carries NULL here.
+        # Per-column carry-forward would back-fill it from an OLDER
+        # order (phantom row); the struct carry must return the NULL.
+        .withColumn(
+            "maybe_price",
+            F.when(F.col("last_orderkey") % 3 != 0, F.col("last_totalprice")),
+        )
     )
     out = asof_join(ev, orders, on="user_id", left_time="ev_ts", right_time="o_orderdate")
     return out.select(
@@ -499,6 +506,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "last_orderkey",
         F.round("last_totalprice", 2).alias("last_totalprice"),
+        F.round("maybe_price", 2).alias("maybe_price"),
     )
 
 
@@ -1192,11 +1200,14 @@ def oracle_sql() -> dict[str, str]:
             ), ord AS (
                 SELECT o_custkey AS user_id, o_orderdate,
                        max(o_orderkey) AS last_orderkey,
-                       max_by(o_totalprice, o_orderkey) AS last_totalprice
+                       max_by(o_totalprice, o_orderkey) AS last_totalprice,
+                       CASE WHEN max(o_orderkey) % 3 != 0
+                            THEN max_by(o_totalprice, o_orderkey) END AS maybe_price
                 FROM orders GROUP BY 1, 2
             )
             SELECT e.event_id, e.user_id, o.last_orderkey,
-                   round(o.last_totalprice, 2) AS last_totalprice
+                   round(o.last_totalprice, 2) AS last_totalprice,
+                   round(o.maybe_price, 2) AS maybe_price
             FROM ev e ASOF LEFT JOIN ord o
               ON e.user_id = o.user_id AND o.o_orderdate <= e.ev_ts
         """,

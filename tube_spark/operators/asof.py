@@ -11,7 +11,10 @@ union-and-carry-forward trick:
    aligned on (key, t, tag);
 2. one window per key ordered by (t, tag): ``last_value(right payload,
    ignoreNulls)`` carries the most recent right row forward over the
-   timeline;
+   timeline.  The payload travels as ONE struct — carrying columns
+   independently would let a NULL payload column borrow its value from
+   an *older* right row, composing a row that never existed (DuckDB
+   ASOF returns the matched row's NULL instead);
 3. keep only left rows — each now holds exactly the right row that was
    live at its timestamp.
 
@@ -30,6 +33,7 @@ from pyspark.sql import functions as F
 
 _TAG = "_asof_tag"
 _T = "_asof_t"
+_PAY = "_asof_pay"
 
 
 def asof_join(
@@ -54,43 +58,44 @@ def asof_join(
     if clash:
         raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
 
+    # The whole right payload rides in ONE struct: non-null for every
+    # right row (even when all its members are NULL), NULL for left
+    # rows.  ``last(_PAY, ignorenulls=True)`` then carries right rows
+    # atomically — a NULL member stays NULL instead of being back-filled
+    # per-column from an older right row.
+    pay_t = right.select(
+        F.struct(*[F.col(c) for c in rpay]).alias(_PAY)
+    ).schema[0].dataType.simpleString()
     r = right.select(
         F.col(on),
         F.col(right_time).alias(_T),
         F.lit(0).alias(_TAG),
-        *[F.col(c) for c in rpay],
+        F.struct(*[F.col(c) for c in rpay]).alias(_PAY),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}") for c in left.columns],
     )
     l = left.select(  # noqa: E741
         F.col(on),
         F.col(left_time).alias(_T),
         F.lit(1).alias(_TAG),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in rpay],
+        F.lit(None).cast(pay_t).alias(_PAY),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     both = r.unionByName(l)
 
-    if direction == "backward":
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(_T).asc(), F.col(_TAG).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in rpay]
-    else:
-        w = (
-            Window.partitionBy(on)
-            .orderBy(F.col(_T).desc(), F.col(_TAG).asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in rpay]
+    order = F.col(_T).asc() if direction == "backward" else F.col(_T).desc()
+    w = (
+        Window.partitionBy(on)
+        .orderBy(order, F.col(_TAG).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(_PAY, ignorenulls=True).over(w).alias(_PAY)
 
     out = both.select(
-        F.col(on), F.col(_T), F.col(_TAG), *carried,
+        F.col(on), F.col(_T), F.col(_TAG), carried,
         *[F.col(f"_l_{c}") for c in left.columns if c != on],
     ).filter(F.col(_TAG) == 1)
     return out.select(
         *[F.col(f"_l_{c}").alias(c) for c in left.columns if c != on],
         F.col(on),
-        *[F.col(c) for c in rpay],
+        *[F.col(_PAY).getField(c).alias(c) for c in rpay],
     ).drop(_T, _TAG)
