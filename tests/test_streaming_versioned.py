@@ -38,6 +38,42 @@ def test_streaming_versioned_refresh_lifecycle(spark, tmp_path):
     assert {r["v2"] for r in cur.collect()} == {"A", "B", "C"}
 
 
+def test_batch_replay_does_not_duplicate(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the staging write
+    and the checkpoint commit replays the batch with the same batch_id.
+    Simulate it by snapshotting the checkpoint before a run and
+    restoring it after — the rerun re-delivers the same files under the
+    same batch_id, and the batch-keyed overwrite staging layout must
+    leave zero duplicate rows in the published version."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ckpt_snap = str(tmp_path / "ckpt_snap")
+    writer = VersionedIndexWriter(str(tmp_path / "idx"), "docs", keep_versions=3)
+    transform = lambda df: df.withColumn("v2", F.upper("v"))
+
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.mode(
+        "append"
+    ).parquet(src)
+    assert streaming_versioned_refresh(spark, src, transform, writer, ckpt) is not None
+
+    # new delta; snapshot the checkpoint BEFORE processing it
+    spark.createDataFrame([(3, "c")], "id long, v string").write.mode("append").parquet(src)
+    shutil.copytree(ckpt, ckpt_snap)
+    assert streaming_versioned_refresh(spark, src, transform, writer, ckpt) is not None
+    assert writer.read_current(spark).count() == 3
+
+    # "crash before checkpoint commit": roll the checkpoint back and
+    # rerun — the delta is re-delivered under the same batch_id
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_snap, ckpt)
+    streaming_versioned_refresh(spark, src, transform, writer, ckpt)
+    cur = writer.read_current(spark)
+    assert cur.count() == 3, "replayed batch duplicated rows in staging"
+    assert sorted(r["id"] for r in cur.collect()) == [1, 2, 3]
+
+
 def test_processing_time_trigger_drains_source(spark, tmp_path):
     """Continuous-refresh shape: a processingTime-triggered query over a
     file source reaches the same result as batch, then is stopped."""

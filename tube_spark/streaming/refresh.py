@@ -149,13 +149,20 @@ def streaming_versioned_refresh(
     The missing piece between ``incremental_refresh`` (streams deltas to
     a parquet dir) and ``VersionedIndexWriter`` (atomic alias swap over
     immutable versions): stream only-new source files through
-    ``transform`` into an append-only staging area (``foreachBatch``,
-    exactly-once via the checkpoint), then — if and only if new data
-    arrived — publish the full staging content as a NEW index version
-    and swap the alias.  Readers of ``writer.read_current`` never see a
-    half-written refresh; a crash mid-stream resumes from the
-    checkpoint; a crash between staging and publish re-publishes on the
-    next run (idempotent: same staging content → same index content).
+    ``transform`` into a batch-partitioned staging area, then — if and
+    only if new data arrived — publish the full staging content as a
+    NEW index version and swap the alias.
+
+    ``foreachBatch`` is at-least-once: a crash between the sink write
+    and the checkpoint commit replays the batch with the SAME batch_id.
+    Each batch therefore lands in its own ``staging/batch=<id>/``
+    subdirectory in ``overwrite`` mode — a replay rewrites the same
+    directory instead of appending duplicate rows, making the staging
+    area idempotent (effectively exactly-once).  Readers of
+    ``writer.read_current`` never see a half-written refresh; a crash
+    mid-stream resumes from the checkpoint; a crash between staging and
+    publish re-publishes on the next run (same staging content → same
+    index content).
 
     Returns the published version path, or None when no new data.
     """
@@ -174,7 +181,11 @@ def streaming_versioned_refresh(
         batch_df.persist()
         try:
             saw_data["n"] += batch_df.count()
-            batch_df.write.mode("append").parquet(staging)
+            # batch-keyed overwrite: replaying batch N (at-least-once
+            # delivery) rewrites batch=N in place — no duplicates
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(staging, f"batch={batch_id}")
+            )
         finally:
             batch_df.unpersist()
 
@@ -188,4 +199,6 @@ def streaming_versioned_refresh(
     q.awaitTermination()
     if saw_data["n"] == 0:
         return None  # freshness gate: nothing new, keep current version live
-    return writer.publish(spark.read.parquet(staging))
+    # partition discovery surfaces the batch dir as a `batch` column —
+    # an implementation detail of the staging layout, dropped on publish
+    return writer.publish(spark.read.parquet(staging).drop("batch"))
