@@ -954,8 +954,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of the approximate ANN indexes (LSH, IVF) against
     the exact brute-force top-k, plus the near-dup LSH pair set against
     brute-force all-pairs.  Self-certifying quality report for the
-    rows-only approximate queries: deterministic given the fixed seeds,
-    asserted ≥ floor in tests/test_ann_recall.py."""
+    rows-only approximate queries: deterministic given the fixed seeds.
+    The ``floor`` column mirrors the assertion thresholds in
+    tests/test_ann_recall.py and ``meets_floor`` records pass/fail in
+    the driver-visible output itself."""
     from tube_spark.operators.similarity import (
         exact_near_pairs,
         pair_recall,
@@ -966,18 +968,29 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     exact = q_ann_cosine_topk(spark, sf_dir)
-    macro = lambda df, name: (  # noqa: E731
+    # floors mirror tests/test_ann_recall.py (random-vector hard case)
+    macro = lambda df, name, floor: (  # noqa: E731
         df.agg(F.round(F.avg("recall"), 4).alias("recall"))
-        .select(F.lit(name).alias("method"), "recall")
+        .select(
+            F.lit(name).alias("method"),
+            "recall",
+            F.lit(floor).alias("floor"),
+            (F.col("recall") >= floor).alias("meets_floor"),
+        )
     )
-    lsh = macro(topk_recall(exact, q_ann_lsh_topk(spark, sf_dir)), "lsh_topk")
-    ivf = macro(topk_recall(exact, q_ann_ivf_topk(spark, sf_dir)), "ivf_topk")
+    lsh = macro(topk_recall(exact, q_ann_lsh_topk(spark, sf_dir)), "lsh_topk", 0.6)
+    ivf = macro(topk_recall(exact, q_ann_ivf_topk(spark, sf_dir)), "ivf_topk", 0.4)
     near = (
         pair_recall(
             exact_near_pairs(emb, threshold=0.3),
             q_embedding_near_dup(spark, sf_dir),
         )
-        .select(F.lit("near_dup_pairs").alias("method"), "recall")
+        .select(
+            F.lit("near_dup_pairs").alias("method"),
+            "recall",
+            F.lit(0.5).alias("floor"),
+            (F.col("recall") >= 0.5).alias("meets_floor"),
+        )
     )
     return lsh.unionByName(ivf).unionByName(near)
 

@@ -116,8 +116,14 @@ def test_ivf_topk_recall(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = df.filter(F.col("vec_id") == 0)
     exact = cosine_topk(df, q, k=3).orderBy("rank").collect()
-    approx = ivf_topk(df, q, k=3, n_clusters=4, nprobe=2, seed=3).orderBy("rank").collect()
+    out = ivf_topk(df, q, k=3, n_clusters=4, nprobe=2, seed=3)
+    approx = out.orderBy("rank").collect()
     assert [r["neighbor_id"] for r in approx] == [r["neighbor_id"] for r in exact]
+    # candidates are unique by construction (one cell per corpus vector,
+    # distinct probe cells) — the plan must have NO aggregate-based dedup
+    # after scoring; the only post-score exchange is the ranking window's
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
 
 
 def test_text_stats(docs):

@@ -313,11 +313,14 @@ def ivf_topk(
         F.explode(probe_n(F.col(vec_col))).alias("cell"),
     )
     cos = cosine_arrow()
+    # (query, neighbor) pairs are unique by construction — each corpus
+    # vector lives in exactly ONE cell and a query's probed cells are
+    # distinct — so no dedup is needed after scoring; a distinct here
+    # would be a full shuffle of every scored row for nothing.
     scored = (
         cells.join(F.broadcast(probes), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cos(F.col("q_vec"), F.col("c_vec")).alias("cosine"))
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
