@@ -857,9 +857,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.dedup import simhash_pairs
 
     # portable=True: 60-bit md5-derived hash → the DuckDB oracle
-    # reproduces the whole simhash+banding pipeline
+    # reproduces the whole simhash+banding pipeline.  max_hamming < bands
+    # so the pigeonhole blocking is recall-complete.
     return simhash_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", max_hamming=8, bands=4, portable=True
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=3, bands=4, portable=True
     )
 
 
@@ -1581,7 +1582,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b,
                    cast(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-            FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         # ann_lsh_topk / ann_ivf_topk / embedding_near_dup /
         # streaming_events_window are approximate (engine-specific hash or

@@ -60,10 +60,21 @@ def test_simhash(docs):
     # the (1,3) pair differs by one token → hamming 7; 8 bands of 8 bits
     # guarantee recall for any pair under hamming 8 (pigeonhole)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
-             simhash_pairs(docs, "doc_id", "text", max_hamming=10, bands=8).collect()}
+             simhash_pairs(docs, "doc_id", "text", max_hamming=7, bands=8).collect()}
     assert pairs[(1, 2)] == 0  # identical token sets
     assert (1, 3) in pairs  # near dup within hamming budget
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_incomplete_blocking_raises(docs):
+    """max_hamming >= bands would silently lose pairs (pigeonhole only
+    covers distance < bands) — must raise, not under-report."""
+    import pytest
+
+    from tube_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError, match="bands"):
+        simhash_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
 
 
 def test_cosine_topk(spark):

@@ -107,3 +107,32 @@ def test_postprocess_plugins(spark):
     adf = spark.createDataFrame([(["A-x", "B-y"],)], "project_id array<string>")
     arr = add_auth_resource_path(adf).collect()[0]["auth_resource_path"]
     assert arr == ["/programs/A/projects/x", "/programs/B/projects/y"]
+
+
+def test_missing_column_null_pads_declared_type(spark):
+    """A prop whose physical column is absent must null-pad with the
+    DICTIONARY-declared type — a string pad on one leaf would make the
+    collector union silently widen the whole field to string."""
+    from tube_spark.dictionary import Dictionary, NodeDef, PropType
+    from tube_spark.sources.graph import DataFrameGraphSource
+
+    d = Dictionary(
+        [NodeDef("sample", {"quantity": PropType("number"), "ok": PropType("boolean")})],
+        [],
+    )
+    # physical frame carries neither declared prop
+    nodes = {"sample": spark.createDataFrame([("s1",)], "_sample_id string")}
+    src = DataFrameGraphSource(d, nodes, {})
+    df = src.node_df(
+        "sample",
+        props=parse_mapping(
+            {
+                "name": "m", "doc_type": "sample", "type": "aggregator",
+                "root": "sample",
+                "props": [{"name": "quantity"}, {"name": "ok"}],
+            }
+        ).props,
+    )
+    types = dict(df.dtypes)
+    assert types["quantity"] == "double"
+    assert types["ok"] == "boolean"

@@ -77,3 +77,13 @@ def test_salted_join_and_count(spark):
     counts = {r["k"]: r["count"] for r in salted_count(big, "k", salt=8).collect()}
     assert counts[7] == 900 and counts[950] == 1
     assert len(counts) == 101
+
+    # left join keeps unmatched BIG rows exactly once
+    left = salted_join(big, small, on="k", salt=8, how="left")
+    assert left.count() == 1000
+    # right/full would duplicate unmatched small-side rows per salt copy
+    import pytest
+
+    for bad in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, on="k", salt=8, how=bad)

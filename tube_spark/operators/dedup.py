@@ -297,6 +297,14 @@ def simhash_pairs(
     filter computable from xor(sh_a, sh_b) alone.  Measured at sf0.1
     (1.6M output pairs): 4.7s → ~2s end-to-end.
     """
+    # pigeonhole completeness: a pair at Hamming distance d can disagree
+    # on at most d chunks, so it agrees on ≥1 chunk only when d < bands —
+    # a larger max_hamming would silently lose pairs
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "banded blocking only guarantees recall for distance < bands"
+        )
     bits = 60 if portable else 64
     width = bits // bands
     sims = simhash_df(df, id_col, text_col, bits=bits, portable=portable)

@@ -26,7 +26,18 @@ def salted_join(
     salt: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with the big side salted across ``salt`` sub-keys."""
+    """Equi-join with the big side salted across ``salt`` sub-keys.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated ``salt``×, so right/full outer would emit each unmatched
+    small-side row once PER SALT COPY — silent row duplication.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "small side is replicated per salt, so right/full outer would "
+            "duplicate unmatched small-side rows"
+        )
     big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

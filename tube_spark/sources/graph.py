@@ -52,6 +52,8 @@ def _apply_prop_specs(
     label: str,
     props: tuple[PropSpec, ...],
     extra: tuple[Column, ...] = (),
+    dictionary: Dictionary | None = None,
+    legacy_bool_as_string: bool = False,
 ) -> DataFrame:
     """Select id + props with rename + value-mapping applied.
 
@@ -61,7 +63,10 @@ def _apply_prop_specs(
     ``src: id`` resolves to the node id column (reference
     ``base/translator.py:123-153``).  Props unknown to the node align as
     typed nulls (the reference's missing-column alignment, SURVEY P9 /
-    ``injection/new_translator.py:60-66``).
+    ``injection/new_translator.py:60-66``) — typed per the DICTIONARY
+    declaration when available, so a leaf missing a physical column
+    null-pads as double/bool/… and the collector union keeps the
+    field's declared type instead of silently widening it to string.
     """
     id_name = id_col(label)
     cols = []
@@ -80,7 +85,9 @@ def _apply_prop_specs(
         if src in df.columns:
             c = F.col(src)
         else:
-            c = F.lit(None).cast("string")
+            pt = dictionary.prop_type(label, src) if dictionary is not None else None
+            null_t = pt.spark_type(legacy_bool_as_string) if pt is not None else T.StringType()
+            c = F.lit(None).cast(null_t)
         if p.value_mappings:
             c = value_map_col(c, p.value_mappings)
         cols.append(c.alias(p.name))
@@ -156,13 +163,17 @@ class PropsJsonGraphSource:
                 [T.StructField(id_col(label), T.StringType(), True), *schema.fields]
             )
             empty = self.spark.createDataFrame([], out_schema)
-            return _apply_prop_specs(empty, label, props)
+            return _apply_prop_specs(empty, label, props,
+                                      dictionary=self.dictionary,
+                                      legacy_bool_as_string=self.legacy_bool_as_string)
         raw = self._read(path, _NODE_CSV_SCHEMA)
         parsed = raw.select(
             F.col("node_id").alias(id_col(label)),
             F.from_json(F.col("_props"), schema).alias("_p"),
         ).select(id_col(label), "_p.*")
-        return _apply_prop_specs(parsed, label, props)
+        return _apply_prop_specs(parsed, label, props,
+                                  dictionary=self.dictionary,
+                                  legacy_bool_as_string=self.legacy_bool_as_string)
 
     def edge_df(self, child: str, parent: str) -> DataFrame:
         link = self.dictionary.link_between(child, parent)
@@ -306,7 +317,8 @@ class DataFrameGraphSource:
         self._edges = edges
 
     def node_df(self, label: str, props: tuple[PropSpec, ...] = ()) -> DataFrame:
-        return _apply_prop_specs(self._nodes[label], label, props)
+        return _apply_prop_specs(self._nodes[label], label, props,
+                                  dictionary=self.dictionary)
 
     def edge_df(self, child: str, parent: str) -> DataFrame:
         return self._edges[(child, parent)].select(id_col(child), id_col(parent))
