@@ -7,9 +7,10 @@ dependency:
   (``tube/etl/outputs/es/versioning.py:94-162``): each publish writes a
   new ``<index>_vN`` directory, then atomically repoints the ``current``
   alias in a manifest; old versions are retained for rollback and
-  pruned beyond ``keep_versions``.  An OpenSearch deployment would swap
-  the directory writes for ``org.opensearch.spark.sql`` writes and the
-  manifest for alias API calls — the orchestration is identical.
+  pruned beyond ``keep_versions``.  The LIVE cluster twin —
+  ``org.opensearch.spark.sql`` connector writes + alias REST calls —
+  is ``tube_spark.sinks.opensearch.OpenSearchSink``; this file-backed
+  writer shares its orchestration and runs without a cluster.
 * ``array_config`` — the side-channel listing array-typed fields that
   the reference maintains for Guppy (``writer.py:79-118``,
   ``base/parser.py:99-124``), derived here from the DataFrame schema.
