@@ -202,10 +202,11 @@ class JdbcGraphSource(PropsJsonGraphSource):
 
     Reads ``node_<label>`` / ``edge_<rel>`` tables over ``spark.read.jdbc``
     with key-range partitioned reads — the executors pull partitions in
-    parallel straight from the database, no intermediate dump.  Untested
-    here (no database in the test environment); the query shapes are the
-    same as the file-based source, so every operator above it is covered
-    by the Parquet/CSV tests.
+    parallel straight from the database, no intermediate dump.  The
+    generated partition predicates (disjoint, exhaustive hash-residue
+    classes) are pinned by ``tests/test_jdbc_source.py`` against an
+    intercepted ``spark.read.jdbc``; the query shapes above the read are
+    the same as the file-based source, covered by the Parquet/CSV tests.
     """
 
     def __init__(
@@ -216,6 +217,7 @@ class JdbcGraphSource(PropsJsonGraphSource):
         properties: dict | None = None,
         num_partitions: int = 16,
         legacy_bool_as_string: bool = False,
+        edge_overrides: dict[tuple[str, str], str] | None = None,
     ):
         self.spark = spark
         self.url = url
@@ -224,6 +226,7 @@ class JdbcGraphSource(PropsJsonGraphSource):
         self.num_partitions = num_partitions
         self.legacy_bool_as_string = legacy_bool_as_string
         self.fmt = "jdbc"
+        self.edge_overrides = edge_overrides or {}
 
     def _table_path(self, table: str) -> str | None:
         return table  # existence resolved by the database
