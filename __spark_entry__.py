@@ -934,14 +934,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing: text bytes as a stand-in payload run
-    through the Arrow-batched decode (stubbed kernel, real plumbing)."""
-    from tube_spark.operators.multimodal import decode_features
+    """Real multimodal decode: deterministic BMP images (even doc_ids)
+    and PCM WAVs (odd doc_ids) are synthesized as genuine container
+    bytes, then parsed back by the numpy header-walking kernel through
+    Arrow-batched mapInPandas.  The oracle predicts every decoded stat
+    (dimensions, byte counts, pixel mean, sample RMS, duration) from
+    doc_id alone — a full-value check that the parser actually reads
+    the headers and payload it was handed."""
+    from tube_spark.operators.multimodal import decode_features, synthesize_media_col
 
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("media")
-    )
-    return decode_features(docs).withColumn("mean_byte", F.round("mean_byte", 6))
+    docs = synthesize_media_col(_docs(spark, sf_dir).select("doc_id"))
+    return decode_features(docs).withColumn("value_mean", F.round("value_mean", 6))
 
 
 def q_streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1482,16 +1485,32 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE cos_raw >= 0.3
         """,
         "multimodal_decode": """
+            WITH dims AS (
+                SELECT doc_id,
+                       doc_id % 13 + 1 AS w,
+                       doc_id % 7 + 1 AS h,
+                       doc_id % 50 + 10 AS n_samp
+                FROM documents
+            )
             SELECT doc_id,
-                   cast(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS width,
-                   cast(ascii(substr(text, 2, 1)) + 1 AS INTEGER) AS height,
-                   cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                   round(list_sum(list_transform(
-                       range(1, least(octet_length(encode(text)), 64) + 1),
-                       i -> ascii(substr(text, i, 1))))
-                     / cast(least(octet_length(encode(text)), 64) AS DOUBLE), 6)
-                     AS mean_byte
-            FROM documents
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   CASE WHEN doc_id % 2 = 0 THEN cast(w AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 2 = 0 THEN cast(h AS INTEGER) END AS height,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN cast(54 + ((3*w + 3) // 4 * 4) * h AS BIGINT)
+                        ELSE cast(44 + 2 * n_samp AS BIGINT) END AS n_bytes,
+                   CASE WHEN doc_id % 2 = 1 THEN 8000 END AS sample_rate,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN cast(n_samp * 1000 // 8000 AS BIGINT) END AS duration_ms,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN round(list_sum(list_transform(range(0, 3*w*h),
+                                 i -> (doc_id*31 + i) % 256))
+                             / cast(3*w*h AS DOUBLE), 6)
+                        ELSE round(sqrt(list_sum(list_transform(range(0, n_samp),
+                                 i -> cast(((doc_id*7 + i*13) % 1024 - 512)
+                                      * ((doc_id*7 + i*13) % 1024 - 512) AS DOUBLE)))
+                             / n_samp), 6) END AS value_mean
+            FROM dims
         """,
         "corpus_curation": f"""
             WITH t AS (

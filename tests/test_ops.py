@@ -188,17 +188,57 @@ def test_partitioned_sink_prunes(spark, tmp_path):
 
 
 def test_multimodal_decode(spark):
-    from tube_spark.operators.multimodal import decode_features, frame_sample_stub
+    """Real BMP/WAV parse through the Arrow mapInPandas plumbing:
+    synthesized container bytes decode back to their exact stats;
+    unparseable payloads fall through to kind=unknown; nulls survive."""
+    from tube_spark.operators.multimodal import (
+        decode_features,
+        frame_sample_stub,
+        synthesize_bmp,
+        synthesize_wav,
+    )
 
-    rows = [(1, bytearray(b"abcdef")), (2, bytearray(b"\x10\x20suffix")), (3, None)]
+    rows = [
+        (1, bytearray(synthesize_bmp(seed=1, width=5, height=3))),
+        (2, bytearray(synthesize_wav(seed=2, n_samples=40, sample_rate=8000))),
+        (3, bytearray(b"not-a-container")),
+        (4, None),
+    ]
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     out = {r["doc_id"]: r.asDict() for r in decode_features(df).collect()}
-    assert out[1]["width"] == ord("a") + 1 and out[1]["n_bytes"] == 6
-    assert out[2]["height"] == 0x20 + 1
-    assert out[3]["n_bytes"] == 0  # null payload handled
+
+    img = out[1]
+    assert img["kind"] == "image" and (img["width"], img["height"]) == (5, 3)
+    # stride pads 15 pixel bytes to 16: file = 54 header + 16*3
+    assert img["n_bytes"] == 54 + 16 * 3
+    expected_mean = sum((1 * 31 + i) % 256 for i in range(45)) / 45
+    assert abs(img["value_mean"] - expected_mean) < 1e-9
+
+    wav = out[2]
+    assert wav["kind"] == "audio" and wav["sample_rate"] == 8000
+    assert wav["n_bytes"] == 44 + 2 * 40
+    assert wav["duration_ms"] == 40 * 1000 // 8000
+    expected_rms = (sum(((2 * 7 + i * 13) % 1024 - 512) ** 2 for i in range(40)) / 40) ** 0.5
+    assert abs(wav["value_mean"] - expected_rms) < 1e-9
+
+    assert out[3]["kind"] == "unknown" and out[3]["n_bytes"] == 15
+    assert out[4]["kind"] == "unknown" and out[4]["n_bytes"] == 0
 
     frames = frame_sample_stub(df.filter(F.col("media").isNotNull())).collect()
     assert len(frames) >= 2 and all(f["ts_ms"] == f["frame_idx"] * 1000 for f in frames)
+
+
+def test_bmp_wav_decoder_edge_cases():
+    from tube_spark.operators.multimodal import decode_bmp, decode_media, decode_wav, synthesize_bmp
+
+    assert decode_bmp(b"BM" + b"\x00" * 10) is None          # truncated header
+    assert decode_wav(b"RIFF1234WAVE") is None               # no fmt/data chunks
+    bmp = synthesize_bmp(seed=7, width=4, height=2)
+    assert decode_bmp(bmp[:-5]) is None                      # truncated pixels
+    assert decode_media(bmp)["kind"] == "image"
+    # width that needs no padding (stride == 3*w): mean covers all bytes
+    out = decode_bmp(synthesize_bmp(seed=0, width=4, height=1))
+    assert out["width"] == 4 and out["n_bytes"] == 54 + 12
 
 
 def test_streaming_window_matches_batch(spark, tmp_path):

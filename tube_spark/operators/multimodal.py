@@ -1,10 +1,4 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary.
-
-Real decode libraries (Pillow, ffmpeg, torchaudio…) are not available
-in this environment, so the *decode kernels are stubs* — clearly marked
-below — while everything Spark-side is real and tested: the schema
-convention, Arrow-batched ``mapInPandas`` plumbing, batch shaping, and
-partition sizing.
+"""Multimodal column processing: image/audio/video as opaque binary.
 
 Schema convention: a multimodal column is ``binary`` payload plus a
 typed metadata struct:
@@ -13,9 +7,19 @@ typed metadata struct:
     media_meta: struct<kind string, mime string, width int, height int,
                        duration_ms long, sample_rate int>
 
+The decode kernel is REAL for the two container formats a pure
+numpy/stdlib environment can parse — uncompressed BMP images and PCM
+WAV audio (header walk + pixel/sample statistics).  Formats that need
+a codec library (JPEG, MP4…) dispatch to kind="unknown" with byte
+stats only; a deployment drops Pillow/ffmpeg into ``decode_media``'s
+dispatch table without touching the Spark plumbing.  Video frame
+sampling remains a labeled stub (``frame_sample_stub``) — there is no
+demuxer here — but its explode-shaped mapInPandas plumbing is real.
+
 Scale notes:
-* binary payloads make rows wide — ``bytes_per_batch`` caps Arrow batch
-  memory instead of relying on row counts;
+* binary payloads make rows wide — decode batches are re-chunked by
+  row count so a partition of large payloads can't blow Python-worker
+  memory;
 * decode is mapInPandas (Arrow columnar transfer, one Python worker per
   core), the one place in the engine where Python in the executor path
   is justified — the work is per-byte media decoding, not relational;
@@ -25,8 +29,10 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,33 +50,167 @@ MEDIA_META_TYPE = T.StructType(
 )
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """STUB — deterministic fake decoder.
+# ----------------------------------------------------------------------
+# real decoders (pure numpy / stdlib)
+def bmp_stride(width: int) -> int:
+    """BMP rows pad to 4-byte boundaries."""
+    return (3 * width + 3) // 4 * 4
 
-    A real implementation would call Pillow/libvips here.  The fake
-    derives "dimensions" from the payload bytes so tests are
-    deterministic and the Spark plumbing (schema, batching, null
-    handling) is exercised for real.
-    """
-    if payload is None or len(payload) < 4:
-        return {"width": 0, "height": 0, "n_bytes": 0, "mean_byte": 0.0}
+
+def decode_bmp(payload: bytes) -> dict | None:
+    """Parse an uncompressed 24-bit BI_RGB BMP: header fields + mean
+    over the pixel bytes (excluding row padding).  Returns None when the
+    payload is not a parseable BMP."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    offset, = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    h = abs(height)  # negative height = top-down row order
+    stride = bmp_stride(width)
+    pixels_end = offset + stride * h
+    if pixels_end > len(payload):
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    pixel_bytes = rows.reshape(h, stride)[:, : 3 * width]
     return {
-        "width": int(payload[0]) + 1,
-        "height": int(payload[1]) + 1,
+        "kind": "image",
+        "width": width,
+        "height": h,
         "n_bytes": len(payload),
-        "mean_byte": float(sum(payload[:64]) / min(len(payload), 64)),
+        "sample_rate": None,
+        "duration_ms": None,
+        # mean over real pixel bytes only — padding excluded
+        "value_mean": float(pixel_bytes.sum(dtype=np.int64)) / pixel_bytes.size,
     }
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """Parse a PCM WAV: RIFF chunk walk for fmt/data, then RMS over the
+    int16 samples.  Returns None when not a parseable PCM WAV."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, sample_rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt_code, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits, = struct.unpack_from("<H", body, 14)
+            if fmt_code != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks pad to even offsets
+    if sample_rate is None or data is None or bits != 16:
+        return None
+    samples = np.frombuffer(data, dtype="<i2")
+    n_frames = len(samples) // max(channels or 1, 1)
+    rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))) if len(samples) else 0.0
+    return {
+        "kind": "audio",
+        "width": None,
+        "height": None,
+        "n_bytes": len(payload),
+        "sample_rate": int(sample_rate),
+        "duration_ms": int(n_frames * 1000 // sample_rate),
+        "value_mean": rms,
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Dispatch on magic bytes: BMP → image stats, WAV → audio stats,
+    anything else → kind="unknown" with byte stats only (the hook where
+    a deployment plugs Pillow/ffmpeg)."""
+    for dec in (decode_bmp, decode_wav):
+        out = dec(payload)
+        if out is not None:
+            return out
+    return {
+        "kind": "unknown",
+        "width": None,
+        "height": None,
+        "n_bytes": len(payload) if payload is not None else 0,
+        "sample_rate": None,
+        "duration_ms": None,
+        "value_mean": float(np.frombuffer(payload, dtype=np.uint8).mean())
+        if payload else None,
+    }
+
+
+# ----------------------------------------------------------------------
+# deterministic synthesizers (testdata carries no real media; these
+# build REAL container bytes the decoders above genuinely parse)
+def synthesize_bmp(seed: int, width: int, height: int) -> bytes:
+    """A valid 24-bit BI_RGB BMP whose pixel byte *i* is
+    ``(seed*31 + i) % 256`` (padding bytes zero)."""
+    stride = bmp_stride(width)
+    size = 54 + stride * height
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", size, 0, 0, 54, 40, width, height, 1, 24, 0,
+        stride * height, 2835, 2835, 0, 0,
+    )
+    idx = np.arange(3 * width * height, dtype=np.int64)
+    pix = ((seed * 31 + idx) % 256).astype(np.uint8).reshape(height, 3 * width)
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : 3 * width] = pix
+    return header + rows.tobytes()
+
+
+def synthesize_wav(seed: int, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """A valid mono 16-bit PCM WAV whose sample *i* is
+    ``(seed*7 + i*13) % 1024 - 512``."""
+    idx = np.arange(n_samples, dtype=np.int64)
+    samples = ((seed * 7 + idx * 13) % 1024 - 512).astype("<i2")
+    data = samples.tobytes()
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
+    )
+    return header + data
+
+
+def synthesize_media_col(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic ``media`` binary column: even ids get a
+    BMP (width ``id%13+1`` × height ``id%7+1``), odd ids a WAV
+    (``id%50+10`` samples at 8 kHz) — real container bytes for
+    exercising the decoders when the corpus has no media."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 2 == 0:
+                out.append(synthesize_bmp(i, i % 13 + 1, i % 7 + 1))
+            else:
+                out.append(synthesize_wav(i, i % 50 + 10))
+        return pd.Series(out)
+
+    return df.withColumn("media", synth(F.col(id_col)))
 
 
 _DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("value_mean", T.DoubleType()),
     ]
 )
+
+_DECODE_COLS = [f.name for f in _DECODE_SCHEMA.fields]
 
 
 def decode_features(
@@ -79,18 +219,19 @@ def decode_features(
     payload_col: str = "media",
     rows_per_batch: int = 256,
 ) -> DataFrame:
-    """Extract features from binary payloads via Arrow-batched
-    ``mapInPandas``.  Batch size is bounded so a partition of large
-    payloads can't blow Python-worker memory."""
+    """Extract media features from binary payloads via Arrow-batched
+    ``mapInPandas`` over the real BMP/WAV decoders.  Batch size is
+    bounded so a partition of large payloads can't blow Python-worker
+    memory."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), rows_per_batch):
                 chunk = pdf.iloc[start : start + rows_per_batch]
-                feats = [decode_image_stub(p) for p in chunk[payload_col]]
+                feats = [decode_media(p) for p in chunk[payload_col]]
                 out = pd.DataFrame(feats)
                 out.insert(0, "doc_id", chunk[id_col].values)
-                yield out
+                yield out[_DECODE_COLS]
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=_DECODE_SCHEMA
@@ -123,9 +264,10 @@ def frame_sample_stub(
     every_ms: int = 1000,
 ) -> DataFrame:
     """STUB frame sampler: a real one would demux video and emit one row
-    per sampled frame.  The fake emits ``n = len(payload) % 4 + 1``
-    deterministic "frames" so the explode-shaped plumbing (one input row
-    → many output rows through mapInPandas) is real."""
+    per sampled frame (no demuxer in this environment).  The fake emits
+    ``n = len(payload) % 4 + 1`` deterministic "frames" so the
+    explode-shaped plumbing (one input row → many output rows through
+    mapInPandas) is real."""
 
     schema = T.StructType(
         [
