@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import yaml
+from pyspark.sql import functions as F
 
 from tube_spark.config.mapping import parse_mapping
 from tube_spark.plans.translator import Aggregator
@@ -245,3 +246,58 @@ def test_missing_table_empty_frame(spark, props_json_dir, tmp_path):
     # edges still exist but sample props are gone: count from edge = 2
     assert rows["A"]["_samples_count"] == 2
     assert rows["A"]["types"] == []
+
+
+def test_joining_prop_inherits_source_index_type(spark):
+    """Cross-index second pass (reference base/parser.py:83-97): a
+    joining_props prop's type comes from the SOURCE index's declared
+    prop type — here orders' double o_totalprice — and must survive
+    _join_index re-aggregation as array<double> (fn=set) / double
+    (fn=max), feeding the ES mapping as float, never widening to
+    string."""
+    from tube_spark.plans.translator import Pipeline
+    from tube_spark.sinks.es_mapping import es_mapping
+    from tube_spark.sources.relational import star_schema_source
+
+    src = star_schema_source(spark, "/root/testdata/sf0.001")
+    host = parse_mapping(
+        {
+            "name": "cust_idx", "doc_type": "customer", "type": "aggregator",
+            "root": "customer",
+            "props": [{"name": "c_name"}, {"name": "join_key", "src": "id"}],
+            "joining_props": [
+                {
+                    "index": "ord_idx",
+                    "join_on": "join_key",
+                    "props": [
+                        {"name": "all_prices", "src": "o_totalprice", "fn": "set"},
+                        {"name": "max_price", "src": "o_totalprice", "fn": "max"},
+                        {"name": "n_orders", "src": "o_orderkey", "fn": "count"},
+                    ],
+                }
+            ],
+        }
+    )
+    other = parse_mapping(
+        {
+            "name": "ord_idx", "doc_type": "orders", "type": "aggregator",
+            "root": "orders",
+            "props": [
+                {"name": "join_key", "src": "o_custkey"},
+                {"name": "o_totalprice"},
+                {"name": "o_orderkey"},
+            ],
+        }
+    )
+    out = Pipeline(src, [host, other]).run()["cust_idx"]
+    types = dict(out.dtypes)
+    assert types["all_prices"] == "array<double>"
+    assert types["max_price"] == "double"
+    assert types["n_orders"] == "bigint"
+    props = es_mapping(out, "customer")["mappings"]["properties"]
+    assert props["max_price"] == {"type": "float"}
+    assert props["all_prices"] == {"type": "float"}
+    assert props["n_orders"] == {"type": "long"}
+    # values sane: max over a customer's orders is positive where present
+    row = out.filter(F.col("max_price").isNotNull()).first()
+    assert row is None or row["max_price"] > 0
