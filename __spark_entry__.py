@@ -258,7 +258,7 @@ def q_nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: F.concat_ws(
                         ",",
                         F.unix_micros(s["o_orderdate"].cast("timestamp")).cast("string"),
-                        s["o_totalprice"].cast("string"),
+                        s["o_totalprice"].cast("decimal(18,2)").cast("string"),
                     ),
                 )
             ),
@@ -302,7 +302,7 @@ def q_nested_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: F.concat(
                         F.unix_micros(s["o_orderdate"].cast("timestamp")).cast("string"),
                         F.lit(","),
-                        s["o_totalprice"].cast("string"),
+                        s["o_totalprice"].cast("decimal(18,2)").cast("string"),
                         F.lit("["),
                         F.coalesce(
                             F.array_join(
@@ -312,7 +312,7 @@ def q_nested_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         lambda li: F.concat_ws(
                                             ":",
                                             li["l_linenumber"].cast("string"),
-                                            li["l_quantity"].cast("string"),
+                                            li["l_quantity"].cast("decimal(18,2)").cast("string"),
                                         ),
                                     )
                                 ),
@@ -1137,7 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_docs": """
             SELECT c.c_custkey AS _customer_id,
                    array_to_string(list_sort(list(
-                       concat(epoch_us(o.o_orderdate), ',', o.o_totalprice))), '|')
+                       concat(epoch_us(o.o_orderdate), ',', o.o_totalprice::DECIMAL(18,2)))), '|')
                        AS customer_orders
             FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1
@@ -1145,11 +1145,11 @@ def oracle_sql() -> dict[str, str]:
         "nested_two_level": """
             WITH li AS (
                 SELECT l_orderkey,
-                       list_sort(list(concat(l_linenumber, ':', l_quantity))) AS lis
+                       list_sort(list(concat(l_linenumber, ':', l_quantity::DECIMAL(18,2)))) AS lis
                 FROM lineitem GROUP BY 1
             ), od AS (
                 SELECT o.o_custkey,
-                       concat(epoch_us(o.o_orderdate), ',', o.o_totalprice, '[',
+                       concat(epoch_us(o.o_orderdate), ',', o.o_totalprice::DECIMAL(18,2), '[',
                               array_to_string(coalesce(li.lis, []), ';'), ']') AS od_s
                 FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
             )
