@@ -839,6 +839,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → dedup GROUPS: exact n-gram Jaccard pairs fed through
+    distributed connected components (large-star/small-star,
+    operators/components.py), every document labeled with its
+    duplicate-cluster id, cluster size, and a keep/drop verdict.  The
+    oracle recomputes the same pairs and closes them transitively with
+    a recursive CTE — a full-value check of an ITERATIVE algorithm."""
+    from tube_spark.operators.components import dedup_groups
+    from tube_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    return dedup_groups(docs, pairs)
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1050,6 +1065,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_stats": q_text_stats,
         "winnow_fingerprint": q_winnow_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1133,6 +1149,37 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "dedup_groups": f"""
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, unnest(list_distinct({_TOK})) AS s
+                FROM documents
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE n_inter / cast(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8
+            ), sym AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+            ), comp AS (
+                SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY 1
+            ), gs AS (
+                SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1
+            )
+            SELECT c.doc_id, c.group_id, g.group_size,
+                   c.doc_id = c.group_id AS is_representative
+            FROM comp c JOIN gs g USING (group_id)
         """,
         "nested_docs": """
             SELECT c.c_custkey AS _customer_id,

@@ -1,0 +1,133 @@
+"""Connected components: near-dup pairs → dedup groups, at scale.
+
+LSH/Jaccard dedup emits PAIRS; a curation pipeline needs GROUPS — every
+document labeled with its duplicate-cluster id, so one representative
+per cluster survives.  Pairs→groups is connected components, an
+iterative algorithm Spark has no built-in for.
+
+The implementation is alternating **large-star / small-star** (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+shape designed for exactly this setting:
+
+* converges in O(log² n) rounds w.h.p. (vs. O(diameter) for naive
+  min-label propagation — near-dup graphs DO form long chains of
+  pairwise-similar documents);
+* each round is two shuffles keyed by node id (a groupBy-min and a
+  join), no driver-side graph, no vertex set materialized in memory;
+* per-round ``localCheckpoint`` truncates the lineage so 20 rounds
+  don't build a 40-stage recursive plan (the classic iterative-Spark
+  failure mode);
+* convergence detected by an order-insensitive edge-set fingerprint
+  (count + xor of pair hashes) — one tiny aggregate per round, no
+  set-difference join.
+
+Output: ``(node, component)`` with component = MIN node id in the
+component — the natural stable group id and representative choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            # xor-fold of per-edge hashes: order/partition insensitive
+            F.expr("aggregate(collect_list(xxhash64(u, v)), 0L, (a, x) -> a ^ x)"),
+            F.lit(0),
+        ).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """``(node, component)`` for every node appearing in ``pairs``;
+    component = min node id reachable.  Nodes without any pair are not
+    emitted (union them back as singletons — see ``dedup_groups``)."""
+    e = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _fingerprint(e)
+    for _ in range(max_iterations):
+        # large-star: every node connects its LARGER neighbors to the
+        # minimum of its neighborhood (incl. itself)
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: every node connects its smaller neighbors (and
+        # itself) to the minimum of those — edges are (big, small) here
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            e.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+    # converged: e is a star graph (node -> component root)
+    roots = e.select(F.col("v")).distinct().select(
+        F.col("v").alias("node"), F.col("v").alias("component")
+    )
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        roots
+    )
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every document labeled with its duplicate-group id and a
+    keep/drop verdict: ``(doc_id, group_id, group_size,
+    is_representative)``.  Unpaired documents are singleton groups of
+    themselves; the representative is the MIN doc id of the group (a
+    deterministic choice — swap in quality-based selection by joining
+    doc stats and ranking before the keep decision)."""
+    cc = connected_components(pairs, id_a, id_b)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .withColumn("group_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+    )
+    sizes = labeled.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        labeled.join(sizes, "group_id")
+        .select(
+            id_col,
+            "group_id",
+            "group_size",
+            (F.col(id_col) == F.col("group_id")).alias("is_representative"),
+        )
+    )
