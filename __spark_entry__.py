@@ -840,17 +840,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs → dedup GROUPS: exact n-gram Jaccard pairs fed through
+    """Pairs → dedup GROUPS: MinHash-LSH candidate pairs fed through
     distributed connected components (large-star/small-star,
     operators/components.py), every document labeled with its
-    duplicate-cluster id, cluster size, and a keep/drop verdict.  The
-    oracle recomputes the same pairs and closes them transitively with
-    a recursive CTE — a full-value check of an ITERATIVE algorithm."""
+    duplicate-cluster id, cluster size, and a keep/drop verdict — the
+    real dedup pipeline shape (banded LSH candidates, never all-pairs;
+    an exact unigram-Jaccard edge source was tried and OOMed at sf0.1
+    on the dense synthetic vocab).  The oracle recomputes the full
+    portable LSH pipeline and closes it transitively with a recursive
+    CTE — a full-value check of an ITERATIVE algorithm."""
     from tube_spark.operators.components import dedup_groups
-    from tube_spark.operators.dedup import ngram_jaccard_pairs
+    from tube_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=64, bands=16,
+        threshold=0.5, portable=True,
+    )
     return dedup_groups(docs, pairs)
 
 
@@ -1151,20 +1157,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "dedup_groups": f"""
-            WITH RECURSIVE sh AS (
-                SELECT DISTINCT doc_id, unnest(list_distinct({_TOK})) AS s
-                FROM documents
-            ), sizes AS (
-                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
-            ), inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ), pairs AS (
-                SELECT id_a, id_b FROM inter
-                JOIN sizes sa ON sa.doc_id = id_a
-                JOIN sizes sb ON sb.doc_id = id_b
-                WHERE n_inter / cast(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.8
+            WITH RECURSIVE pairs AS (
+                {_minhash_oracle()}
             ), sym AS (
                 SELECT id_a AS u, id_b AS v FROM pairs
                 UNION ALL SELECT id_b, id_a FROM pairs

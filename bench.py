@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "sessionization",
     # corpus curation
     "dedup_exact",
+    "dedup_groups",
     "text_stats",
     "minhash_lsh",
     "simhash",

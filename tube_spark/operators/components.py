@@ -27,18 +27,18 @@ component — the natural stable group id and representative choice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(
-            # xor-fold of per-edge hashes: order/partition insensitive
-            F.expr("aggregate(collect_list(xxhash64(u, v)), 0L, (a, x) -> a ^ x)"),
-            F.lit(0),
-        ).alias("h"),
+        # xor-fold of per-edge hashes: order/partition insensitive AND
+        # distributive — bit_xor combines map-side, so the fingerprint
+        # never materializes the edge set anywhere (a collect_list fold
+        # here would funnel every edge hash through one reducer)
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
     ).first()
     return row["n"], row["h"]
 
@@ -52,6 +52,9 @@ def connected_components(
     """``(node, component)`` for every node appearing in ``pairs``;
     component = min node id reachable.  Nodes without any pair are not
     emitted (union them back as singletons — see ``dedup_groups``)."""
+    # lazy checkpoint + fingerprint: the fingerprint aggregate is the
+    # action that materializes the checkpoint — ONE job per round, and
+    # every later round reads the checkpointed blocks, not the lineage
     e = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -59,32 +62,35 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = _fingerprint(e)
+    # per-neighborhood minima via a window over the SAME shuffle that a
+    # groupBy would need — but with no second shuffle to join the min
+    # back: each star step is one exchange, not two
+    wu = Window.partitionBy("u")
     for _ in range(max_iterations):
         # large-star: every node connects its LARGER neighbors to the
         # minimum of its neighborhood (incl. itself)
         nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        m = F.least(F.min("v").over(wu), F.col("u"))
         e = (
-            nbrs.join(m, "u")
+            nbrs.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
         # small-star: every node connects its smaller neighbors (and
         # itself) to the minimum of those — edges are (big, small) here
-        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        sm = e.withColumn("m", F.min("v").over(wu))
         e = (
-            e.join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(m.select(F.col("u"), F.col("m").alias("v")))
+            sm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # truncate iterative lineage
+            .localCheckpoint(eager=False)  # truncate iterative lineage
         )
-        cur = _fingerprint(e)
+        cur = _fingerprint(e)  # materializes the checkpoint too
         if cur == prev:
             break
         prev = cur
