@@ -860,6 +860,38 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(docs, pairs)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-correct dedup with QUALITY-based survivor selection: LSH
+    pairs → connected components → keep the highest-quality document of
+    every duplicate cluster (rounded score, doc_id tiebreak).  Unlike
+    the pairwise higher-id drop rule, a transitive chain a~b~c keeps
+    exactly one document per CLUSTER — no over-dropping of documents
+    that only relate through an intermediate."""
+    from pyspark.sql import Window
+
+    from tube_spark.operators.components import dedup_groups
+    from tube_spark.operators.dedup import minhash_lsh_pairs
+    from tube_spark.operators.text_analysis import text_stats
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=64, bands=16,
+        threshold=0.5, portable=True,
+    )
+    groups = dedup_groups(docs, pairs)
+    quality = text_stats(docs).select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score")
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        groups.join(quality, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "group_id", "group_size", "quality_score", "keep")
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1072,6 +1104,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "winnow_fingerprint": q_winnow_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
+        "dedup_keep_best": q_dedup_keep_best,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1174,6 +1207,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.group_id, g.group_size,
                    c.doc_id = c.group_id AS is_representative
             FROM comp c JOIN gs g USING (group_id)
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS (
+                {_minhash_oracle()}
+            ), sym AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+            ), comp AS (
+                SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY 1
+            ), gs AS (
+                SELECT group_id, count(*) AS group_size FROM comp GROUP BY 1
+            ), tq AS (
+                SELECT doc_id, {_TOK} AS toks, text FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       round(least(len(toks) / 50.0, 1.0) * 0.4
+                         + CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                                     / greatest(len(toks), 1) >= 3
+                                 AND list_sum(list_transform(toks, x -> length(x)))
+                                     / greatest(len(toks), 1) <= 10
+                                THEN 0.3 ELSE 0.0 END
+                         + least(len(list_filter(toks, x -> x IN ('the','and','of',
+                               'to','in','is','that','for','with','as')))
+                             / cast(greatest(len(toks), 1) AS DOUBLE) * 3, 0.3),
+                           6) AS quality_score
+                FROM tq
+            )
+            SELECT c.doc_id, c.group_id, g.group_size, q.quality_score,
+                   row_number() OVER (PARTITION BY c.group_id
+                       ORDER BY q.quality_score DESC, c.doc_id) = 1 AS keep
+            FROM comp c JOIN gs g USING (group_id) JOIN q USING (doc_id)
         """,
         "nested_docs": """
             SELECT c.c_custkey AS _customer_id,
