@@ -182,6 +182,27 @@ def test_freshness_gate_skip_and_run(spark, client):
     assert check_to_run_etl(client, ["etl"], tx.filter("state = 'X'")) is True
 
 
+def test_writer_selection(client, tmp_path):
+    """run.py's sink switch: file -> VersionedIndexWriter, opensearch ->
+    OpenSearchSink with the injected client, unknown -> error."""
+    from tube_spark.sinks import VersionedIndexWriter, select_sink
+
+    w = select_sink("file", "etl", out_dir=str(tmp_path))
+    assert isinstance(w, VersionedIndexWriter) and w.index == "etl"
+
+    s = select_sink("opensearch", "etl", client=client, nodes="n1", port=9201)
+    assert isinstance(s, OpenSearchSink)
+    assert s.client is client and s.alias == "etl" and s.port == 9201
+
+    with pytest.raises(ValueError, match="unknown sink"):
+        select_sink("kafka", "etl")
+    with pytest.raises(ValueError, match="out_dir"):
+        select_sink("file", "etl")
+    # no injected client and no opensearchpy in this environment
+    with pytest.raises(RuntimeError, match="opensearchpy"):
+        select_sink("opensearch", "etl", hosts="localhost:9200")
+
+
 def test_freshness_gate_multi_index_disagreement(spark, client):
     """Two target aliases built at DIFFERENT watermarks -> run (the
     reference requires all indices to agree, timestamp.py:52-68)."""

@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--watermark", help="source freshness watermark (txid/timestamp)")
     ap.add_argument("--force", action="store_true", help="publish even when fresh")
     ap.add_argument(
+        "--sink", default="file", choices=["file", "opensearch"],
+        help="file: versioned parquet under --out-dir; opensearch: live "
+             "cluster via --os-hosts (needs the opensearchpy package)",
+    )
+    ap.add_argument("--os-hosts", help="opensearch host[:port][,host...]")
+    ap.add_argument(
         "--discover-edges",
         action="store_true",
         help="infer hash-truncated edge-table names by id sampling",
@@ -94,13 +100,27 @@ def main(argv: list[str] | None = None) -> int:
         edge_overrides=edge_overrides,
     )
 
-    writers = {
-        m.name: VersionedIndexWriter(args.out_dir, m.name) for m in mappings
-    }
+    from tube_spark.sinks import select_sink
+
+    try:
+        writers = {
+            m.name: select_sink(
+                args.sink, m.name, out_dir=args.out_dir, hosts=args.os_hosts
+            )
+            for m in mappings
+        }
+    except (RuntimeError, ValueError) as e:
+        print(f"sink error: {e}", file=sys.stderr)
+        return 2
+    # the file writer carries a manifest watermark; the live sink's gate
+    # is transaction-log based (sinks.check_to_run_etl) and out of CLI
+    # scope — opensearch publishes run unconditionally here
     stale = [
         m
         for m in mappings
-        if args.force or freshness_check(writers[m.name], args.watermark)
+        if args.force
+        or args.sink != "file"
+        or freshness_check(writers[m.name], args.watermark)
     ]
     if not stale:
         print("all indexes fresh — nothing to do")
@@ -108,7 +128,12 @@ def main(argv: list[str] | None = None) -> int:
 
     results = Pipeline(source, stale).run()
     for name, df in results.items():
-        path = writers[name].publish(df, watermark=args.watermark)
+        if args.sink == "file":
+            path = writers[name].publish(df, watermark=args.watermark)
+        else:
+            from tube_spark.sinks.es_mapping import es_mapping
+
+            path = writers[name].write(df, mapping=es_mapping(df)["mappings"])
         print(f"published {name} -> {path}")
     return 0
 

@@ -1,3 +1,5 @@
+from __future__ import annotations
+
 from tube_spark.sinks.opensearch import (
     OpenSearchSink,
     check_to_run_etl,
@@ -11,6 +13,37 @@ from tube_spark.sinks.writer import (
     freshness_check,
 )
 
+
+def select_sink(
+    kind: str,
+    index: str,
+    out_dir: str | None = None,
+    client=None,
+    **os_opts,
+):
+    """Writer selection (the reference picks file vs ES output in
+    ``run_etl.py``): ``file`` → VersionedIndexWriter under ``out_dir``;
+    ``opensearch`` → OpenSearchSink against ``client`` (an
+    opensearchpy-compatible client; constructed from ``os_opts['hosts']``
+    when omitted, which requires the opensearchpy package)."""
+    if kind == "file":
+        if out_dir is None:
+            raise ValueError("file sink requires out_dir")
+        return VersionedIndexWriter(out_dir, index)
+    if kind == "opensearch":
+        if client is None:
+            try:
+                from opensearchpy import OpenSearch
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise RuntimeError(
+                    "opensearch sink needs either an injected client or the "
+                    "opensearchpy package"
+                ) from e
+            client = OpenSearch(os_opts.pop("hosts", None))
+        return OpenSearchSink(client, index, **os_opts)
+    raise ValueError(f"unknown sink kind {kind!r} (expected file|opensearch)")
+
+
 __all__ = [
     "BucketedTableSink",
     "DocumentSink",
@@ -20,4 +53,5 @@ __all__ = [
     "check_to_run_etl",
     "freshness_check",
     "latest_succeeded_transaction_time",
+    "select_sink",
 ]
