@@ -452,6 +452,58 @@ def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on three tables pushed to the
+    scans, two equi-joins, revenue aggregate, global top-10.  The
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a 10-row driver merge, never a full sort."""
+    cutoff = F.to_timestamp(F.lit("1995-03-15"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate").cast("timestamp") < cutoff
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate").cast("timestamp") > cutoff
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "revenue",
+        )
+    )
+
+
+def q_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional PIVOT aggregation — per return
+    flag, count high- vs low-priority lineitems via CASE inside SUM
+    (one scan, one join, one shuffle; the predicate pair never needs a
+    second pass or a real pivot operator)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time daily windows per event_type (batch twin of the
     streaming windowed aggregation in tube_spark.streaming)."""
@@ -1078,6 +1130,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "collector_union": q_collector_union,
         "joining_props": q_joining_props,
         "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "returnflag_priority": q_returnflag_priority,
         "top_revenue_nations": q_top_revenue_nations,
         "events_window": q_events_window,
         "asof_join": q_asof_join,
@@ -1290,6 +1344,29 @@ def oracle_sql() -> dict[str, str]:
                        AS order_statuses
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "returnflag_priority": """
+            SELECT l.l_returnflag,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
