@@ -912,6 +912,32 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(docs, pairs)
 
 
+def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment + nested 10% subsample
+    (operators/sampling.py): membership keys off a salted portable md5
+    hash of the id — map-only, partition-independent, recomputable by
+    any external system.  Per split: doc count, BPE-ish token budget,
+    and the deterministic 10%-sample size."""
+    from tube_spark.functions.text import token_count_bpe_ish
+    from tube_spark.operators.sampling import hash_split, stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    split = hash_split(docs)
+    sampled = stratified_sample(
+        split.select("doc_id", "split"), "split",
+        {"train": 0.1, "val": 0.1, "test": 0.1},
+    ).select("doc_id", F.lit(1).alias("in_sample"))
+    return (
+        split.join(sampled, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_bpe_ish(F.col("text"))).alias("n_tokens"),
+            F.count("in_sample").alias("n_sample_10pct"),
+        )
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-correct dedup with QUALITY-based survivor selection: LSH
     pairs → connected components → keep the highest-quality document of
@@ -1159,6 +1185,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_groups": q_dedup_groups,
         "dedup_keep_best": q_dedup_keep_best,
+        "dataset_splits": q_dataset_splits,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1261,6 +1288,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.group_id, g.group_size,
                    c.doc_id = c.group_id AS is_representative
             FROM comp c JOIN gs g USING (group_id)
+        """,
+        "dataset_splits": """
+            WITH b AS (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5('split' || cast(doc_id AS VARCHAR)),
+                            1, 15))::BIGINT % 10000 AS sb,
+                       ('0x' || substr(md5('sample' || cast(doc_id AS VARCHAR)),
+                            1, 15))::BIGINT % 10000 AS smb
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text, smb,
+                       CASE WHEN sb < 8000 THEN 'train'
+                            WHEN sb < 9000 THEN 'val' ELSE 'test' END AS split
+                FROM b
+            )
+            SELECT split,
+                   count(*) AS n_docs,
+                   sum(len(regexp_extract_all(text,
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))) AS n_tokens,
+                   sum(CASE WHEN smb < 1000 THEN 1 ELSE 0 END) AS n_sample_10pct
+            FROM s GROUP BY 1
         """,
         "dedup_keep_best": f"""
             WITH RECURSIVE pairs AS (
