@@ -504,6 +504,220 @@ def q_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way join where customer and supplier must
+    share a nation inside one region.  nation/region/customer/supplier
+    are broadcast dims; lineitem->orders is the only shuffled join, so
+    the big fact table is shuffled exactly once on its join key."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1997-01-01"))
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate").cast("timestamp") >= lo)
+        & (F.col("o_orderdate").cast("timestamp") < hi)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style left-semi join with an extra range
+    predicate (lineitem shipped >60 days after the order date), then a
+    count per order priority.  The semi join never materializes the
+    matched lineitems — Spark keeps only the orders-side columns."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-07-01"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate").cast("timestamp") >= lo)
+        & (F.col("o_orderdate").cast("timestamp") < hi)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate").cast("timestamp")
+        > F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, (o.o_orderkey == li.l_orderkey) & late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in one
+    half-year, top 20 by revenue.  The orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k, 20-row driver merge)."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-07-01"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate").cast("timestamp") >= lo)
+        & (F.col("o_orderdate").cast("timestamp") < hi)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer left join orders (with a join-side
+    filter), orders-per-customer count, then a histogram of those
+    counts.  Two inherent shuffles (per-customer, then per-count) —
+    the second operates on |customers| rows, not |orders|."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: single-month lineitem scan joined to the part
+    dim (broadcast), conditional aggregate ratio — promo revenue as a
+    percentage of total.  One shuffle-free map side join + one
+    single-group aggregate."""
+    lo = F.to_timestamp(F.lit("1996-09-01"))
+    hi = F.to_timestamp(F.lit("1996-10-01"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate").cast("timestamp") >= lo)
+        & (F.col("l_shipdate").cast("timestamp") < hi)
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: find orders whose total quantity exceeds a
+    threshold (groupBy + having over the fact table), then semi-join
+    the qualifying keys back through orders to customers.  The
+    qualifying-key set is tiny, so it broadcasts into both joins."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no recent orders (none since 2000) — a scalar aggregate
+    broadcast into the filter, then a left-anti join against the
+    filtered orders, grouped by nation.  The scalar avg stays in-plan
+    (cross join of a 1-row broadcast), never a driver collect."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            F.col("o_orderdate").cast("timestamp")
+            >= F.to_timestamp(F.lit("2000-01-01"))
+        )
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time daily windows per event_type (batch twin of the
     streaming windowed aggregation in tube_spark.streaming)."""
@@ -1158,6 +1372,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "returnflag_priority": q_returnflag_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "late_shipment_orders": q_late_shipment_orders,
+        "returned_item_customers": q_returned_item_customers,
+        "order_count_distribution": q_order_count_distribution,
+        "promo_revenue_share": q_promo_revenue_share,
+        "large_order_customers": q_large_order_customers,
+        "idle_high_balance_customers": q_idle_high_balance_customers,
         "top_revenue_nations": q_top_revenue_nations,
         "events_window": q_events_window,
         "asof_join": q_asof_join,
@@ -1415,6 +1636,91 @@ def oracle_sql() -> dict[str, str]:
                             THEN 0 ELSE 1 END) AS low_line_count
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "local_supplier_volume": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY revenue DESC
+        """,
+        "late_shipment_orders": """
+            SELECT o.o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "returned_item_customers": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "order_count_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                  AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY 1)
+            GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+        """,
+        "promo_revenue_share": """
+            SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0.0 END)
+                   / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                   AS promo_revenue_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "large_order_customers": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   o.o_totalprice, b.sum_qty
+            FROM orders o
+            JOIN (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(l_quantity) > 300) b
+              ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        "idle_high_balance_customers": """
+            SELECT c.c_nationkey, count(*) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
