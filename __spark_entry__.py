@@ -737,6 +737,98 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view -> click -> purchase) per user.
+
+    All three "first time reaching step N" columns are running mins
+    over the SAME window spec (user_id, ordered by ts), so Catalyst
+    computes the whole funnel in ONE shuffle + one per-partition sort
+    — no self-joins, no per-step passes over the events table.  The
+    final step-count aggregation runs on one row per user."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.col("event_type"),
+        F.expr("ts div 1000").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    stage1 = ev.withColumn("first_view", view_ts)
+    click_ts = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts_us") > F.col("first_view")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    stage2 = stage1.withColumn("first_click", click_ts)
+    buy_ts = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("first_click")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    per_user = (
+        stage2.withColumn("first_buy", buy_ts)
+        .groupBy("user_id")
+        .agg(
+            F.min("first_view").alias("v"),
+            F.min("first_click").alias("c"),
+            F.min("first_buy").alias("b"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("v").alias("reached_view"),
+        F.count("c").alias("reached_click"),
+        F.count("b").alias("reached_purchase"),
+        F.round(100.0 * F.count("b") / F.count("v"), 6).alias("view_to_purchase_pct"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first signup event; activity counted per week offset from that
+    cohort week.  Both aggregations key on user_id first, so the
+    events shuffle is reused; the per-user cohort frame is tiny and
+    broadcasts into the enrich join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ets"),
+    )
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ets")).alias("cohort_week"))
+    )
+    return (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                F.datediff(F.date_trunc("week", F.col("ets")), F.col("cohort_week"))
+                / 7
+            ).cast("bigint"),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .groupBy(
+            F.unix_micros(F.col("cohort_week")).alias("cohort_week_us"),
+            "week_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week_us", "week_offset")
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each event + the customer's
     latest order at-or-before the event time.  One shuffle of |L|+|R|
@@ -1381,6 +1473,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "idle_high_balance_customers": q_idle_high_balance_customers,
         "top_revenue_nations": q_top_revenue_nations,
         "events_window": q_events_window,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1636,6 +1730,51 @@ def oracle_sql() -> dict[str, str]:
                             THEN 0 ELSE 1 END) AS low_line_count
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "event_funnel": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+            ), s1 AS (
+                SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                    OVER w AS first_view
+                FROM e WINDOW w AS (PARTITION BY user_id
+                    ORDER BY ts_us, event_type ROWS UNBOUNDED PRECEDING)
+            ), s2 AS (
+                SELECT *, min(CASE WHEN event_type = 'click'
+                                    AND ts_us > first_view THEN ts_us END)
+                    OVER w AS first_click
+                FROM s1 WINDOW w AS (PARTITION BY user_id
+                    ORDER BY ts_us, event_type ROWS UNBOUNDED PRECEDING)
+            ), s3 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase'
+                                    AND ts_us > first_click THEN ts_us END)
+                    OVER w AS first_buy
+                FROM s2 WINDOW w AS (PARTITION BY user_id
+                    ORDER BY ts_us, event_type ROWS UNBOUNDED PRECEDING)
+            ), pu AS (
+                SELECT user_id, min(first_view) AS v, min(first_click) AS c,
+                       min(first_buy) AS b
+                FROM s3 GROUP BY 1
+            )
+            SELECT count(*) AS n_users,
+                   count(v) AS reached_view,
+                   count(c) AS reached_click,
+                   count(b) AS reached_purchase,
+                   round(100.0 * count(b) / count(v), 6) AS view_to_purchase_pct
+            FROM pu
+        """,
+        "cohort_retention": """
+            WITH co AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM events WHERE event_type = 'signup' GROUP BY 1
+            )
+            SELECT epoch_us(co.cohort_week::TIMESTAMP) AS cohort_week_us,
+                   (datediff('day', co.cohort_week,
+                             date_trunc('week', e.ts)) // 7) AS week_offset,
+                   count(DISTINCT e.user_id) AS n_active
+            FROM events e JOIN co USING (user_id)
+            WHERE datediff('day', co.cohort_week, date_trunc('week', e.ts)) >= 0
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "local_supplier_volume": """
             SELECT n.n_name,
