@@ -829,6 +829,64 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE (operators/merge.py): a deterministic delta
+    derived from orders — updates (key % 7 == 0, price bump, status
+    'U'), deletes (key % 21 == 0), inserts (key % 13 == 5, shifted
+    keys) — upserted into the orders table, then summarized per
+    status.  The merge is anti-join + union: the 100 TB target
+    shuffles once, the delta is broadcast-sized, and no full-outer
+    wide row is ever built."""
+    from tube_spark.operators.merge import merge_upsert
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("_deleted", F.col("o_orderkey") % 21 == 0)
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 13 == 5)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    delta = updates.unionByName(inserts)
+    merged = merge_upsert(o, delta, ["o_orderkey"], delete_flag="_deleted")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 historization (operators/merge.py): each user's event
+    stream becomes validity intervals of their current event_type,
+    collapsing consecutive same-type deliveries.  One shuffle + one
+    sort for lag-collapse AND lead-intervals (shared window spec;
+    plan-asserted in tests/test_merge.py)."""
+    from tube_spark.operators.merge import scd2
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr("ts div 1000").alias("ts_us"),
+        "event_type",
+    )
+    hist = scd2(ev, ["user_id"], "ts_us", ["event_type"], collapse=True)
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each event + the customer's
     latest order at-or-before the event time.  One shuffle of |L|+|R|
@@ -1475,6 +1533,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "events_window": q_events_window,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "merge_upsert": q_merge_upsert,
+        "scd2_history": q_scd2_history,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
@@ -1775,6 +1835,49 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN co USING (user_id)
             WHERE datediff('day', co.cohort_week, date_trunc('week', e.ts)) >= 0
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "merge_upsert": """
+            WITH delta AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1000.0 AS o_totalprice,
+                       o_orderdate, o_orderpriority,
+                       (o_orderkey % 21 = 0) AS _deleted
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, 'N',
+                       o_totalprice, o_orderdate, o_orderpriority, FALSE
+                FROM orders WHERE o_orderkey % 13 = 5
+            ), merged AS (
+                SELECT o.* FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM delta d
+                                  WHERE d.o_orderkey = o.o_orderkey)
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority
+                FROM delta WHERE NOT coalesce(_deleted, FALSE)
+            )
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_totalprice
+            FROM merged GROUP BY 1 ORDER BY 1
+        """,
+        "scd2_history": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+            ), collapsed AS (
+                SELECT * FROM (
+                    SELECT user_id, ts_us, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us) AS prev_type
+                    FROM e)
+                WHERE event_type IS DISTINCT FROM prev_type
+            )
+            SELECT user_id, event_type,
+                   ts_us AS valid_from_us,
+                   lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                       AS valid_to_us,
+                   lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                       IS NULL AS is_current
+            FROM collapsed
         """,
         "local_supplier_volume": """
             SELECT n.n_name,
