@@ -1302,6 +1302,35 @@ def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): documents
+    concatenated in doc_id order and cut into 512-token training
+    sequences; each doc reports which sequences its tokens land in.
+    The global prefix sum is distributed (range partition + broadcast
+    offsets — never a single-partition window); summarized per
+    start_seq bucket of 50 to keep the output compact."""
+    from tube_spark.functions.text import token_count_bpe_ish
+    from tube_spark.operators.packing import chunk_concat
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count_bpe_ish(F.col("text")).alias("n_tokens")
+    )
+    placed = chunk_concat(docs, "doc_id", "n_tokens", 512)
+    return (
+        placed.groupBy((F.col("start_seq") / 50).cast("bigint").alias("seq_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("end_seq") > F.col("start_seq"), 1).otherwise(0)
+            ).alias("n_straddling"),
+            F.min("start_offset").alias("min_start_offset"),
+            F.max("start_offset").alias("max_start_offset"),
+        )
+        .orderBy("seq_bucket")
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-correct dedup with QUALITY-based survivor selection: LSH
     pairs → connected components → keep the highest-quality document of
@@ -1561,6 +1590,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_groups": q_dedup_groups,
         "dedup_keep_best": q_dedup_keep_best,
         "dataset_splits": q_dataset_splits,
+        "sequence_packing": q_sequence_packing,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1835,6 +1865,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN co USING (user_id)
             WHERE datediff('day', co.cohort_week, date_trunc('week', e.ts)) >= 0
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sequence_packing": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_tokens
+                FROM documents
+            ), placed AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+                FROM toks WHERE n_tokens > 0
+            ), spans AS (
+                SELECT doc_id, n_tokens,
+                       cum_before // 512 AS start_seq,
+                       (cum_before + n_tokens - 1) // 512 AS end_seq,
+                       cum_before % 512 AS start_offset
+                FROM placed
+            )
+            SELECT (start_seq // 50) AS seq_bucket,
+                   count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   sum(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END)::BIGINT
+                       AS n_straddling,
+                   min(start_offset) AS min_start_offset,
+                   max(start_offset) AS max_start_offset
+            FROM spans GROUP BY 1 ORDER BY 1
         """,
         "merge_upsert": """
             WITH delta AS (
