@@ -1331,6 +1331,42 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.py): deterministic emails /
+    phones / IPs are injected into documents keyed off doc_id, then
+    redacted with chained codegen'd regexp_replace — a pure map-only
+    projection that fuses into the scan.  The report counts each PII
+    kind before redaction, proves zero residual matches after, and
+    checksums the redacted corpus with the portable 60-bit md5 hash."""
+    from tube_spark.functions.text import pii_count, portable_hash60, redact_pii
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(
+        d % 5 == 0,
+        F.concat(t, F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")),
+    ).otherwise(t)
+    t = F.when(d % 7 == 0, F.concat(t, F.lit(" call 555-123-4567 today"))).otherwise(t)
+    t = F.when(
+        d % 11 == 0,
+        F.concat(t, F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1")),
+    ).otherwise(t)
+    inj = docs.select("doc_id", t.alias("t"))
+    r = redact_pii(F.col("t"))
+    residual = (
+        pii_count(r, "email") + pii_count(r, "phone") + pii_count(r, "ipv4")
+    )
+    return inj.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(pii_count(F.col("t"), "email")).alias("n_emails"),
+        F.sum(pii_count(F.col("t"), "phone")).alias("n_phones"),
+        F.sum(pii_count(F.col("t"), "ipv4")).alias("n_ipv4"),
+        F.sum(residual).alias("residual_pii"),
+        F.bit_xor(portable_hash60(r)).alias("redacted_checksum"),
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-correct dedup with QUALITY-based survivor selection: LSH
     pairs → connected components → keep the highest-quality document of
@@ -1591,6 +1627,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_keep_best": q_dedup_keep_best,
         "dataset_splits": q_dataset_splits,
         "sequence_packing": q_sequence_packing,
+        "pii_redaction": q_pii_redaction,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1892,6 +1929,56 @@ def oracle_sql() -> dict[str, str]:
                    min(start_offset) AS min_start_offset,
                    max(start_offset) AS max_start_offset
             FROM spans GROUP BY 1 ORDER BY 1
+        """,
+        "pii_redaction": """
+            WITH i1 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' contact user'
+                            || cast(doc_id AS VARCHAR) || '@example.com now'
+                            ELSE text END AS t
+                FROM documents
+            ), i2 AS (
+                SELECT doc_id, CASE WHEN doc_id % 7 = 0
+                            THEN t || ' call 555-123-4567 today'
+                            ELSE t END AS t
+                FROM i1
+            ), i3 AS (
+                SELECT doc_id, CASE WHEN doc_id % 11 = 0
+                            THEN t || ' from 10.0.'
+                                 || cast(doc_id % 256 AS VARCHAR) || '.1'
+                            ELSE t END AS t
+                FROM i2
+            ), red AS (
+                SELECT doc_id, t,
+                       regexp_replace(regexp_replace(regexp_replace(t,
+                           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                           '[EMAIL]', 'g'),
+                           '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}',
+                           '[PHONE]', 'g'),
+                           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                           '[IPV4]', 'g') AS r
+                FROM i3
+            )
+            SELECT count(*) AS n_docs,
+                   sum(len(regexp_extract_all(t,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')))::BIGINT
+                       AS n_emails,
+                   sum(len(regexp_extract_all(t,
+                       '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')))::BIGINT
+                       AS n_phones,
+                   sum(len(regexp_extract_all(t,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')))::BIGINT
+                       AS n_ipv4,
+                   sum(len(regexp_extract_all(r,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                     + len(regexp_extract_all(r,
+                       '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}'))
+                     + len(regexp_extract_all(r,
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')))::BIGINT
+                       AS residual_pii,
+                   bit_xor(('0x' || substr(md5(r), 1, 15))::BIGINT)
+                       AS redacted_checksum
+            FROM red
         """,
         "merge_upsert": """
             WITH delta AS (

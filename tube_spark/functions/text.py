@@ -73,3 +73,30 @@ def token_count_bpe_ish(col: Column) -> Column:
     punctuation runs each count as one token).
     DuckDB: ``len(regexp_extract_all(t, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))``."""
     return F.size(F.regexp_extract_all(col, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)))
+
+
+# PII patterns: deliberately simple enough to parse identically under
+# Java regex (Spark) and RE2 (DuckDB) — no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern.  DuckDB:
+    ``len(regexp_extract_all(t, <pattern>))``."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every known PII pattern with a typed placeholder
+    (``[EMAIL]`` …).  Chained ``regexp_replace`` — one codegen'd
+    projection, no UDF.  DuckDB: nested
+    ``regexp_replace(t, <pattern>, '[KIND]', 'g')`` in the same order
+    (email first, so the ipv4 rule never clips a domain)."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
