@@ -1367,6 +1367,29 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies: explode tokens, two-phase count
+    (map-side partial agg absorbs the token explosion before the
+    single shuffle), global top-50 via TakeOrderedAndProject.  Also
+    reports document frequency per term (count of distinct docs) —
+    the building block for TF-IDF / stopword discovery."""
+    from tube_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-correct dedup with QUALITY-based survivor selection: LSH
     pairs → connected components → keep the highest-quality document of
@@ -1628,6 +1651,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dataset_splits": q_dataset_splits,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
+        "term_frequencies": q_term_frequencies,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1979,6 +2003,16 @@ def oracle_sql() -> dict[str, str]:
                    bit_xor(('0x' || substr(md5(r), 1, 15))::BIGINT)
                        AS redacted_checksum
             FROM red
+        """,
+        "term_frequencies": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            )
+            SELECT term, count(*) AS tf,
+                   count(DISTINCT doc_id) AS df
+            FROM tok GROUP BY 1
+            ORDER BY tf DESC, term ASC
+            LIMIT 50
         """,
         "merge_upsert": """
             WITH delta AS (

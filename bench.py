@@ -30,7 +30,11 @@ BENCH_QUERIES = [
     "events_window",
     "window_rank",
     "sessionization",
+    "event_funnel",
+    "merge_upsert",
     # corpus curation
+    "sequence_packing",
+    "pii_redaction",
     "dedup_exact",
     "dedup_groups",
     "text_stats",
