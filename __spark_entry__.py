@@ -1390,6 +1390,51 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table for a fixed
+    3-term query.  Corpus statistics (N, avgdl, per-term df) are tiny
+    aggregates broadcast into the scoring join; per-(doc, term)
+    frequencies come from one explode + one shuffle.  Top-20 via
+    TakeOrderedAndProject.  k1=1.2, b=0.75."""
+    from tube_spark.functions.text import tokens
+
+    terms = ["join", "spark", "dup"]
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    k1, b = 1.2, 0.75
+    idf = F.ln(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", idf * tf_norm)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-correct dedup with QUALITY-based survivor selection: LSH
     pairs → connected components → keep the highest-quality document of
@@ -1652,6 +1697,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
+        "bm25_search": q_bm25_search,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2003,6 +2049,34 @@ def oracle_sql() -> dict[str, str]:
                    bit_xor(('0x' || substr(md5(r), 1, 15))::BIGINT)
                        AS redacted_checksum
             FROM red
+        """,
+        "bm25_search": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), doclen AS (
+                SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ('join', 'spark', 'dup') GROUP BY 1, 2
+            ), dfs AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                   ), 6) AS bm25,
+                   count(*) AS n_matched_terms
+            FROM tf
+            JOIN dfs USING (term)
+            JOIN doclen dl USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY 1
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT 20
         """,
         "term_frequencies": f"""
             WITH tok AS (
