@@ -1922,9 +1922,9 @@ def oracle_sql() -> dict[str, str]:
         "returnflag_priority": """
             SELECT l.l_returnflag,
                    sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                    sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
         """,

@@ -79,3 +79,23 @@ def test_first_fit_covers_all_docs_exactly_once(spark, docs):
     out = pack_first_fit(docs, "doc_id", "n_tokens", 128, partitions=8)
     ids = [r["doc_id"] for r in out.collect()]
     assert sorted(ids) == list(range(500))
+
+
+def test_first_fit_survives_empty_partitions(spark):
+    # partitions > rows → some tasks see zero Arrow batches; the pack
+    # fn must yield nothing, not crash on pd.concat([]) (ADVICE r3)
+    df = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n_tokens long")
+    out = pack_first_fit(df, "doc_id", "n_tokens", 64, partitions=16).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_chunk_concat_releases_storage(spark, docs):
+    # the pinned layout must not pin executor storage forever (ADVICE
+    # r3: .cache() leak).  localCheckpoint blocks are GC-cleaned by the
+    # ContextCleaner; crucially nothing is registered in the
+    # CacheManager, which holds .cache() entries until an explicit
+    # unpersist.
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    cm.clearCache()
+    chunk_concat(docs, "doc_id", "n_tokens", 128).count()
+    assert cm.isEmpty()

@@ -39,3 +39,39 @@ def test_versioned_publish_and_rollover(spark, tmp_path):
     # array-config metadata written alongside each version
     with open(os.path.join(base, "cust_v3", "_array_config.json")) as f:
         assert json.load(f) == {"array": []}
+
+
+def test_select_sink_derives_connector_nodes_from_hosts():
+    # ADVICE r3: the Spark connector bulk-write must target the same
+    # cluster as the injected/constructed REST client, not the default
+    # localhost:9200 — otherwise the alias is swapped onto an empty
+    # remote index.
+    from tube_spark.sinks import select_sink
+
+    class _FakeClient:  # duck-typed; never touched here
+        pass
+
+    sink = select_sink(
+        "opensearch", "etl", client=_FakeClient(), hosts=["os-prod:9201"]
+    )
+    opts = sink.connector_options("etl_0")
+    assert opts["opensearch.nodes"] == "os-prod"
+    assert opts["opensearch.port"] == "9201"
+
+    # dict-form hosts (opensearchpy's canonical shape)
+    sink2 = select_sink(
+        "opensearch", "etl", client=_FakeClient(),
+        hosts=[{"host": "os2", "port": 9202}],
+    )
+    opts2 = sink2.connector_options("etl_0")
+    assert opts2["opensearch.nodes"] == "os2"
+    assert opts2["opensearch.port"] == "9202"
+
+    # explicit nodes= wins over hosts derivation
+    sink3 = select_sink(
+        "opensearch", "etl", client=_FakeClient(),
+        hosts=["os-prod:9201"], nodes="override", port=9300,
+    )
+    opts3 = sink3.connector_options("etl_0")
+    assert opts3["opensearch.nodes"] == "override"
+    assert opts3["opensearch.port"] == "9300"

@@ -78,3 +78,13 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
         for r in _drain(interval_join(ls, rs, "user_id", "lt", "rt", "30 minutes")).collect()
     }
     assert stream == batch
+
+
+def test_interval_join_rejects_overlapping_columns(spark):
+    # ADVICE r3: silent duplicate output columns break downstream selects
+    import pytest
+
+    l = spark.createDataFrame([(1, 1.0, "x")], "user_id long, lt double, v string")
+    r = spark.createDataFrame([(1, 1.0, "y")], "user_id long, rt double, v string")
+    with pytest.raises(ValueError, match="overlapping non-key columns.*'v'"):
+        interval_join(l, r, "user_id", "lt", "rt")

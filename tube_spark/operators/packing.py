@@ -58,11 +58,16 @@ def chunk_concat(
 
     # Range-partition on the order key and pin the layout (boundaries
     # are sampled; the offsets below are only valid for THIS layout).
+    # localCheckpoint (not cache) pins the sampled range-partition
+    # layout for both the totals collect and the final join, and its
+    # blocks are released when the frame is GC'd — no storage-memory
+    # leak across repeated calls in a long-lived session (same pattern
+    # as operators/components.py).
     part = (
         df.filter(n > 0)
         .repartitionByRange(order)
         .withColumn("__pid", F.spark_partition_id())
-        .cache()
+        .localCheckpoint(eager=False)
     )
     totals = part.groupBy("__pid").agg(F.sum(n).alias("t")).collect()
     offsets, acc = [], 0
@@ -128,7 +133,10 @@ def pack_first_fit(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        whole = pd.concat(list(batches), ignore_index=True)
+        chunks = list(batches)
+        if not chunks:  # empty partition: pd.concat([]) would raise
+            return
+        whole = pd.concat(chunks, ignore_index=True)
         if whole.empty:
             return
         whole = whole.sort_values(

@@ -31,6 +31,7 @@ def select_sink(
             raise ValueError("file sink requires out_dir")
         return VersionedIndexWriter(out_dir, index)
     if kind == "opensearch":
+        hosts = os_opts.pop("hosts", None)
         if client is None:
             try:
                 from opensearchpy import OpenSearch
@@ -39,7 +40,21 @@ def select_sink(
                     "opensearch sink needs either an injected client or the "
                     "opensearchpy package"
                 ) from e
-            client = OpenSearch(os_opts.pop("hosts", None))
+            client = OpenSearch(hosts)
+        # The Spark connector does NOT go through `client` — derive its
+        # nodes/port from the same host list, or bulk writes silently
+        # target localhost:9200 while index create / alias swap hit the
+        # real cluster (alias swapped onto a never-populated index).
+        if hosts and "nodes" not in os_opts:
+            first = hosts[0] if isinstance(hosts, (list, tuple)) else hosts
+            if isinstance(first, dict):
+                os_opts["nodes"] = first.get("host", "localhost")
+                os_opts.setdefault("port", int(first.get("port", 9200)))
+            else:
+                name, _, port = str(first).partition(":")
+                os_opts["nodes"] = name or "localhost"
+                if port:
+                    os_opts.setdefault("port", int(port))
         return OpenSearchSink(client, index, **os_opts)
     raise ValueError(f"unknown sink kind {kind!r} (expected file|opensearch)")
 

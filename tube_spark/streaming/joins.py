@@ -58,6 +58,13 @@ def interval_join(
     plan (the condition is ordinary Column algebra), so the streaming
     query has a directly comparable batch twin.
     """
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            "interval_join: overlapping non-key columns "
+            f"{sorted(overlap)} — rename one side (the flat output "
+            "would carry duplicate column names)"
+        )
     l, r = left.alias("l"), right.alias("r")
     cond = (
         (F.col(f"l.{on}") == F.col(f"r.{on}"))
