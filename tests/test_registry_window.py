@@ -1,0 +1,64 @@
+"""Registry-window contract (CORRECTNESS_r03 post-mortem).
+
+The driver's differential check covers only the FIRST 50 entries of
+``queries()`` in registry order.  Round 3 let 19 oracled queries drift
+past that window and they received no verification.  These tests pin
+the contract so it cannot regress silently:
+
+* every query in positions 1-50 has an ``oracle_sql()`` twin;
+* the five permanently rows-only queries sit at positions 51+;
+* the demoted extras tier stays consistent (every extra has both a
+  callable and an oracle, and never shadows a windowed query).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+DRIVER_WINDOW = 50
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location("entry_mod", "__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_first_window_queries_all_oracled():
+    m = _entry()
+    names = list(m.queries())
+    oracles = m.oracle_sql()
+    windowed = names[:DRIVER_WINDOW]
+    missing = [n for n in windowed if n not in oracles]
+    assert not missing, f"windowed queries without oracles: {missing}"
+
+
+def test_rows_only_queries_sit_after_window():
+    m = _entry()
+    names = list(m.queries())
+    oracles = m.oracle_sql()
+    tail = names[DRIVER_WINDOW:]
+    # everything past the window must be rows-only (an oracled query past
+    # the window would be silently unverified — the r3 failure mode)
+    oracled_past_window = [n for n in tail if n in oracles]
+    assert not oracled_past_window, (
+        f"oracled queries outside the driver window: {oracled_past_window}"
+    )
+    assert set(tail) == set(m._ROWS_ONLY)
+
+
+def test_extras_tier_consistent():
+    m = _entry()
+    extras = m.extra_queries()
+    extra_oracles = m.extra_oracle_sql()
+    assert set(extras) == set(extra_oracles), "every extra needs an oracle"
+    assert not set(extras) & set(m.queries()), "extras must not shadow registry"
+
+
+def test_no_duplicate_or_dangling_names():
+    m = _entry()
+    order = m._QUERY_ORDER
+    assert len(order) == len(set(order)), "duplicate names in _QUERY_ORDER"
+    for n in order:
+        assert n in m._ALL_QUERIES

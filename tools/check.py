@@ -59,8 +59,11 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
-    from __spark_entry__ import oracle_sql, queries
+    from __spark_entry__ import extra_oracle_sql, extra_queries, oracle_sql, queries
     from tube_spark.session import get_spark
+
+    use_extras = "--extras" in only
+    only.discard("--extras")
 
     spark = get_spark(master="local[16]", extra_conf={"spark.ui.enabled": "false"})
     con = duckdb.connect()
@@ -69,7 +72,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, oracles = queries(), oracle_sql()
+    if use_extras:
+        qs, oracles = extra_queries(), extra_oracle_sql()
+    else:
+        qs, oracles = queries(), oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

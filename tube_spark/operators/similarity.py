@@ -170,6 +170,7 @@ def _band_buckets(
     id_col: str,
     vec_col: str,
     id_alias: str,
+    keep_sig: bool = False,
 ) -> DataFrame:
     """(id, band index, band value) LSH bucket rows — ids only.
 
@@ -177,6 +178,10 @@ def _band_buckets(
     the bucket join / distinct (hashing 64-double arrays per candidate
     row is what makes naive LSH implementations fall over); they are
     joined back by id only for the final exact-cosine scoring.
+
+    ``keep_sig=True`` additionally carries the packed 64-bit signature
+    (8 bytes/row) so callers can deduplicate multi-band collisions with
+    a stateless first-matching-band filter instead of a distinct().
     """
     bits = len(planes)
     width = bits // bands
@@ -186,9 +191,10 @@ def _band_buckets(
     bandarr = F.array(
         *[F.struct(F.lit(b).alias("cb"), chunk(b).alias("cv")) for b in range(bands)]
     )
-    return with_sig.select(id_alias, F.explode(bandarr).alias("c")).select(
-        id_alias, F.col("c.cb").alias("cb"), F.col("c.cv").alias("cv")
-    )
+    cols = [id_alias, F.col("c.cb").alias("cb"), F.col("c.cv").alias("cv")]
+    if keep_sig:
+        cols.append("sig")
+    return with_sig.select(id_alias, "sig", F.explode(bandarr).alias("c")).select(*cols)
 
 
 def rhp_lsh_topk(
@@ -344,18 +350,30 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold: hyperplane
     band buckets for candidates (id-only self-join), exact cosine after
-    joining vectors back by id."""
+    joining vectors back by id.
+
+    A pair whose signatures collide on k bands would surface k times;
+    instead of a ``distinct()`` (a full shuffle of the candidate pair
+    set) each pair is emitted only from its FIRST matching band — a
+    stateless filter computable from xor(sig_a, sig_b) alone, the same
+    optimization measured at 4.7s → ~2s on ``simhash_pairs``."""
     assert bits % bands == 0
+    width = bits // bands
     planes = _hyperplanes(dim, bits, seed)
     unit = normalized(df, id_col, vec_col).cache()
-    buckets = _band_buckets(unit, planes, bands, id_col, vec_col, "vid")
-    a = buckets.select(F.col("vid").alias("id_a"), "cb", "cv")
-    b = buckets.select(F.col("vid").alias("id_b"), "cb", "cv")
+    buckets = _band_buckets(unit, planes, bands, id_col, vec_col, "vid", keep_sig=True)
+    a = buckets.select(F.col("vid").alias("id_a"), F.col("sig").alias("sig_a"), "cb", "cv")
+    b = buckets.select(F.col("vid").alias("id_b"), F.col("sig").alias("sig_b"), "cb", "cv")
+    chunk = lambda c, bb: F.shiftright(c, bb * width).bitwiseAND(F.lit((1 << width) - 1))
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    first_match = F.lit(bands - 1)
+    for bb in range(bands - 2, -1, -1):
+        first_match = F.when(chunk(xor, bb) == 0, F.lit(bb)).otherwise(first_match)
     cand = (
         a.join(b, on=["cb", "cv"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("cb") == first_match)
         .select("id_a", "id_b")
-        .distinct()
     )
     va = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))

@@ -30,9 +30,9 @@ _DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Don't let timestamps silently shift; testdata is timestamp[ms/ns].
     "spark.sql.session.timeZone": "UTC",
-    # Parquet TIMESTAMP(NANOS) columns (events.ts) surface as long
-    # nanoseconds instead of failing the scan; convert with
-    # timestamp_micros(ts div 1000) where event-time semantics are needed.
+    # Parquet TIMESTAMP(NANOS) columns surface as long nanoseconds
+    # instead of failing the scan (harmless for micro-precision data;
+    # kept so a nanos-written events table still loads).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.shuffle.partitions": "64",
 }

@@ -257,11 +257,15 @@ def discover_edge_tables(
     ``edge_2d0f7d59_moqudepa``).
 
     Method: sample src/dst ids from each unidentified table and match
-    them against node-id sets; accept only unambiguous matches that
-    correspond to a link declared in the dictionary.  Intended for
-    metadata-scale discovery (runs one scan per node/edge table,
-    driver-collects only ids); production deployments should pass
-    explicit ``edge_overrides`` instead.
+    them against the node tables; accept only unambiguous matches that
+    correspond to a link declared in the dictionary.
+
+    Every driver-side collect here is bounded by ``sample``: the edge
+    side is ``limit(sample)`` per table, and node membership is probed
+    with an ``isin(sampled ids)`` filter pushed into each node scan —
+    only the (≤ sample-set-sized) intersection ever reaches the driver,
+    never a full node-id column.  Production deployments should still
+    pass explicit ``edge_overrides`` and skip discovery entirely.
     """
     src = PropsJsonGraphSource(spark, base_dir, dictionary, fmt=fmt)
     known = set()
@@ -276,22 +280,39 @@ def discover_edge_tables(
     if not unknown:
         return {}
 
+    sampled: dict[str, tuple[set, set]] = {}
+    for table in unknown:
+        raw = src._read(os.path.join(base_dir, table), _EDGE_CSV_SCHEMA)
+        rows = raw.select("src_id", "dst_id").limit(sample).collect()
+        if rows:
+            sampled[table] = (
+                {r["src_id"] for r in rows},
+                {r["dst_id"] for r in rows},
+            )
+    if not sampled:
+        return {}
+    probe_ids = sorted(
+        {i for srcs, dsts in sampled.values() for i in srcs | dsts}
+    )
+
+    # node membership of the sampled ids only: the isin() filter is
+    # pushed into the scan, so each node table streams executor-side and
+    # the driver receives at most len(probe_ids) rows per label
     node_ids: dict[str, set] = {}
     for label in dictionary.nodes:
         path = src._table_path(f"node_{label}")
         if path is None:
             continue
-        rows = src._read(path, _NODE_CSV_SCHEMA).select("node_id").collect()
+        rows = (
+            src._read(path, _NODE_CSV_SCHEMA)
+            .select("node_id")
+            .filter(F.col("node_id").isin(probe_ids))
+            .collect()
+        )
         node_ids[label] = {r["node_id"] for r in rows}
 
     out: dict[tuple[str, str], str] = {}
-    for table in unknown:
-        raw = src._read(os.path.join(base_dir, table), _EDGE_CSV_SCHEMA)
-        rows = raw.select("src_id", "dst_id").limit(sample).collect()
-        if not rows:
-            continue
-        srcs = {r["src_id"] for r in rows}
-        dsts = {r["dst_id"] for r in rows}
+    for table, (srcs, dsts) in sampled.items():
         child_matches = [l for l, ids in node_ids.items() if srcs <= ids]
         parent_matches = [l for l, ids in node_ids.items() if dsts <= ids]
         if len(child_matches) != 1 or len(parent_matches) != 1:

@@ -22,6 +22,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def streaming_daily_event_counts(
@@ -41,8 +42,15 @@ def streaming_daily_event_counts(
         os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
         events_path = d
     stream = spark.readStream.schema(schema).parquet(events_path)
-    # ts arrives as long nanoseconds (nanosAsLong, see session.py)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize event time to session-tz TimestampType for watermarking:
+    # a long column is nanoseconds (nanosAsLong sources, see session.py),
+    # anything else (TIMESTAMP / TIMESTAMP_NTZ) casts directly — a no-op
+    # wall-clock shift under the UTC session timezone
+    if isinstance(schema["ts"].dataType, T.LongType):
+        ts_norm = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts_norm = F.col("ts").cast("timestamp")
+    stream = stream.withColumn("ts", ts_norm)
     windowed = (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
