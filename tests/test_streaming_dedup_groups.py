@@ -1,0 +1,78 @@
+"""Incremental dedup-groups equals the batch recompute after replay.
+
+The contract (streaming/dedup_groups.py): replaying the corpus in
+appended batches through IncrementalDedupGroups yields the IDENTICAL
+(doc_id, group_id, group_size, is_representative) output as running
+batch minhash_lsh_pairs + dedup_groups over the full corpus — same
+min-id group roots, not merely the same partition structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tube_spark.operators.components import dedup_groups
+from tube_spark.operators.dedup import minhash_lsh_pairs
+from tube_spark.streaming.dedup_groups import IncrementalDedupGroups, replay_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+PARAMS = dict(n=2, num_hashes=64, bands=16, threshold=0.5, portable=True)
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["group_id"], r["group_size"], r["is_representative"])
+        for r in df.collect()
+    )
+
+
+def test_three_batch_replay_matches_batch(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    batches = [
+        docs.filter(F.col("doc_id") % 3 == i).localCheckpoint() for i in range(3)
+    ]
+    got = replay_stream(spark, batches, str(tmp_path / "state"), **PARAMS)
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", **PARAMS)
+    want = dedup_groups(docs, pairs)
+
+    assert _rows(got) == _rows(want)
+
+
+def test_cross_batch_merge_of_existing_groups(spark, tmp_path):
+    # batch 1 creates two separate groups {1,2} and {10,11}; batch 2's
+    # doc 5 is near-dup of both sides -> the groups must MERGE to min id
+    t_a = "alpha beta gamma delta epsilon zeta"
+    t_b = "one two three four five six seven"
+    rows1 = [(1, t_a), (2, t_a), (10, t_b), (11, t_b), (20, "totally unrelated text here")]
+    rows2 = [(5, t_a), (6, t_b)]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    inc = IncrementalDedupGroups(spark, str(tmp_path / "s2"), **PARAMS)
+    inc.process_batch(mk(rows1))
+    first = {r["doc_id"]: r["group_id"] for r in inc.assignments().collect()}
+    assert first[1] == first[2] == 1
+    assert first[10] == first[11] == 10
+    assert first[20] == 20  # singleton
+
+    inc.process_batch(mk(rows2))
+    second = {r["doc_id"]: r["group_id"] for r in inc.assignments().collect()}
+    assert second[5] == second[1] == second[2] == 1
+    # doc 6 undercuts the old root 10: min-id semantics relabel the group
+    assert second[6] == second[10] == second[11] == 6
+    assert second[20] == 20  # untouched group carried over
+
+    groups = {r["doc_id"]: r for r in inc.groups().collect()}
+    assert groups[1]["group_size"] == 3 and groups[1]["is_representative"]
+    assert groups[5]["group_size"] == 3 and not groups[5]["is_representative"]
+
+
+def test_incremental_cost_reads_only_touched_groups(spark, tmp_path):
+    # a batch with no near-dups must leave every prior assignment
+    # byte-identical (carried over, not recomputed)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    inc = IncrementalDedupGroups(spark, str(tmp_path / "s3"), **PARAMS)
+    inc.process_batch(mk([(1, "aaa bbb ccc ddd"), (2, "aaa bbb ccc ddd")]))
+    before = sorted((r["doc_id"], r["group_id"]) for r in inc.assignments().collect())
+    inc.process_batch(mk([(99, "entirely different words appear in this one")]))
+    after = sorted((r["doc_id"], r["group_id"]) for r in inc.assignments().collect())
+    assert after == before + [(99, 99)]

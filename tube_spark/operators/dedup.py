@@ -168,6 +168,50 @@ def minhash_signatures(
     )
 
 
+def minhash_buckets(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bh) LSH bucket rows from a signature frame.
+
+    Band hash is an arithmetic fold ``(bh*P + h) mod M`` of the band's
+    signature slice — SQL-reproducible (unlike xxhash64), so oracles and
+    other engines can rebuild the exact buckets.  Shared by the batch
+    ``minhash_lsh_pairs`` and the streaming incremental dedup-groups
+    maintenance (which buckets each new batch against stored buckets).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def band_hash(b: int):
+        bh = F.col("sig")[b * r]
+        for i in range(1, r):
+            bh = F.pmod(bh * F.lit(_BAND_P) + F.col("sig")[b * r + i], F.lit(_BAND_M))
+        return bh
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def minhash_est_jaccard(num_hashes: int):
+    """Column expr: estimated Jaccard from ``sig_a``/``sig_b`` arrays —
+    the fraction of matching minhashes (native zip_with/aggregate)."""
+    return (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_hashes)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -193,25 +237,8 @@ def minhash_lsh_pairs(
     ``minhash_lsh`` DuckDB oracle in ``__spark_entry__``.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable).cache()
-
-    def band_hash(b: int):
-        # arithmetic fold (bh*P + h) mod M — SQL-reproducible, unlike xxhash64
-        bh = F.col("sig")[b * r]
-        for i in range(1, r):
-            bh = F.pmod(bh * F.lit(_BAND_P) + F.col("sig")[b * r + i], F.lit(_BAND_M))
-        return bh
-
-    band_structs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    buckets = minhash_buckets(sig, id_col, num_hashes, bands)
     ca = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     cb = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")
     cand = (
@@ -222,14 +249,7 @@ def minhash_lsh_pairs(
     )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(num_hashes)
-    )
+    est = minhash_est_jaccard(num_hashes)
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -374,6 +374,12 @@ def embedding_near_duplicates(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("cb") == first_match)
         .select("id_a", "id_b")
+        # the surviving pairs inherit the bucket join's (band, value)
+        # partitioning, which is skewed by construction (hot buckets);
+        # rebalance before the vector join + Arrow scoring so the UDF
+        # stage has no stragglers.  Same exchange volume as the old
+        # distinct(), minus its hash-dedup aggregate.
+        .repartition("id_a")
     )
     va = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
