@@ -1210,6 +1210,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter (Rae et al. 2021):
+    per doc, the most-frequent-k-gram coverage and repeated-k-gram
+    fraction for k=1,2,3 plus an is_repetitive verdict.  One exploded
+    pass, every aggregation keyed on doc_id — linear in corpus tokens,
+    no per-document quadratic work (operators/text_analysis.py)."""
+    from tube_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints — any shared run
     of ≥ k+window−1 words between two docs shares a fingerprint."""
@@ -1664,6 +1675,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "filter_like": q_filter_like,
         "pivot_status": q_pivot_status,
         "regexp_extract": q_regexp_extract,
+        "repetition_stats": q_repetition_stats,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1726,6 +1738,7 @@ _EXTRA_QUERY_NAMES = (
     "filter_like",
     "stats_summary",
     "regexp_extract",
+    "repetition_stats",
 )
 
 _QUERY_ORDER = (
@@ -2442,6 +2455,44 @@ def _all_oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "repetition_stats": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       t AS g1,
+                       list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                                      i -> concat(t[i], ' ', t[i + 1])) AS g2,
+                       list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                                      i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])) AS g3
+                FROM tok
+            ),
+            fr AS (
+                SELECT doc_id,
+                       round(list_max(list_prepend(0, list_transform(list_distinct(g1),
+                             d -> len(list_filter(g1, x -> x = d)))))
+                             / greatest(len(g1), 1), 6) AS top_1gram_frac,
+                       round((len(g1) - len(list_distinct(g1)))::DOUBLE
+                             / greatest(len(g1), 1), 6) AS dup_1gram_frac,
+                       round(list_max(list_prepend(0, list_transform(list_distinct(g2),
+                             d -> len(list_filter(g2, x -> x = d)))))
+                             / greatest(len(g2), 1), 6) AS top_2gram_frac,
+                       round((len(g2) - len(list_distinct(g2)))::DOUBLE
+                             / greatest(len(g2), 1), 6) AS dup_2gram_frac,
+                       round(list_max(list_prepend(0, list_transform(list_distinct(g3),
+                             d -> len(list_filter(g3, x -> x = d)))))
+                             / greatest(len(g3), 1), 6) AS top_3gram_frac,
+                       round((len(g3) - len(list_distinct(g3)))::DOUBLE
+                             / greatest(len(g3), 1), 6) AS dup_3gram_frac
+                FROM grams
+            )
+            SELECT doc_id, top_1gram_frac, dup_1gram_frac,
+                   top_2gram_frac, dup_2gram_frac,
+                   top_3gram_frac, dup_3gram_frac,
+                   (top_2gram_frac > 0.20 OR dup_3gram_frac > 0.30) AS is_repetitive
+            FROM fr
         """,
         "events_json_extract": """
             SELECT event_type,

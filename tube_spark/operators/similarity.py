@@ -347,6 +347,7 @@ def embedding_near_duplicates(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold: hyperplane
     band buckets for candidates (id-only self-join), exact cosine after
@@ -356,12 +357,36 @@ def embedding_near_duplicates(
     instead of a ``distinct()`` (a full shuffle of the candidate pair
     set) each pair is emitted only from its FIRST matching band — a
     stateless filter computable from xor(sig_a, sig_b) alone, the same
-    optimization measured at 4.7s → ~2s on ``simhash_pairs``."""
+    optimization measured at 4.7s → ~2s on ``simhash_pairs``.
+
+    SCALING (measured, BENCH_NOTES.md): candidate volume is
+    Θ(Σ bucket²) — with band width w fixed, buckets saturate as the
+    corpus grows and candidates go quadratic.  Two knobs, both with
+    S-curve math ``recall = 1−(1−p^w)^bands``, ``p = 1−θ/π``:
+    * grow ``bits`` so width w ≈ log2(n / target_occupancy): for
+      dedup-grade thresholds (≥0.9, p≈0.86) w=8..16 keeps recall
+      high at any n — this is the 100 TB configuration;
+    * ``max_bucket_size`` skips hotter-than-cap buckets (the
+      low-information hyperplane regions), bounding work at
+      n·bands·cap; recall impact is measured, not assumed — see
+      ``pair_recall`` / ann_recall_report.
+    Broad thresholds near random (e.g. 0.3, θ≈72° vs 90°) are
+    intrinsically dense: no signature length separates borderline
+    from random pairs cheaply; use ivf_topk for that regime."""
     assert bits % bands == 0
     width = bits // bands
     planes = _hyperplanes(dim, bits, seed)
     unit = normalized(df, id_col, vec_col).cache()
     buckets = _band_buckets(unit, planes, bands, id_col, vec_col, "vid", keep_sig=True)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("cb", "cv").agg(F.count(F.lit(1)).alias("_bs"))
+        # join (not broadcast): bucket count scales with the corpus when
+        # width is sized properly, and Catalyst reuses the (cb, cv)
+        # shuffle for the self-join below
+        buckets = (
+            buckets.join(sizes.filter(F.col("_bs") <= max_bucket_size), ["cb", "cv"])
+            .drop("_bs")
+        )
     a = buckets.select(F.col("vid").alias("id_a"), F.col("sig").alias("sig_a"), "cb", "cv")
     b = buckets.select(F.col("vid").alias("id_b"), F.col("sig").alias("sig_b"), "cb", "cv")
     chunk = lambda c, bb: F.shiftright(c, bb * width).bitwiseAND(F.lit((1 << width) - 1))
@@ -369,18 +394,25 @@ def embedding_near_duplicates(
     first_match = F.lit(bands - 1)
     for bb in range(bands - 2, -1, -1):
         first_match = F.when(chunk(xor, bb) == 0, F.lit(bb)).otherwise(first_match)
-    cand = (
-        a.join(b, on=["cb", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("cb") == first_match)
-        .select("id_a", "id_b")
-        # the surviving pairs inherit the bucket join's (band, value)
+    j = a.join(b, on=["cb", "cv"]).filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket_size is None:
+        # stateless first-matching-band dedup of multi-band collisions.
+        # The surviving pairs inherit the bucket join's (band, value)
         # partitioning, which is skewed by construction (hot buckets);
         # rebalance before the vector join + Arrow scoring so the UDF
-        # stage has no stragglers.  Same exchange volume as the old
+        # stage has no stragglers.  Same exchange volume as a
         # distinct(), minus its hash-dedup aggregate.
-        .repartition("id_a")
-    )
+        cand = (
+            j.filter(F.col("cb") == first_match)
+            .select("id_a", "id_b")
+            .repartition("id_a")
+        )
+    else:
+        # with hot buckets removed, a pair's first matching band may be
+        # a skipped one — the stateless filter would drop it entirely;
+        # dedup the (cap-bounded) candidate set explicitly instead (the
+        # distinct's exchange doubles as the rebalance)
+        cand = j.select("id_a", "id_b").distinct()
     va = unit.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = unit.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     dot_k = dot_arrow()

@@ -144,3 +144,92 @@ def winnowing_fingerprints(
         F.col(id_col),
         F.sort_array(F.array_distinct(mins)).alias("fingerprints"),
     )
+
+
+def _ordered_kgrams(tok: Column, k: int) -> Column:
+    """Overlapping word k-grams in document order (shifted-slice
+    zip_with build — O(k) whole-array ops, no per-element lambdas)."""
+    if k == 1:
+        return tok
+    length = F.greatest(F.size(tok) - F.lit(k - 1), F.lit(0))
+    parts = [F.slice(tok, i + 1, length) for i in range(k)]
+    grams = parts[0]
+    for p in parts[1:]:
+        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return grams
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    grams: tuple[int, ...] = (1, 2, 3),
+    top2_max: float = 0.20,
+    dup3_max: float = 0.30,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, per document:
+    for each k in ``grams``, the fraction of k-gram instances covered by
+    the single most frequent k-gram (``top_{k}gram_frac``) and the
+    fraction that are repeats of an earlier instance
+    (``dup_{k}gram_frac``), plus an ``is_repetitive`` verdict using the
+    Gopher-ish default thresholds (Rae et al. 2021 use per-n caps of
+    this exact shape).
+
+    Scale path: one exploded pass over (doc, k, gram) and three
+    aggregations ALL keyed on doc_id-prefixed keys — linear in corpus
+    token count, no per-document quadratic work, safe for documents of
+    any length (a transform()-based in-array mode would be O(distinct x
+    len) per doc and melt on long docs).
+    """
+    tok = tokens(F.col(text_col))
+
+    # NB: the tag lambda must be unary — PySpark passes the array INDEX
+    # to a second lambda parameter, which would silently shadow a
+    # captured default (`lambda g, _k=k` receives the index as _k)
+    def _tag(k: int):
+        return lambda g: F.struct(F.lit(k).alias("k"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(*[F.transform(_ordered_kgrams(tok, k), _tag(k)) for k in grams])
+    )
+    exploded = df.select(F.col(id_col), F.explode(tagged).alias("kg")).select(
+        F.col(id_col), F.col("kg.k").alias("k"), F.col("kg.g").alias("g")
+    )
+    per_gram = exploded.groupBy(id_col, "k", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_k = per_gram.groupBy(id_col, "k").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    frac = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)  # noqa: E731
+    wide = per_k.groupBy(id_col).agg(
+        *[
+            f
+            for k in grams
+            for f in (
+                frac(
+                    F.max(F.when(F.col("k") == k, F.col("top_cnt"))),
+                    F.max(F.when(F.col("k") == k, F.col("total"))),
+                ).alias(f"top_{k}gram_frac"),
+                frac(
+                    F.max(F.when(F.col("k") == k, F.col("total") - F.col("n_distinct"))),
+                    F.max(F.when(F.col("k") == k, F.col("total"))),
+                ).alias(f"dup_{k}gram_frac"),
+            )
+        ]
+    )
+    # token-less documents produce no exploded rows; re-attach them with
+    # zero fractions so the output covers every input document
+    out = df.select(F.col(id_col)).join(wide, id_col, "left")
+    for k in grams:
+        for c in (f"top_{k}gram_frac", f"dup_{k}gram_frac"):
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    if 2 in grams and 3 in grams:
+        out = out.withColumn(
+            "is_repetitive",
+            (F.col("top_2gram_frac") > top2_max)
+            | (F.col("dup_3gram_frac") > dup3_max),
+        )
+    return out
