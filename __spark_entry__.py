@@ -1221,6 +1221,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontamination.py): flag
+    training docs sharing word 5-grams with a held-out benchmark slice
+    (doc_id % 17 == 0).  Benchmark shingle index broadcast; corpus
+    streams map-side; one shuffle keyed on the contaminated pair."""
+    from tube_spark.operators.decontamination import contamination_pairs
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return contamination_pairs(corpus, bench, n=5, min_hits=1)
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints — any shared run
     of ≥ k+window−1 words between two docs shares a fingerprint."""
@@ -1676,6 +1689,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pivot_status": q_pivot_status,
         "regexp_extract": q_regexp_extract,
         "repetition_stats": q_repetition_stats,
+        "decontamination": q_decontamination,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1739,6 +1753,7 @@ _EXTRA_QUERY_NAMES = (
     "stats_summary",
     "regexp_extract",
     "repetition_stats",
+    "decontamination",
 )
 
 _QUERY_ORDER = (
@@ -2493,6 +2508,31 @@ def _all_oracle_sql() -> dict[str, str]:
                    top_3gram_frac, dup_3gram_frac,
                    (top_2gram_frac > 0.20 OR dup_3gram_frac > 0.30) AS is_repetitive
             FROM fr
+        """,
+        "decontamination": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS sh
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_distinct(list_transform(
+                               generate_series(1, greatest(len(t) - 4, 0)),
+                               i -> array_to_string(t[i:i+4], ' ')))) AS g
+                    FROM tok
+                )
+            ),
+            train AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 17 <> 0),
+            bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 17 = 0),
+            bn AS (SELECT bench_id, count(*) AS bench_n FROM bench GROUP BY 1),
+            hits AS (
+                SELECT train_id, bench_id, count(*) AS n_shared
+                FROM train JOIN bench USING (sh) GROUP BY 1, 2
+            )
+            SELECT train_id, bench_id, n_shared,
+                   round(n_shared / greatest(bench_n, 1), 6) AS bench_frac
+            FROM hits JOIN bn USING (bench_id)
         """,
         "events_json_extract": """
             SELECT event_type,
