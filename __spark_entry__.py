@@ -1234,6 +1234,23 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(corpus, bench, n=5, min_hits=1)
 
 
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted mixture under a token budget
+    (operators/mixture.py): web-scale mixture assembly with a
+    distributed two-phase per-source prefix sum (packing.py pattern,
+    NOT a one-task-per-source window), salted-hash selection order."""
+    from tube_spark.functions.text import tokens as _tokens
+    from tube_spark.operators.mixture import mixture_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    sel = mixture_sample(
+        docs, {"src1": 2.0, "src2": 1.0, "src3": 1.0, "src5": 1.0}, 6000
+    )
+    return sel.select("doc_id", "source", "n_tokens", "cum_before")
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints — any shared run
     of ≥ k+window−1 words between two docs shares a fingerprint."""
@@ -1690,6 +1707,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "regexp_extract": q_regexp_extract,
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
+        "data_mixture": q_data_mixture,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1754,6 +1772,7 @@ _EXTRA_QUERY_NAMES = (
     "regexp_extract",
     "repetition_stats",
     "decontamination",
+    "data_mixture",
 )
 
 _QUERY_ORDER = (
@@ -2533,6 +2552,29 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT train_id, bench_id, n_shared,
                    round(n_shared / greatest(bench_n, 1), 6) AS bench_frac
             FROM hits JOIN bn USING (bench_id)
+        """,
+        "data_mixture": f"""
+            WITH alloc(source, a) AS (
+                VALUES ('src1', 2400), ('src2', 1200), ('src3', 1200), ('src5', 1200)
+            ),
+            t AS (
+                SELECT doc_id, source,
+                       len({_TOK}) AS n_tokens,
+                       ('0x' || substr(md5('mixture|' || doc_id), 1, 8))::BIGINT AS h
+                FROM documents
+                WHERE source IN (SELECT source FROM alloc)
+            ),
+            cum AS (
+                SELECT doc_id, source, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens
+                           AS cum_before
+                FROM t WHERE n_tokens > 0
+            )
+            SELECT c.doc_id, c.source, c.n_tokens::BIGINT AS n_tokens,
+                   c.cum_before::BIGINT AS cum_before
+            FROM cum c JOIN alloc USING (source)
+            WHERE c.cum_before < alloc.a
         """,
         "events_json_extract": """
             SELECT event_type,
