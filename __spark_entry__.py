@@ -1251,6 +1251,15 @@ def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select("doc_id", "source", "n_tokens", "cum_before")
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking (operators/chunking.py): overlapping
+    32-token windows with stride 24, stable (doc, index) identity and
+    offsets.  Map-only — no shuffle in the plan."""
+    from tube_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints — any shared run
     of ≥ k+window−1 words between two docs shares a fingerprint."""
@@ -1708,6 +1717,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "repetition_stats": q_repetition_stats,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
+        "doc_chunking": q_doc_chunking,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1773,6 +1783,7 @@ _EXTRA_QUERY_NAMES = (
     "repetition_stats",
     "decontamination",
     "data_mixture",
+    "doc_chunking",
 )
 
 _QUERY_ORDER = (
@@ -2575,6 +2586,24 @@ def _all_oracle_sql() -> dict[str, str]:
                    c.cum_before::BIGINT AS cum_before
             FROM cum c JOIN alloc USING (source)
             WHERE c.cum_before < alloc.a
+        """,
+        "doc_chunking": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            base AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+            w AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(0,
+                           cast(ceil(greatest(n - 32, 0) / 24.0) AS INTEGER))) AS i
+                FROM base
+            )
+            SELECT doc_id,
+                   i::BIGINT AS chunk_index,
+                   (i * 24)::BIGINT AS start_token,
+                   len(t[i*24+1 : i*24+32])::BIGINT AS n_tokens,
+                   array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text
+            FROM w
         """,
         "events_json_extract": """
             SELECT event_type,
