@@ -295,3 +295,83 @@ def frame_sample_stub(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, schema=schema)
+
+
+def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resize of an uncompressed 24-bit BMP — a REAL
+    pixel kernel (numpy index sampling), re-encoded as a valid BMP.
+    Returns None when the payload is not a parseable BMP."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    offset, = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    h = abs(height)
+    stride = bmp_stride(width)
+    if offset + stride * h > len(payload):
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    pix = rows.reshape(h, stride)[:, : 3 * width].reshape(h, width, 3)
+    # nearest-neighbor index maps (the standard center-aligned grid)
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * width / out_w).astype(np.int64), width - 1)
+    resized = pix[ys][:, xs]  # (out_h, out_w, 3)
+    out_stride = bmp_stride(out_w)
+    out_rows = np.zeros((out_h, out_stride), dtype=np.uint8)
+    out_rows[:, : 3 * out_w] = resized.reshape(out_h, 3 * out_w)
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + out_stride * out_h, 0, 0, 54, 40, out_w,
+        out_h if height > 0 else -out_h, 1, 24, 0,
+        out_stride * out_h, 2835, 2835, 0, 0,
+    )
+    return header + out_rows.tobytes()
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BooleanType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "media",
+    rows_per_batch: int = 256,
+) -> DataFrame:
+    """Resize every BMP payload to (out_w, out_h); non-image payloads
+    pass through unchanged with ``resized=false``.  Same Arrow-batched
+    ``mapInPandas`` shape as ``decode_features`` — pair with
+    ``repartition_for_payload`` so partitions are byte-balanced."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"target dims must be positive, got {out_w}x{out_h}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), rows_per_batch):
+                chunk = pdf.iloc[start : start + rows_per_batch]
+                out = []
+                for i, p in zip(chunk[id_col], chunk[payload_col]):
+                    r = resize_bmp(p, out_w, out_h)
+                    if r is None:
+                        out.append((int(i), p, None, None, False))
+                    else:
+                        out.append((int(i), r, out_w, out_h, True))
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "media", "width", "height", "resized"]
+                )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_RESIZE_SCHEMA
+    )
