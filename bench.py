@@ -43,18 +43,23 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_near_dup",
+    # curation extras (registry extras tier)
+    "repetition_stats",
+    "decontamination",
+    "data_mixture",
+    "doc_chunking",
 ]
 
 
 def main() -> None:
-    from __spark_entry__ import queries
+    from __spark_entry__ import extra_queries, queries
     from tube_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("tube_spark-bench", extra_conf={"spark.ui.enabled": "false"})
 
-    qs = queries()
+    qs = {**queries(), **extra_queries()}
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers with one cheap action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
