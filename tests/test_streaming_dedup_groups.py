@@ -76,3 +76,38 @@ def test_incremental_cost_reads_only_touched_groups(spark, tmp_path):
     inc.process_batch(mk([(99, "entirely different words appear in this one")]))
     after = sorted((r["doc_id"], r["group_id"]) for r in inc.assignments().collect())
     assert after == before + [(99, 99)]
+
+
+def test_true_streaming_foreachbatch(spark, tmp_path):
+    """streaming_dedup_groups over a real file stream (availableNow)
+    matches the batch recompute on the same corpus."""
+    from pyspark.sql import functions as F  # noqa: F811
+    from tube_spark.streaming.dedup_groups import (
+        IncrementalDedupGroups,
+        streaming_dedup_groups,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "stream_src")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+
+    q = streaming_dedup_groups(
+        spark, src, str(tmp_path / "st"),
+        checkpoint_dir=str(tmp_path / "ckpt"), **PARAMS,
+    )
+    q.awaitTermination(120)
+
+    # drop a second file into the watched dir; a new availableNow pass
+    # picks up only the unseen file (checkpoint tracks progress)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+    q2 = streaming_dedup_groups(
+        spark, src, str(tmp_path / "st"),
+        checkpoint_dir=str(tmp_path / "ckpt"), **PARAMS,
+    )
+    q2.awaitTermination(120)
+
+    got = IncrementalDedupGroups(spark, str(tmp_path / "st"), **PARAMS).groups()
+
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", **PARAMS)
+    want = dedup_groups(docs, pairs)
+    assert _rows(got) == _rows(want)

@@ -226,3 +226,41 @@ def replay_stream(
     for b in batches:
         inc.process_batch(b)
     return inc.groups()
+
+
+def streaming_dedup_groups(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    schema=None,
+    checkpoint_dir: str | None = None,
+    **kwargs,
+):
+    """True Structured Streaming wiring: watch ``source_dir`` for new
+    document parquet files and maintain the grouping via
+    ``foreachBatch``.  Runs with ``availableNow`` (process everything
+    present, then stop) — the idiomatic batch-refresh trigger; swap the
+    trigger for continuous ingestion.
+
+    Returns the StreamingQuery; read results with
+    ``IncrementalDedupGroups(spark, state_dir).groups()`` after
+    ``awaitTermination()``.  Exactly-once note: the maintenance is
+    replay-safe at the document level (re-processing a batch re-derives
+    the same pairs and the same min-id assignment; signature/bucket
+    appends are deduplicated downstream by id), so foreachBatch's
+    at-least-once delivery yields the same final grouping.
+    """
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    inc = IncrementalDedupGroups(spark, state_dir, **kwargs)
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        inc.process_batch(batch)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
