@@ -988,6 +988,75 @@ def q_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_ct.unionByName(hll).unionByName(kll)
 
 
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketches — the property that matters at 100 TB: build
+    HLL (distinct orderkeys) and KLL (price quantiles) sketches PER
+    GROUP, then produce the global figures by MERGING the tiny group
+    sketches (hll_union_agg; KLL folded pairwise with reduce) instead
+    of rescanning the fact table.  Same driver contract as
+    sketch_report: each row carries a DuckDB-recomputable exact value
+    plus within-bound booleans computed from the real sketch outputs —
+    * hll: |est−exact|/exact ≤ 0.05;
+    * kll: the exact rank of the sketch median lands in [0.45, 0.55]
+    (both also hold for the MERGED sketches, proving the union/merge
+    path, not just the direct path)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    per = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("hs"),
+        F.kll_sketch_agg_double("l_extendedprice").alias("ks"),
+        F.countDistinct("l_orderkey").alias("cd_exact"),
+    )
+    merged = per.agg(
+        F.hll_union_agg("hs").alias("hs"),
+        F.collect_list("ks").alias("kss"),
+    ).select(
+        F.lit("merged").alias("scope"),
+        "hs",
+        F.reduce(
+            F.slice("kss", 2, 1_000_000),
+            F.col("kss")[0],
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("ks"),
+    )
+    g_exact = li.agg(F.countDistinct("l_orderkey").alias("cd_exact"))
+    scopes = (
+        per.select(F.col("l_returnflag").alias("scope"), "hs", "ks", "cd_exact")
+        .unionByName(merged.crossJoin(F.broadcast(g_exact)))
+        .withColumn("est", F.hll_sketch_estimate("hs"))
+        .withColumn(
+            "med", F.kll_sketch_get_quantile_double("ks", F.lit(0.5))
+        )
+        .select("scope", "cd_exact", "est", "med")
+    )
+    # exact rank of each scope's sketch median: one broadcast of the
+    # 4-row (scope, med) frame onto the fact scan
+    meds = scopes.select("scope", "med")
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .crossJoin(F.broadcast(meds))
+        .filter((F.col("scope") == F.col("l_returnflag")) | (F.col("scope") == "merged"))
+        .groupBy("scope")
+        .agg(
+            F.avg(
+                F.when(F.col("l_extendedprice") <= F.col("med"), 1.0).otherwise(0.0)
+            ).alias("rank_le")
+        )
+    )
+    return (
+        scopes.join(ranks, "scope")
+        .select(
+            "scope",
+            F.col("cd_exact").cast("double").alias("exact_distinct"),
+            (F.abs(F.col("est") - F.col("cd_exact")) / F.col("cd_exact") <= 0.05).alias(
+                "hll_within_bound"
+            ),
+            (F.abs(F.col("rank_le") - 0.5) <= 0.05).alias("kll_rank_within_bound"),
+        )
+    )
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: ranking window — top-2 orders per customer by price."""
     from pyspark.sql import Window
@@ -1718,6 +1787,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
+        "sketch_rollup": q_sketch_rollup,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1784,6 +1854,7 @@ _EXTRA_QUERY_NAMES = (
     "decontamination",
     "data_mixture",
     "doc_chunking",
+    "sketch_rollup",
 )
 
 _QUERY_ORDER = (
@@ -2604,6 +2675,16 @@ def _all_oracle_sql() -> dict[str, str]:
                    len(t[i*24+1 : i*24+32])::BIGINT AS n_tokens,
                    array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text
             FROM w
+        """,
+        "sketch_rollup": """
+            SELECT l_returnflag AS scope,
+                   count(DISTINCT l_orderkey)::DOUBLE AS exact_distinct,
+                   TRUE AS hll_within_bound,
+                   TRUE AS kll_rank_within_bound
+            FROM lineitem GROUP BY 1
+            UNION ALL
+            SELECT 'merged', count(DISTINCT l_orderkey)::DOUBLE, TRUE, TRUE
+            FROM lineitem
         """,
         "events_json_extract": """
             SELECT event_type,
