@@ -111,3 +111,20 @@ def test_true_streaming_foreachbatch(spark, tmp_path):
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", **PARAMS)
     want = dedup_groups(docs, pairs)
     assert _rows(got) == _rows(want)
+
+
+def test_at_least_once_redelivery_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing the same batch
+    (duplicate bucket/sig state rows included) must leave the grouping
+    unchanged."""
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    inc = IncrementalDedupGroups(spark, str(tmp_path / "s4"), **PARAMS)
+    b1 = mk([(1, "aaa bbb ccc ddd eee"), (2, "aaa bbb ccc ddd eee"), (3, "other words entirely")])
+    inc.process_batch(b1)
+    first = _rows(inc.groups())
+    inc.process_batch(b1)  # redelivery
+    assert _rows(inc.groups()) == first
+    b2 = mk([(4, "aaa bbb ccc ddd eee")])
+    inc.process_batch(b2)  # later batch still merges correctly
+    got = {r["doc_id"]: r["group_id"] for r in inc.assignments().collect()}
+    assert got[4] == got[1] == got[2] == 1 and got[3] == 3

@@ -207,10 +207,15 @@ class IncrementalDedupGroups:
             .select(F.col(ic), F.col(ic).alias("group_id"))
         )
         new_assign = carried.unionByName(resolved).unionByName(singleton)
-        self._publish_assignments(new_assign)
-
+        # state append BEFORE the assignment publish: a crash in between
+        # re-delivers the batch (foreachBatch is at-least-once), and
+        # duplicate bucket/sig rows are harmless — candidates pass a
+        # distinct() and CC dedups edges — whereas the reverse order
+        # could publish assignments for docs whose buckets were never
+        # stored, silently losing their future pairs
         buckets_new.write.mode("append").parquet(self._bucket_dir)
         sig_new.write.mode("append").parquet(self._sig_dir)
+        self._publish_assignments(new_assign)
 
 
 def replay_stream(
