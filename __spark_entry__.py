@@ -1658,6 +1658,72 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdicts — the full round-4 gate stack in
+    ONE plan with per-stage observability (why was each doc dropped):
+    quality gate, Gopher repetition gate, benchmark decontamination
+    (5-gram leak vs the doc_id%17==0 eval slice), exact-dup canonical
+    selection among gate survivors, and near-dup drop among canonicals.
+    ``selected`` ANDs the stages in pipeline order.  Every flag is
+    independently recomputed by the DuckDB oracle."""
+    from tube_spark.operators.decontamination import contamination_pairs
+    from tube_spark.operators.dedup import exact_duplicates, ngram_jaccard_pairs
+    from tube_spark.operators.text_analysis import repetition_stats, text_stats
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+
+    q = text_stats(corpus).select(
+        "doc_id", (F.col("quality_score") >= 0.5).alias("passed_quality")
+    )
+    r = repetition_stats(corpus).select(
+        "doc_id", (~F.col("is_repetitive")).alias("passed_repetition")
+    )
+    contaminated = (
+        contamination_pairs(corpus, bench, n=5, min_hits=1)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_contaminated", F.lit(True))
+    )
+    flags = (
+        corpus.select("doc_id", "text")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .withColumn("not_contaminated", F.coalesce(~F.col("_contaminated"), F.lit(True)))
+        .drop("_contaminated")
+    )
+    survivors = flags.filter(
+        F.col("passed_quality") & F.col("passed_repetition") & F.col("not_contaminated")
+    ).select("doc_id", "text")
+    canon = exact_duplicates(survivors, "doc_id", "text", normalized=False).select(
+        F.col("canonical_id").alias("doc_id"), F.lit(True).alias("_canon")
+    )
+    canon_docs = survivors.join(canon.select("doc_id"), "doc_id")
+    near_dropped = (
+        ngram_jaccard_pairs(canon_docs, "doc_id", "text", n=1, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_neardup", F.lit(True))
+    )
+    return (
+        flags.join(canon, "doc_id", "left")
+        .join(near_dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "passed_quality",
+            "passed_repetition",
+            "not_contaminated",
+            F.coalesce("_canon", F.lit(False)).alias("is_canonical"),
+            (
+                F.coalesce("_canon", F.lit(False))
+                & F.coalesce(~F.col("_neardup"), F.lit(True))
+            ).alias("selected"),
+        )
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode: deterministic BMP images (even doc_ids)
     and PCM WAVs (odd doc_ids) are synthesized as genuine container
@@ -1788,6 +1854,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
         "sketch_rollup": q_sketch_rollup,
+        "curation_report": q_curation_report,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1855,6 +1922,7 @@ _EXTRA_QUERY_NAMES = (
     "data_mixture",
     "doc_chunking",
     "sketch_rollup",
+    "curation_report",
 )
 
 _QUERY_ORDER = (
@@ -2685,6 +2753,94 @@ def _all_oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'merged', count(DISTINCT l_orderkey)::DOUBLE, TRUE, TRUE
             FROM lineitem
+        """,
+        "curation_report": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+            ),
+            tok AS (SELECT doc_id, text, {_TOK} AS toks FROM corpus),
+            q AS (
+                SELECT doc_id,
+                       round(least(len(toks) / 50.0, 1.0) * 0.4
+                             + CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                                         / greatest(len(toks), 1) BETWEEN 3 AND 10
+                                    THEN 0.3 ELSE 0.0 END
+                             + least(len(list_filter(toks, x -> x IN ('the','and','of',
+                                   'to','in','is','that','for','with','as')))
+                                   / cast(greatest(len(toks), 1) AS DOUBLE) * 3, 0.3),
+                             6) >= 0.5 AS passed_quality
+                FROM tok
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                      i -> concat(toks[i], ' ', toks[i + 1])) AS g2,
+                       list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                      i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) AS g3
+                FROM tok
+            ),
+            rep AS (
+                SELECT doc_id,
+                       NOT (round(list_max(list_prepend(0, list_transform(list_distinct(g2),
+                                  d -> len(list_filter(g2, x -> x = d)))))
+                                  / greatest(len(g2), 1), 6) > 0.20
+                            OR round((len(g3) - len(list_distinct(g3)))::DOUBLE
+                                  / greatest(len(g3), 1), 6) > 0.30) AS passed_repetition
+                FROM grams
+            ),
+            sh5 AS (
+                SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS sh
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_distinct(list_transform(
+                               generate_series(1, greatest(len({_TOK}) - 4, 0)),
+                               i -> array_to_string(({_TOK})[i:i+4], ' ')))) AS g
+                    FROM documents
+                )
+            ),
+            contaminated AS (
+                SELECT DISTINCT t.doc_id
+                FROM sh5 t JOIN sh5 b ON t.sh = b.sh
+                WHERE t.doc_id % 17 <> 0 AND b.doc_id % 17 = 0
+            ),
+            flags AS (
+                SELECT tok.doc_id, tok.text, q.passed_quality, rep.passed_repetition,
+                       tok.doc_id NOT IN (SELECT doc_id FROM contaminated) AS not_contaminated
+                FROM tok JOIN q USING (doc_id) JOIN rep USING (doc_id)
+            ),
+            surv AS (
+                SELECT doc_id, text FROM flags
+                WHERE passed_quality AND passed_repetition AND not_contaminated
+            ),
+            canon AS (
+                SELECT doc_id,
+                       doc_id = min(doc_id) OVER (PARTITION BY text) AS is_canonical
+                FROM surv
+            ),
+            cd AS (
+                SELECT s.doc_id, s.text FROM surv s JOIN canon c USING (doc_id)
+                WHERE c.is_canonical
+            ),
+            shu AS (
+                SELECT DISTINCT doc_id, unnest(list_distinct({_TOK})) AS s FROM cd
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shu GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM shu a JOIN shu b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            neardup AS (
+                SELECT DISTINCT i.id_b AS doc_id
+                FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
+                             JOIN sizes sb ON i.id_b = sb.doc_id
+                WHERE i.n_inter / cast(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.8
+            )
+            SELECT f.doc_id, f.passed_quality, f.passed_repetition, f.not_contaminated,
+                   coalesce(c.is_canonical, FALSE) AS is_canonical,
+                   (coalesce(c.is_canonical, FALSE)
+                    AND f.doc_id NOT IN (SELECT doc_id FROM neardup)) AS selected
+            FROM flags f LEFT JOIN canon c USING (doc_id)
         """,
         "events_json_extract": """
             SELECT event_type,
