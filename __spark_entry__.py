@@ -1489,47 +1489,15 @@ def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval over the documents table for a fixed
-    3-term query.  Corpus statistics (N, avgdl, per-term df) are tiny
+    3-term query.  Delegates to ``operators/retrieval.py`` (library
+    home since r4): corpus statistics (N, avgdl, per-term df) are tiny
     aggregates broadcast into the scoring join; per-(doc, term)
     frequencies come from one explode + one shuffle.  Top-20 via
     TakeOrderedAndProject.  k1=1.2, b=0.75."""
-    from tube_spark.functions.text import tokens
+    from tube_spark.operators.retrieval import bm25_topk
 
-    terms = ["join", "spark", "dup"]
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    doclen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        tok.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    k1, b = 1.2, 0.75
-    idf = F.ln(
-        1.0
-        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tf_norm = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf")
-        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
-    return (
-        tf.join(F.broadcast(df_), "term")
-        .join(doclen, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("contrib", idf * tf_norm)
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("contrib"), 6).alias("bm25"),
-            F.count(F.lit(1)).alias("n_matched_terms"),
-        )
-        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(20)
-    )
+    return bm25_topk(docs, ["join", "spark", "dup"], k=20)
 
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1665,7 +1633,13 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (5-gram leak vs the doc_id%17==0 eval slice), exact-dup canonical
     selection among gate survivors, and near-dup drop among canonicals.
     ``selected`` ANDs the stages in pipeline order.  Every flag is
-    independently recomputed by the DuckDB oracle."""
+    independently recomputed by the DuckDB oracle.
+
+    The near-dup stage uses TRIGRAM Jaccard: a unigram inverted index
+    over a small shared vocabulary degenerates toward all-pairs as the
+    corpus grows (measured at sf1), while 3-word runs keep the index
+    sparse at any scale — the selectivity-vs-n trade every shingle
+    pipeline must make."""
     from tube_spark.operators.decontamination import contamination_pairs
     from tube_spark.operators.dedup import exact_duplicates, ngram_jaccard_pairs
     from tube_spark.operators.text_analysis import repetition_stats, text_stats
@@ -1702,7 +1676,7 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon_docs = survivors.join(canon.select("doc_id"), "doc_id")
     near_dropped = (
-        ngram_jaccard_pairs(canon_docs, "doc_id", "text", n=1, threshold=0.8)
+        ngram_jaccard_pairs(canon_docs, "doc_id", "text", n=3, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("_neardup", F.lit(True))
@@ -2822,7 +2796,11 @@ def _all_oracle_sql() -> dict[str, str]:
                 WHERE c.is_canonical
             ),
             shu AS (
-                SELECT DISTINCT doc_id, unnest(list_distinct({_TOK})) AS s FROM cd
+                SELECT DISTINCT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len({_TOK}) - 2, 0)),
+                           i -> array_to_string(({_TOK})[i:i+2], ' ')))) AS s
+                FROM cd
             ),
             sizes AS (SELECT doc_id, count(*) AS sz FROM shu GROUP BY 1),
             inter AS (
@@ -2834,7 +2812,7 @@ def _all_oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT i.id_b AS doc_id
                 FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id
                              JOIN sizes sb ON i.id_b = sb.doc_id
-                WHERE i.n_inter / cast(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.8
+                WHERE i.n_inter / cast(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
             )
             SELECT f.doc_id, f.passed_quality, f.passed_repetition, f.not_contaminated,
                    coalesce(c.is_canonical, FALSE) AS is_canonical,
