@@ -1698,6 +1698,27 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table
+    (operators/quantize.py): per-dimension affine codes in [-127, 127]
+    with bit-reproducible floor(x+0.5) rounding.  Output is
+    integer-exact per-vector code checksums, so the driver hash-checks
+    the quantization kernel itself, not a float approximation."""
+    from tube_spark.operators.quantize import quantize_embeddings
+
+    emb = _emb(spark, sf_dir)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "n_dims",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode: deterministic BMP images (even doc_ids)
     and PCM WAVs (odd doc_ids) are synthesized as genuine container
@@ -1829,6 +1850,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "doc_chunking": q_doc_chunking,
         "sketch_rollup": q_sketch_rollup,
         "curation_report": q_curation_report,
+        "embedding_quantize": q_embedding_quantize,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1897,6 +1919,7 @@ _EXTRA_QUERY_NAMES = (
     "doc_chunking",
     "sketch_rollup",
     "curation_report",
+    "embedding_quantize",
 )
 
 _QUERY_ORDER = (
@@ -2819,6 +2842,30 @@ def _all_oracle_sql() -> dict[str, str]:
                    (coalesce(c.is_canonical, FALSE)
                     AND f.doc_id NOT IN (SELECT doc_id FROM neardup)) AS selected
             FROM flags f LEFT JOIN canon c USING (doc_id)
+        """,
+        "embedding_quantize": """
+            WITH ex AS (
+                SELECT vec_id,
+                       unnest(generate_series(1, len(embedding))) AS i,
+                       unnest(embedding)::DOUBLE AS x
+                FROM embeddings
+            ),
+            rng AS (
+                SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY 1
+            ),
+            codes AS (
+                SELECT e.vec_id,
+                       CASE WHEN r.hi > r.lo
+                            THEN floor((e.x - r.lo) / ((r.hi - r.lo) / 254.0)
+                                       + 0.5)::BIGINT - 127
+                            ELSE 0 END AS code
+                FROM ex e JOIN rng r USING (i)
+            )
+            SELECT vec_id, count(*)::BIGINT AS n_dims,
+                   sum(code)::BIGINT AS code_sum,
+                   min(code)::BIGINT AS code_min,
+                   max(code)::BIGINT AS code_max
+            FROM codes GROUP BY 1
         """,
         "events_json_extract": """
             SELECT event_type,

@@ -1,0 +1,63 @@
+"""operators/quantize.py: int8 scalar quantization round-trip laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tube_spark.operators.quantize import (
+    dequantize_codes,
+    dimension_ranges,
+    quantize_embeddings,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_codes_in_int8_range_and_roundtrip_bound(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ranges = dimension_ranges(emb)
+    q = quantize_embeddings(emb, ranges=ranges)
+    lim = q.select(
+        F.array_min("codes").alias("mn"), F.array_max("codes").alias("mx")
+    ).agg(F.min("mn"), F.max("mx")).first()
+    assert lim[0] >= -127 and lim[1] <= 127
+
+    # dequantize error per dimension is at most scale/2 + float32 noise
+    deq = dequantize_codes(q, ranges)
+    joined = emb.join(deq, "vec_id").select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("vector"),
+                    lambda a, b: F.abs(a.cast("double") - b),
+                )
+            )
+        ).alias("max_err")
+    ).first()
+    max_scale = max((h - l) / 254.0 for l, h in ranges)
+    assert joined["max_err"] <= max_scale / 2 + 1e-6
+
+
+def test_extreme_values_hit_code_bounds(spark):
+    df = _vecs(spark, [(1, [0.0, 10.0]), (2, [10.0, 0.0])])
+    got = {r["vec_id"]: r["codes"] for r in quantize_embeddings(df).collect()}
+    assert got[1] == [-127, 127]
+    assert got[2] == [127, -127]
+
+
+def test_constant_dimension_codes_zero(spark):
+    df = _vecs(spark, [(1, [5.0, 1.0]), (2, [5.0, 2.0])])
+    got = {r["vec_id"]: r["codes"] for r in quantize_embeddings(df).collect()}
+    assert got[1][0] == 0 and got[2][0] == 0  # constant dim -> 0
+    assert got[1][1] == -127 and got[2][1] == 127
+
+
+def test_frozen_ranges_reused_for_new_data(spark):
+    train = _vecs(spark, [(1, [0.0]), (2, [10.0])])
+    ranges = dimension_ranges(train)
+    new = _vecs(spark, [(3, [5.0])])
+    got = quantize_embeddings(new, ranges=ranges).collect()[0]
+    assert got["codes"] == [0]  # midpoint of the frozen range
