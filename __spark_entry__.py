@@ -1719,6 +1719,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality signal (operators/retrieval.py): per-doc
+    average negative log-likelihood + perplexity under the corpus
+    unigram model with add-1 smoothing — vocabulary-sized model
+    broadcast, linear in corpus tokens."""
+    from tube_spark.operators.retrieval import unigram_lm_score
+
+    return unigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode: deterministic BMP images (even doc_ids)
     and PCM WAVs (odd doc_ids) are synthesized as genuine container
@@ -1851,6 +1861,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sketch_rollup": q_sketch_rollup,
         "curation_report": q_curation_report,
         "embedding_quantize": q_embedding_quantize,
+        "lm_score": q_lm_score,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1920,6 +1931,7 @@ _EXTRA_QUERY_NAMES = (
     "sketch_rollup",
     "curation_report",
     "embedding_quantize",
+    "lm_score",
 )
 
 _QUERY_ORDER = (
@@ -2866,6 +2878,21 @@ def _all_oracle_sql() -> dict[str, str]:
                    min(code)::BIGINT AS code_min,
                    max(code)::BIGINT AS code_max
             FROM codes GROUP BY 1
+        """,
+        "lm_score": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+            totals AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts)
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   round(avg(-ln((c.cnt + 1.0) / (tt.total + tt.vocab))), 6)
+                       AS avg_nll,
+                   round(exp(avg(-ln((c.cnt + 1.0) / (tt.total + tt.vocab)))), 4)
+                       AS ppl
+            FROM tok t JOIN counts c USING (term) CROSS JOIN totals tt
+            GROUP BY 1
         """,
         "events_json_extract": """
             SELECT event_type,

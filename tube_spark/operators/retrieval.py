@@ -75,3 +75,44 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document unigram negative log-likelihood under the corpus
+    unigram model — the classic cheap fluency/quality signal (a KenLM
+    perplexity proxy without the external model): documents whose token
+    distribution diverges from the corpus score high.
+
+    p(term) = (count + alpha) / (total + alpha * vocab)   (add-alpha)
+    avg_nll = mean over the doc's tokens of -ln p(term)
+    ppl     = exp(avg_nll)
+
+    One explode, one (term) count aggregation whose result is
+    vocabulary-sized (broadcast into the scoring join), one per-doc
+    aggregation keyed on id — linear in corpus tokens.  Token-less
+    documents are omitted (no likelihood to report).
+    """
+    tok, _ = term_stats(docs, id_col, text_col)
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    p = (F.col("cnt") + F.lit(alpha)) / (
+        F.col("total") + F.lit(alpha) * F.col("vocab")
+    )
+    return (
+        tok.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("nll", -F.ln(p))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
+        )
+    )
