@@ -128,3 +128,23 @@ def test_at_least_once_redelivery_is_idempotent(spark, tmp_path):
     inc.process_batch(b2)  # later batch still merges correctly
     got = {r["doc_id"]: r["group_id"] for r in inc.assignments().collect()}
     assert got[4] == got[1] == got[2] == 1 and got[3] == 3
+
+
+def test_gc_versions_keeps_current(spark, tmp_path):
+    import os
+
+    import pytest
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    inc = IncrementalDedupGroups(spark, str(tmp_path / "s5"), **PARAMS)
+    for i in range(4):  # four publishes -> assignments_0..3
+        inc.process_batch(mk([(100 + i, f"unique words number {chr(97 + i)} here")]))
+    before = sorted(d for d in os.listdir(inc.state_dir) if d.startswith("assignments_"))
+    assert before == ["assignments_0", "assignments_1", "assignments_2", "assignments_3"]
+    removed = inc.gc_versions(keep=2)
+    assert removed == ["assignments_0", "assignments_1"]
+    left = sorted(d for d in os.listdir(inc.state_dir) if d.startswith("assignments_"))
+    assert left == ["assignments_2", "assignments_3"]
+    assert inc.assignments().count() == 4  # current version untouched
+    with pytest.raises(ValueError):
+        inc.gc_versions(keep=0)

@@ -113,6 +113,27 @@ class IncrementalDedupGroups:
             f.write(f"assignments_{ver}")
         os.replace(tmp, self._assign_pointer())
 
+    def gc_versions(self, keep: int = 2) -> list[str]:
+        """Delete assignment versions older than the newest ``keep``
+        (the out-of-band GC the publish path defers to).  The current
+        version is never deleted; returns the removed directory names."""
+        import re
+        import shutil
+
+        if keep < 1:
+            raise ValueError(f"keep must be >= 1, got {keep}")
+        vers = sorted(
+            (
+                int(m.group(1))
+                for d in os.listdir(self.state_dir)
+                if (m := re.fullmatch(r"assignments_(\d+)", d))
+            ),
+        )
+        victims = [f"assignments_{v}" for v in vers[:-keep]]
+        for d in victims:
+            shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+        return victims
+
     # -- public API ------------------------------------------------------
     def assignments(self) -> DataFrame:
         """Current (doc_id, group_id); empty frame before any batch."""
