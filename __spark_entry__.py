@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tube_spark.config.mapping import parse_mapping
+from tube_spark.queries import tpch as _tpch
 from tube_spark.plans.translator import Aggregator, Collector, Pipeline
 from tube_spark.sources.relational import star_schema_source
 
@@ -1885,6 +1886,20 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_decode": q_multimodal_decode,
         "streaming_events_window": q_streaming_events_window,
         "ann_recall_report": q_ann_recall_report,
+        # TPC-H shape completion (tube_spark/queries/tpch.py) — with the
+        # ten shapes above this covers all 22 TPC-H query shapes
+        "forecast_revenue": _tpch.forecast_revenue,
+        "volume_shipping": _tpch.volume_shipping,
+        "market_share": _tpch.market_share,
+        "product_profit": _tpch.product_profit,
+        "cheapest_supplier": _tpch.cheapest_supplier,
+        "important_nation_volume": _tpch.important_nation_volume,
+        "top_supplier": _tpch.top_supplier,
+        "parts_supplier_counts": _tpch.parts_supplier_counts,
+        "small_qty_revenue": _tpch.small_qty_revenue,
+        "discounted_brand_revenue": _tpch.discounted_brand_revenue,
+        "excess_quantity_suppliers": _tpch.excess_quantity_suppliers,
+        "waiting_suppliers": _tpch.waiting_suppliers,
     }
 
 
@@ -1932,6 +1947,20 @@ _EXTRA_QUERY_NAMES = (
     "curation_report",
     "embedding_quantize",
     "lm_score",
+    # TPC-H shape completion (all 22 shapes now covered across the
+    # windowed + extras tiers)
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "cheapest_supplier",
+    "important_nation_volume",
+    "top_supplier",
+    "parts_supplier_counts",
+    "small_qty_revenue",
+    "discounted_brand_revenue",
+    "excess_quantity_suppliers",
+    "waiting_suppliers",
 )
 
 _QUERY_ORDER = (
@@ -3209,6 +3238,175 @@ def _all_oracle_sql() -> dict[str, str]:
         # ann_lsh_topk / ann_ivf_topk / embedding_near_dup /
         # streaming_events_window are approximate (engine-specific hash or
         # sampling choices) or non-SQL-expressible → rows-only checks.
+        # -- TPC-H shape completion (tube_spark/queries/tpch.py) --
+        "forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "volume_shipping": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       year(l_shipdate) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+                  AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31 23:59:59'
+            ) GROUP BY 1, 2, 3
+        """,
+        "market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN nation = 'NATION_15' THEN volume
+                                  ELSE 0 END) / sum(volume), 6) AS mkt_share
+            FROM (
+                SELECT year(o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n1.n_name AS nation
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+            ) GROUP BY 1
+        """,
+        "product_profit": """
+            SELECT nation, o_year, round(sum(amount), 2)::DOUBLE AS profit
+            FROM (
+                SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                       l_extendedprice::DECIMAL(18,2)
+                           * (1 - l_discount::DECIMAL(18,2))
+                         - p_retailprice::DECIMAL(18,2)
+                           * l_quantity::DECIMAL(18,2) / 2 AS amount
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE p_name LIKE '%widget%'
+            ) GROUP BY 1, 2
+        """,
+        "cheapest_supplier": """
+            WITH costs AS (
+                SELECT l_partkey, s_suppkey, s_name,
+                       min(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+                GROUP BY 1, 2, 3
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY l_partkey
+                    ORDER BY unit_cost, s_suppkey) AS rn
+                FROM costs
+            )
+            SELECT p_partkey, p_name, s_name AS supplier,
+                   round(unit_cost, 6) AS unit_cost
+            FROM r JOIN part ON p_partkey = l_partkey WHERE rn = 1
+        """,
+        "important_nation_volume": """
+            WITH v AS (
+                SELECT n_name, sum(l_extendedprice * l_quantity) AS val
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY 1
+            ), tot AS (SELECT sum(val) AS t FROM v)
+            SELECT n_name, round(val, 2) AS value
+            FROM v, tot WHERE val > 0.04 * t
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT s_suppkey, s_name,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_revenue
+                FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+                GROUP BY 1, 2
+            )
+            SELECT s_suppkey, s_name, total_revenue FROM rev
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "parts_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_size IN (1, 4, 7, 10, 15, 20, 25, 30)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+            GROUP BY 1, 2, 3
+        """,
+        "small_qty_revenue": """
+            WITH avg_qty AS (
+                SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
+                FROM lineitem GROUP BY 1
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN avg_qty ON pk = l_partkey
+            WHERE p_brand = 'Brand#13' AND l_quantity < half_avg
+        """,
+        "discounted_brand_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 5 AND 35)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 10 AND 50)
+        """,
+        "excess_quantity_suppliers": """
+            WITH part_qty AS (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       sum(l_quantity) AS sq
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE '%widget%'
+                  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+                GROUP BY 1, 2
+            ), tot AS (SELECT pk, sum(sq) AS tq FROM part_qty GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM part_qty JOIN tot USING (pk)
+            JOIN supplier ON s_suppkey = sk
+            WHERE sq > 0.3 * tq
+        """,
+        "waiting_suppliers": """
+            WITH late AS (
+                SELECT DISTINCT l_orderkey, l_suppkey
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F'
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            ), allsup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+            SELECT s_name, count(*) AS numwait FROM (
+                SELECT l1.l_orderkey, l1.l_suppkey
+                FROM late l1
+                WHERE EXISTS (SELECT 1 FROM allsup l2
+                              WHERE l2.l_orderkey = l1.l_orderkey
+                                AND l2.l_suppkey <> l1.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM late l3
+                                  WHERE l3.l_orderkey = l1.l_orderkey
+                                    AND l3.l_suppkey <> l1.l_suppkey)
+            ) w JOIN supplier ON s_suppkey = l_suppkey
+            GROUP BY 1
+        """,
     }
 
 

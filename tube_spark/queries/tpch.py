@@ -1,0 +1,423 @@
+"""TPC-H shape completion: the twelve query shapes the suite was missing.
+
+Together with the ten shapes already in ``__spark_entry__`` (Q1 Q3 Q4 Q5
+Q10 Q12 Q13 Q14 Q18 Q22) these cover all 22 TPC-H query shapes.  The
+synthetic star schema has no ``partsupp`` table, so the four
+partsupp-dependent queries (Q2 Q11 Q16 Q20) are re-expressed over
+``lineitem`` with the same *plan shape* (min-per-group argmin,
+share-of-global HAVING, distinct-count with NOT-IN, semi-join on a
+derived aggregate); the substitution is documented per query.
+
+Every function returns a DataFrame whose columns match its DuckDB
+oracle in ``__spark_entry__._all_oracle_sql`` byte-for-byte (same
+aliases, same rounding), per the driver-contract rules:
+DuckDB ``sum(BIGINT)``/``count`` → cast to BIGINT; floats rounded on
+both sides; timestamps compared in UTC.
+
+Scale notes (100 TB posture) are in each docstring: every query is a
+scan→broadcast-dim-join→shuffle-agg pipeline with filters pushed to the
+parquet scan; none materializes an unbounded intermediate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan–filter–aggregate.
+
+    The whole query is one map-side partial agg + a single-row final agg:
+    no join, no wide shuffle.  All three predicates push into the parquet
+    scan (PushedFilters), and only 4 of 11 lineitem columns are read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue flow between two nations by ship year.
+
+    supplier→nation and customer→nation are broadcast dims; the nation
+    pair filter is applied AFTER the broadcast joins but Catalyst pushes
+    the OR-pair predicate into the join outputs, so only matching rows
+    reach the final (nation, nation, year) aggregate — which has at most
+    2×years groups."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+        | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional revenue by order year.
+
+    The share is a conditional aggregate — ``sum(when(nation = X))`` over
+    ``sum(volume)`` in ONE groupBy, not two scans.  Region restricts the
+    customer side (broadcast); part type restricts the part side
+    (broadcast); supplier nation only tags rows for the numerator."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    sn = F.broadcast(
+        s.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+            s.s_nationkey == F.col("snk"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == F.col("c_custkey"))
+        .join(sn, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_15", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit by supplier nation and order year for parts
+    matching a name pattern.
+
+    partsupp-less adaptation: supply cost is modeled as
+    ``0.5 * p_retailprice`` (a deterministic function of the part row the
+    join already carries), keeping Q9's plan shape — a LIKE-filtered
+    part broadcast pruning the fact scan, two more broadcast dims, and a
+    (nation × year) aggregate.
+
+    The amount is computed in DECIMAL: a subtraction-heavy double sum
+    lands within 1e-9 of a .005 rounding boundary often enough to flip
+    the last rounded digit per engine summation order (observed at both
+    sf0.001 and sf0.01), and per-row double rounding diverges on
+    half-way binary values.  The money columns are exact 2-decimal
+    values, so decimal casts are lossless and every product/sum is
+    exact — the natural choice for currency at any scale (still
+    whole-stage-codegen JVM arithmetic)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    amount = (
+        dec("l_extendedprice") * (1 - dec("l_discount"))
+        - dec("p_retailprice") * dec("l_quantity") / 2
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+def cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp-less): per part, the region's supplier
+    with the lowest observed unit price.
+
+    The reference shape is min-cost-supplier-per-part; here unit cost is
+    ``min(l_extendedprice / l_quantity)`` per (part, supplier) from the
+    fact table.  Two-level aggregate then argmin via row_number over a
+    (part)-partitioned window — one shuffle on l_partkey which the
+    window REUSES (same key), so the argmin adds sort, not exchange.
+    Deterministic tie-break on s_suppkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part")
+    eu_supp = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name")
+    )
+    costs = (
+        li.join(eu_supp, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("supplier"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+def important_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp-less): nations whose shipped value
+    exceeds a fraction of the GLOBAL total.
+
+    The global total is a one-row aggregate of the already-computed
+    per-nation values — re-aggregated from 25 rows, not rescanned — and
+    joined back by broadcast (a crossJoin of one row, the engine's
+    standard scalar-subquery pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    total = per_nation.agg(F.sum("val").alias("t"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > 0.04 * F.col("t"))
+        .select("n_name", F.round("val", 2).alias("value"))
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The max is a one-row re-aggregate of the per-supplier revenues
+    (broadcast back, crossJoin-of-one-row); ties all surface, as in the
+    reference query.  Revenue is rounded BEFORE the max comparison on
+    both engines so float representation cannot split a tie."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp-less): distinct supplier count per part
+    attribute group, excluding a supplier blacklist.
+
+    The blacklist NOT IN compiles to a broadcast left-anti join (never a
+    full-shuffle anti); supplier-part relationships come from lineitem.
+    count(DISTINCT) shuffles once on the (brand, type, size) key with
+    partial distinct-aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 7, 10, 15, 20, 25, 30))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%7%")).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from orders below 50% of a part's average
+    quantity.
+
+    The correlated subquery becomes a per-part average computed once
+    (shuffle on l_partkey) and joined back; with a brand-filtered probe
+    side the per-part averages of the FULL table are still needed (the
+    average is over all lineitems of the part, not the brand subset), so
+    the aggregate is built unfiltered and the brand filter prunes the
+    probe — exactly the reference semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    half_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(half_avg, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of three (brand, size, quantity) windows.
+
+    The OR-of-ANDs predicate spans both tables, so it cannot prune the
+    fact scan alone; the per-branch part predicates
+    (brand + size) ARE pushable into the broadcast part side as their
+    disjunction, which Catalyst extracts automatically — the join output
+    then applies the residual quantity conjuncts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(5, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(10, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp-less): suppliers holding an outsized
+    share of a part family's shipments.
+
+    Two-level aggregate — (part, supplier) sums, re-aggregated to
+    per-part totals (25-nation-scale small) — then the share predicate
+    and a distinct projection to supplier identity.  The per-part total
+    join keys on l_partkey, reusing the first aggregate's partitioning."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    part_qty = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    tot = part_qty.groupBy("pk").agg(F.sum("sq").alias("tq"))
+    return (
+        part_qty.join(tot, "pk")
+        .filter(F.col("sq") > 0.3 * F.col("tq"))
+        .join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late shipper on
+    multi-supplier failed orders.
+
+    EXISTS → left_semi (another supplier in the order), NOT EXISTS →
+    left_anti (no OTHER supplier late).  Both probe sides are keyed on
+    l_orderkey, so the semi and anti reuse one shuffle of the late set;
+    late-ness is derived as shipdate > orderdate + 60 days (the schema
+    carries no receipt/commit dates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sup = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    l2 = all_sup.alias("l2")
+    l3 = late.alias("l3")
+    sole_late = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
