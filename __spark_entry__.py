@@ -1613,6 +1613,24 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_near_pairs(emb, threshold=0.3)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster → within-cluster pairwise
+    cosine → keep-lowest-id verdict, with PORTABLE integer-lattice
+    centroids so the entire pipeline (assignment argmax included) is
+    reproduced value-for-value by the DuckDB oracle — the same
+    portability device as ``minhash_lsh``.  The k-means path
+    (``centroids="kmeans"``, the paper's quantizer) is recall-checked in
+    tests/test_semdedup.py instead.  θ=0.4 because the synthetic
+    embeddings have no true near-duplicates (max pairwise cosine ≈0.51);
+    the verdict logic is threshold-independent."""
+    from tube_spark.operators.semdedup import lattice_centroids, semdedup_report
+
+    emb = _emb(spark, sf_dir)
+    return semdedup_report(
+        emb, threshold=0.4, centroids=lattice_centroids(8, 64)
+    ).select("vec_id", "cluster", "cluster_size", "n_near_dups", "is_kept")
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: quality gate → exact dedup → near-dup
     drop → embedding enrichment, one Catalyst plan."""
@@ -1888,6 +1906,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_recall_report": q_ann_recall_report,
         # TPC-H shape completion (tube_spark/queries/tpch.py) — with the
         # ten shapes above this covers all 22 TPC-H query shapes
+        "semantic_dedup": q_semantic_dedup,
         "forecast_revenue": _tpch.forecast_revenue,
         "volume_shipping": _tpch.volume_shipping,
         "market_share": _tpch.market_share,
@@ -1947,6 +1966,7 @@ _EXTRA_QUERY_NAMES = (
     "curation_report",
     "embedding_quantize",
     "lm_score",
+    "semantic_dedup",
     # TPC-H shape completion (all 22 shapes now covered across the
     # windowed + extras tiers)
     "forecast_revenue",
@@ -3238,6 +3258,42 @@ def _all_oracle_sql() -> dict[str, str]:
         # ann_lsh_topk / ann_ivf_topk / embedding_near_dup /
         # streaming_events_window are approximate (engine-specific hash or
         # sampling choices) or non-SQL-expressible → rows-only checks.
+        "semantic_dedup": """
+            WITH cent AS (
+                SELECT c, list_transform(range(0, 64),
+                    i -> CAST((c*31 + i*7) % 11 - 5 AS DOUBLE)) AS cv
+                FROM (SELECT unnest(range(0, 8)) AS c)
+            ), e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), scored AS (
+                SELECT vec_id, v, c,
+                       list_dot_product(v, cv)
+                           / sqrt(list_dot_product(cv, cv)) AS s
+                FROM e CROSS JOIN cent
+            ), a AS (
+                SELECT vec_id, v, c AS cluster FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY s DESC, c) AS rn
+                    FROM scored) WHERE rn = 1
+            ), pairs AS (
+                SELECT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM a x JOIN a y
+                  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                WHERE list_dot_product(x.v, y.v)
+                      / (sqrt(list_dot_product(x.v, x.v))
+                         * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+            ), cs AS (
+                SELECT cluster, count(*) AS cluster_size FROM a GROUP BY 1
+            ), nd AS (
+                SELECT vec_id, count(*) AS n FROM (
+                    SELECT id_a AS vec_id FROM pairs
+                    UNION ALL SELECT id_b FROM pairs) GROUP BY 1
+            )
+            SELECT a.vec_id, a.cluster, cs.cluster_size,
+                   coalesce(nd.n, 0) AS n_near_dups,
+                   a.vec_id NOT IN (SELECT id_b FROM pairs) AS is_kept
+            FROM a JOIN cs USING (cluster) LEFT JOIN nd USING (vec_id)
+        """,
         # -- TPC-H shape completion (tube_spark/queries/tpch.py) --
         "forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
