@@ -1613,6 +1613,24 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_near_pairs(emb, threshold=0.3)
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion: BM25
+    top-30 for a 3-term query fused (RRF, k=60) with the exact-cosine
+    top-30 against document 0's embedding ("more like this").  Rank-only
+    fusion needs no score calibration between branches; full pipeline
+    reproduced by the DuckDB oracle including both rank lists."""
+    from tube_spark.operators.retrieval import hybrid_topk
+
+    return hybrid_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        _emb(spark, sf_dir),
+        ["join", "spark", "dup"],
+        query_vec_id=0,
+        k=20,
+        pool=30,
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster → within-cluster pairwise
     cosine → keep-lowest-id verdict, with PORTABLE integer-lattice
@@ -1907,6 +1925,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # TPC-H shape completion (tube_spark/queries/tpch.py) — with the
         # ten shapes above this covers all 22 TPC-H query shapes
         "semantic_dedup": q_semantic_dedup,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "forecast_revenue": _tpch.forecast_revenue,
         "volume_shipping": _tpch.volume_shipping,
         "market_share": _tpch.market_share,
@@ -1967,6 +1986,7 @@ _EXTRA_QUERY_NAMES = (
     "embedding_quantize",
     "lm_score",
     "semantic_dedup",
+    "hybrid_retrieval",
     # TPC-H shape completion (all 22 shapes now covered across the
     # windowed + extras tiers)
     "forecast_revenue",
@@ -3258,6 +3278,57 @@ def _all_oracle_sql() -> dict[str, str]:
         # ann_lsh_topk / ann_ivf_topk / embedding_near_dup /
         # streaming_events_window are approximate (engine-specific hash or
         # sampling choices) or non-SQL-expressible → rows-only checks.
+        "hybrid_retrieval": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ), doclen AS (
+                SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+            ), stats AS (
+                SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ('join', 'spark', 'dup') GROUP BY 1, 2
+            ), dfs AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            ), bm AS (
+                SELECT tf.doc_id,
+                       round(sum(
+                           ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                           * (tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+                       ), 6) AS bm25
+                FROM tf
+                JOIN dfs USING (term)
+                JOIN doclen dl USING (doc_id)
+                CROSS JOIN stats s
+                GROUP BY 1
+            ), bmr AS (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY bm25 DESC, doc_id ASC) AS r
+                FROM bm QUALIFY r <= 30
+            ), q AS (
+                SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                WHERE vec_id = 0
+            ), den AS (
+                SELECT vec_id AS doc_id,
+                       round(list_dot_product(v, qv)
+                           / (sqrt(list_dot_product(v, v))
+                              * sqrt(list_dot_product(qv, qv))), 6) AS cos
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings WHERE vec_id <> 0)
+                CROSS JOIN q
+            ), denr AS (
+                SELECT doc_id, row_number() OVER (
+                    ORDER BY cos DESC, doc_id ASC) AS r
+                FROM den QUALIFY r <= 30
+            )
+            SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+                   round(coalesce(1.0 / (60 + b.r), 0)
+                       + coalesce(1.0 / (60 + d.r), 0), 6) AS rrf_score,
+                   b.r AS bm25_rank, d.r AS dense_rank
+            FROM bmr b FULL OUTER JOIN denr d ON b.doc_id = d.doc_id
+            ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+        """,
         "semantic_dedup": """
             WITH cent AS (
                 SELECT c, list_transform(range(0, 64),

@@ -51,3 +51,36 @@ def test_lm_score_ppl_is_exp_of_nll(spark):
     )
     for r in unigram_lm_score(docs).collect():
         assert abs(r["ppl"] - math.exp(r["avg_nll"])) < 1e-3
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """Two 3-item lists with one shared doc: fused scores match the
+    closed-form 1/(60+r) sums and the shared doc wins."""
+    from tube_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2), (5, 3)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], ["x", "y"], k=10).collect()}
+    assert abs(got[2]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(got[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+    assert got[2]["x_rank"] == 2 and got[2]["y_rank"] == 1
+    assert got[4]["x_rank"] is None
+    best = max(got.values(), key=lambda r: r["rrf_score"])
+    assert best["doc_id"] == 2
+
+
+def test_hybrid_topk_ranks_bounded_and_deterministic(spark):
+    from tube_spark.operators.retrieval import hybrid_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    r1 = hybrid_topk(docs, emb, ["join", "spark"], query_vec_id=0, k=10, pool=15)
+    r2 = hybrid_topk(docs, emb, ["join", "spark"], query_vec_id=0, k=10, pool=15)
+    rows1, rows2 = r1.collect(), r2.collect()
+    assert rows1 == rows2
+    assert len(rows1) == 10
+    for r in rows1:
+        for c in ("bm25_rank", "dense_rank"):
+            assert r[c] is None or 1 <= r[c] <= 15
+        # query doc never retrieves itself on the dense side
+        assert not (r["doc_id"] == 0 and r["dense_rank"] is not None)

@@ -116,3 +116,108 @@ def unigram_lm_score(
             F.round(F.exp(F.avg("nll")), 4).alias("ppl"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    names: Sequence[str],
+    id_col: str = "doc_id",
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: ``score(d) = Σ_lists 1/(rrf_k + rank_list(d))``, summing only
+    the lists that ranked d.
+
+    Each input must carry (id_col, "rank"); the output has one
+    ``<name>_rank`` column per list (NULL when absent from that list)
+    plus the fused ``rrf_score``, top-k by (score desc, id) —
+    a TakeOrderedAndProject, never a full sort.
+
+    Scale: candidate lists are top-N subsets (bounded), so every join
+    here is broadcast-sized regardless of corpus size; fusion cost is
+    independent of the corpus."""
+    assert len(rankings) == len(names) and rankings
+    fused = None
+    for df, name in zip(rankings, names):
+        part = df.select(F.col(id_col), F.col("rank").alias(f"{name}_rank"))
+        fused = part if fused is None else fused.join(part, id_col, "full")
+    score = None
+    for name in names:
+        c = F.when(
+            F.col(f"{name}_rank").isNotNull(),
+            1.0 / (F.lit(rrf_k) + F.col(f"{name}_rank")),
+        ).otherwise(F.lit(0.0))
+        score = c if score is None else score + c
+    return (
+        fused.withColumn("rrf_score", F.round(score, 6))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "rrf_score", *[f"{n}_rank" for n in names])
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: Sequence[str],
+    query_vec_id: int,
+    k: int = 20,
+    pool: int = 30,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid (sparse + dense) retrieval: BM25 over the text column and
+    cosine against a query embedding drawn from the corpus
+    ("more-like-this" for ``query_vec_id``), fused with RRF.
+
+    The sparse and dense branches each produce a top-``pool`` candidate
+    list with deterministic ranks (rounded score desc, id asc); fusion
+    is rank-only, so the two branches never need comparable score
+    scales — the whole point of RRF.  The query vector joins in as a
+    broadcast one-row frame (no driver collect); the dense branch is
+    the exact brute-force scorer, swappable for ivf_topk/rhp_lsh_topk
+    at corpus scales where exact scanning is the bottleneck."""
+    from pyspark.sql import Window
+
+    from tube_spark.operators.similarity import cosine
+
+    sparse = bm25_topk(docs, terms, k=pool, id_col=id_col, text_col=text_col)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    sparse = sparse.withColumn("rank", F.row_number().over(wb))
+
+    v = F.col(vec_col).cast("array<double>")
+    emb = embeddings.select(F.col(vec_id_col).alias(id_col), v.alias("v"))
+    qv = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col("v").alias("qv")
+    )
+    dense = (
+        emb.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos", F.round(cosine(F.col("v"), F.col("qv")), 6))
+    )
+    # top-pool FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition heaps + a pool-row driver merge), then rank the bounded
+    # candidate set — a global row_number window over the corpus would
+    # funnel every row through one partition
+    dense = (
+        dense.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        .limit(pool)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+            ),
+        )
+        .select(id_col, "rank")
+    )
+    return rrf_fuse(
+        [sparse.select(id_col, "rank"), dense],
+        ["bm25", "dense"],
+        id_col=id_col,
+        k=k,
+        rrf_k=rrf_k,
+    )
