@@ -1613,6 +1613,22 @@ def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_near_pairs(emb, threshold=0.3)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: learn 30 merges on the documents corpus
+    (map-reduce formulation — the iterated state is the DISTINCT-word
+    vocabulary, never the corpus), then report the top-50 token
+    frequencies from the trained segmentations.  Iterative argmax
+    training is not SQL-expressible → rows-only here; the correctness
+    gate is exact merge-sequence equality with a pure-Python reference
+    implementation of Sennrich et al.'s algorithm
+    (tests/test_bpe.py)."""
+    from tube_spark.operators.bpe import token_frequencies, train_bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    _, vocab = train_bpe(docs, 30)
+    return token_frequencies(docs, vocab, k=50)
+
+
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid sparse+dense retrieval with reciprocal-rank fusion: BM25
     top-30 for a 3-term query fused (RRF, k=60) with the exact-cosine
@@ -1922,6 +1938,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "multimodal_decode": q_multimodal_decode,
         "streaming_events_window": q_streaming_events_window,
         "ann_recall_report": q_ann_recall_report,
+        "bpe_tokenize": q_bpe_tokenize,
         # TPC-H shape completion (tube_spark/queries/tpch.py) — with the
         # ten shapes above this covers all 22 TPC-H query shapes
         "semantic_dedup": q_semantic_dedup,
@@ -1960,6 +1977,9 @@ _ROWS_ONLY = (
     "embedding_near_dup",
     "streaming_events_window",
     "ann_recall_report",
+    # iterative argmax training — not SQL-expressible; differentially
+    # verified against a pure-Python reference in tests/test_bpe.py
+    "bpe_tokenize",
 )
 
 _EXTRA_QUERY_NAMES = (

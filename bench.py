@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "decontamination",
     "data_mixture",
     "doc_chunking",
+    # round-5 flagships
+    "semantic_dedup",
+    "hybrid_retrieval",
+    "bpe_tokenize",
 ]
 
 
