@@ -65,16 +65,22 @@ def main() -> None:
 
     qs = {**queries(), **extra_queries()}
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers with one cheap action
+    # warm the JVM + parquet footers with one cheap action, and the
+    # Arrow Python-worker pool with a tiny mapInPandas (the first Arrow
+    # exchange pays worker fork + pandas import — several seconds that
+    # belong to session startup, not to whichever query runs first)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
-    # best-of-2 per query: run-to-run variance on local[32] is ±25%
+    # best-of-3 per query: run-to-run variance on local[32] is ±25%
     # (JIT warmup, page cache, GC pauses); the min is the stable signal
     # and is what a warmed long-running cluster would see.
     for name in BENCH_QUERIES:
         fn = qs[name]
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

@@ -112,7 +112,12 @@ def train_bpe(
     single row (the argmax pair) — the loop is inherently sequential in
     the algorithm, not a parallelism defect.  Stops early when no pair
     reaches ``min_pair_freq``."""
+    from tube_spark.plans.lifecycle import CheckpointRotor
+
+    rotor = CheckpointRotor(docs.sparkSession)
+    rotor.begin()
     vocab = word_vocab(docs, id_col, text_col).localCheckpoint()
+    rotor.commit()
     merges: list[tuple[str, str]] = []
     for i in range(num_merges):
         top = (
@@ -127,10 +132,18 @@ def train_bpe(
         merges.append((a, b))
         vocab = vocab.withColumn("syms", _merge_fold(F.col("syms"), a, b))
         # truncate lineage: one fold per merge otherwise stacks into a
-        # plan Catalyst re-analyzes quadratically
+        # plan Catalyst re-analyzes quadratically.  Each new checkpoint
+        # subsumes the previous one; the rotor frees the old blocks
+        # (plans/lifecycle.py) so the loop holds ONE vocab copy, not
+        # num_merges/checkpoint_every copies.
         if (i + 1) % checkpoint_every == 0:
+            rotor.begin()
             vocab = vocab.localCheckpoint()
-    return merges, vocab.localCheckpoint()
+            rotor.commit()
+    rotor.begin()
+    final = vocab.localCheckpoint()
+    rotor.commit()
+    return merges, final
 
 
 def encode_with_vocab(

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tube_spark.plans.lifecycle import CheckpointRotor
+
 
 def _fingerprint(e: DataFrame) -> tuple[int, int]:
     row = e.agg(
@@ -54,7 +56,12 @@ def connected_components(
     emitted (union them back as singletons — see ``dedup_groups``)."""
     # lazy checkpoint + fingerprint: the fingerprint aggregate is the
     # action that materializes the checkpoint — ONE job per round, and
-    # every later round reads the checkpointed blocks, not the lineage
+    # every later round reads the checkpointed blocks, not the lineage.
+    # The rotor releases round r-1's blocks once round r materializes
+    # (r consumed them; without this, N rounds hold N rounds of storage
+    # until the driver JVM happens to GC — see plans/lifecycle.py).
+    rotor = CheckpointRotor(pairs.sparkSession)
+    rotor.begin()
     e = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -65,11 +72,13 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev = _fingerprint(e)
+    rotor.commit()
     # per-neighborhood minima via a window over the SAME shuffle that a
     # groupBy would need — but with no second shuffle to join the min
     # back: each star step is one exchange, not two
     wu = Window.partitionBy("u")
     for _ in range(max_iterations):
+        rotor.begin()
         # large-star: every node connects its LARGER neighbors to the
         # minimum of its neighborhood (incl. itself)
         nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -91,6 +100,7 @@ def connected_components(
             .localCheckpoint(eager=False)  # truncate iterative lineage
         )
         cur = _fingerprint(e)  # materializes the checkpoint too
+        rotor.commit()  # frees the previous round's blocks
         if cur == prev:
             break
         prev = cur
