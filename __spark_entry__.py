@@ -1330,6 +1330,20 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN coverage (the Lee et al.,
+    ACL 2022 fixed-width-window approximation of suffix-array substring
+    dedup; operators/spandedup.py): per document, how many 6-token
+    windows also appear verbatim in another document, and the fraction
+    of its tokens covered by the union of those windows.  Pure
+    inverted-index membership — no pair join anywhere; the corpus is
+    scanned twice instead of persisting a corpus-sized positional
+    index (SCALE note in the module docstring)."""
+    from tube_spark.operators.spandedup import span_dup_stats
+
+    return span_dup_stats(_docs(spark, sf_dir), k=6, portable=True)
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints — any shared run
     of ≥ k+window−1 words between two docs shares a fingerprint."""
@@ -1911,6 +1925,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
+        "span_dedup": q_span_dedup,
         "sketch_rollup": q_sketch_rollup,
         "curation_report": q_curation_report,
         "embedding_quantize": q_embedding_quantize,
@@ -2001,6 +2016,7 @@ _EXTRA_QUERY_NAMES = (
     "decontamination",
     "data_mixture",
     "doc_chunking",
+    "span_dedup",
     "sketch_rollup",
     "curation_report",
     "embedding_quantize",
@@ -2841,6 +2857,41 @@ def _all_oracle_sql() -> dict[str, str]:
                    len(t[i*24+1 : i*24+32])::BIGINT AS n_tokens,
                    array_to_string(t[i*24+1 : i*24+32], ' ') AS chunk_text
             FROM w
+        """,
+        "span_dedup": f"""
+            WITH info AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(t) - 5)) AS pos,
+                       unnest(list_transform(generate_series(1, len(t) - 5),
+                           i -> ('0x' || substr(md5(array_to_string(t[i:i+5], ' ')), 1, 15))::BIGINT)) AS sh
+                FROM info WHERE len(t) >= 6
+            ),
+            dup AS (
+                SELECT sh FROM (
+                    SELECT sh, count(DISTINCT doc_id) AS c FROM grams GROUP BY 1
+                ) WHERE c >= 2
+            ),
+            hits AS (
+                SELECT doc_id,
+                       least(6, coalesce(pos - lag(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos), 6)) AS covered
+                FROM grams WHERE sh IN (SELECT sh FROM dup)
+            ),
+            cov AS (
+                SELECT doc_id, count(*) AS n_dup_windows,
+                       sum(covered)::BIGINT AS dup_tokens
+                FROM hits GROUP BY 1
+            )
+            SELECT i.doc_id,
+                   len(i.t)::BIGINT AS n_tokens,
+                   coalesce(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   coalesce(round(coalesce(c.dup_tokens, 0)::DOUBLE
+                        / nullif(len(i.t), 0), 6), 0.0) AS dup_fraction
+            FROM info i LEFT JOIN cov c USING (doc_id)
         """,
         "sketch_rollup": """
             SELECT l_returnflag AS scope,

@@ -1,0 +1,66 @@
+"""Span-level duplication: hand-computed coverage on a tiny corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _stats(spark, rows, **kw):
+    from tube_spark.operators.spandedup import span_dup_stats
+
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = span_dup_stats(df, **kw)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_shared_span_coverage(spark):
+    # docs 1 and 2 share the 5-token span "a b c d e"; doc 3 is clean
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "p q a b c d e"),
+        (3, "u v w u v w u v w"),
+    ]
+    s = _stats(spark, rows, k=3)
+    # doc 1: windows at pos 0,1,2 (abc,bcd,cde) duplicated -> 5 tokens
+    assert s[1]["n_dup_windows"] == 3 and s[1]["dup_tokens"] == 5
+    assert s[1]["n_tokens"] == 8 and abs(s[1]["dup_fraction"] - 0.625) < 1e-9
+    # doc 2: same three windows at pos 2,3,4
+    assert s[2]["n_dup_windows"] == 3 and s[2]["dup_tokens"] == 5
+    # doc 3 repeats ITSELF only — cross-doc semantics say clean
+    assert s[3]["n_dup_windows"] == 0 and s[3]["dup_fraction"] == 0.0
+
+
+def test_disjoint_spans_sum(spark):
+    # two separate shared spans inside doc 1: coverage = union, not 2*k
+    rows = [
+        (1, "a b c z z z z a b c"),
+        (2, "a b c"),
+    ]
+    s = _stats(spark, rows, k=3)
+    # doc1 windows: pos0 (abc) and pos7 (abc) duplicated -> 3 + 3 tokens
+    assert s[1]["n_dup_windows"] == 2 and s[1]["dup_tokens"] == 6
+    assert s[2]["n_dup_windows"] == 1 and s[2]["dup_tokens"] == 3
+
+
+def test_short_docs_and_filter(spark):
+    from tube_spark.operators.spandedup import span_dup_filter
+
+    rows = [
+        (1, "a b"),  # shorter than k: no windows, fraction 0
+        (2, "a b c d e f g h"),
+        (3, "a b c d e f g h"),  # full duplicate of 2
+    ]
+    s = _stats(spark, rows, k=4)
+    assert s[1]["n_dup_windows"] == 0 and s[1]["dup_fraction"] == 0.0
+    assert s[2]["dup_fraction"] == 1.0 and s[3]["dup_fraction"] == 1.0
+
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    kept = span_dup_filter(df, k=4, max_fraction=0.5)
+    assert {r["doc_id"] for r in kept.collect()} == {1}
+
+
+def test_portable_matches_xxhash_semantics(spark):
+    rows = [(i, f"x y z w {i} common tail one two three") for i in range(6)]
+    a = _stats(spark, rows, k=3, portable=False)
+    b = _stats(spark, rows, k=3, portable=True)
+    assert a == b

@@ -33,10 +33,11 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize(col))
 
 
-def word_shingles(tok: Column, n: int) -> Column:
-    """Distinct word n-grams joined by a space.  DuckDB:
-    ``list_distinct(list_transform(generate_series(1, len(t) - n + 1),
-    i -> array_to_string(t[i:i+n-1], ' ')))`` (1-based inclusive slices).
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Positional word n-grams joined by a space — element ``i`` (0-based)
+    is the gram starting at token ``i``; duplicates preserved.  DuckDB:
+    ``list_transform(generate_series(1, len(t) - n + 1),
+    i -> array_to_string(t[i:i+n-1], ' '))`` (1-based inclusive slices).
     Documents shorter than n words yield an empty array.
     """
     # n-gram as n-1 zips of shifted copies: O(n) whole-array ops per doc
@@ -48,7 +49,13 @@ def word_shingles(tok: Column, n: int) -> Column:
     grams = parts[0]
     for p in parts[1:]:
         grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
-    return F.array_distinct(grams)
+    return grams
+
+
+def word_shingles(tok: Column, n: int) -> Column:
+    """Distinct word n-grams (``word_ngrams`` order-preserving dedup).
+    DuckDB: wrap the ``word_ngrams`` twin in ``list_distinct(...)``."""
+    return F.array_distinct(word_ngrams(tok, n))
 
 
 def portable_hash(col: Column) -> Column:
