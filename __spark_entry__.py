@@ -1344,6 +1344,20 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dup_stats(_docs(spark, sf_dir), k=6, portable=True)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed Lloyd k-means (operators/clustering.py):
+    k=4, 3 iterations, portable smallest-ids init, centers rounded to 6
+    decimals each update so the whole trajectory is bit-reproducible in
+    DuckDB.  Assignment is map-only codegen; each update shuffles only
+    k×dim partial means."""
+    from tube_spark.operators.clustering import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, "vec_id", "embedding", k=4, iters=3, round_to=6).select(
+        "vec_id", "cluster"
+    )
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints — any shared run
     of ≥ k+window−1 words between two docs shares a fingerprint."""
@@ -1926,6 +1940,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
         "span_dedup": q_span_dedup,
+        "kmeans_clusters": q_kmeans_clusters,
         "sketch_rollup": q_sketch_rollup,
         "curation_report": q_curation_report,
         "embedding_quantize": q_embedding_quantize,
@@ -2017,6 +2032,7 @@ _EXTRA_QUERY_NAMES = (
     "data_mixture",
     "doc_chunking",
     "span_dedup",
+    "kmeans_clusters",
     "sketch_rollup",
     "curation_report",
     "embedding_quantize",
@@ -2133,6 +2149,52 @@ def oracle_sql() -> dict[str, str]:
     every windowed query except the five rows-only tails)."""
     full = _all_oracle_sql()
     return {k: full[k] for k in _QUERY_ORDER if k in full}
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as chained CTEs: assignment = lowest-
+    distance (ties to lowest cid) via row_number; update = per-(cid,dim)
+    mean rounded to 6 decimals — the identical trajectory to
+    operators/clustering.py's round_to=6 fit (same float→double
+    promotion, same dim-sequential distance fold)."""
+
+    def assign(src: str, cent: str) -> str:
+        return f"""
+            SELECT vec_id, v, cid FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(generate_series(1, len(e.v)),
+                               j -> (e.v[j]::DOUBLE - c.c[j]) ^ 2)), c.cid) AS rn
+                FROM {src} e, {cent} c
+            ) WHERE rn = 1"""
+
+    def update(a: str) -> str:
+        return f"""
+            SELECT cid, list(mval ORDER BY dim) AS c FROM (
+                SELECT cid, dim, round(avg(val), 6) AS mval FROM (
+                    SELECT cid,
+                           unnest(generate_series(1, len(v))) AS dim,
+                           unnest(list_transform(generate_series(1, len(v)),
+                               j -> v[j]::DOUBLE)) AS val
+                    FROM {a}
+                ) GROUP BY cid, dim
+            ) GROUP BY cid"""
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding AS v FROM embeddings)",
+        f"""c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                   list_transform(v, x -> x::DOUBLE) AS c
+            FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for i in range(iters):
+        ctes.append(f"a{i + 1} AS ({assign('e', f'c{i}')})")
+        ctes.append(f"c{i + 1} AS ({update(f'a{i + 1}')})")
+    final = assign("e", f"c{iters}")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cid::INTEGER AS cluster FROM ({final})"
+    )
 
 
 def _all_oracle_sql() -> dict[str, str]:
@@ -2893,6 +2955,7 @@ def _all_oracle_sql() -> dict[str, str]:
                         / nullif(len(i.t), 0), 6), 0.0) AS dup_fraction
             FROM info i LEFT JOIN cov c USING (doc_id)
         """,
+        "kmeans_clusters": _kmeans_oracle_sql(k=4, iters=3),
         "sketch_rollup": """
             SELECT l_returnflag AS scope,
                    count(DISTINCT l_orderkey)::DOUBLE AS exact_distinct,
