@@ -1358,6 +1358,24 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable reference-like-document classifier
+    (operators/classifier.py): logistic regression over four native
+    text features, full-batch GD (10 iterations, lr 1.0) — the
+    CCNet-style quality gate.  Labels: a composite editorial rule
+    (stopword presence AND lexical diversity) the linear model must
+    approximate, reaching ~0.85 accuracy here.  Per iteration: one
+    partial-aggregated scan producing a 5-value gradient row; weights
+    rounded to 6 decimals so the DuckDB oracle replays the identical
+    trajectory and hash-matches every per-doc score."""
+    from tube_spark.operators.classifier import quality_classifier, text_features
+
+    docs = _docs(spark, sf_dir)
+    feats = text_features(F.col("text"))
+    label = (feats["f_stopfrac"] > 0.05) & (feats["f_distinct"] > 0.45)
+    return quality_classifier(docs, label, lr=1.0, iters=10)
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints — any shared run
     of ≥ k+window−1 words between two docs shares a fingerprint."""
@@ -1941,6 +1959,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "doc_chunking": q_doc_chunking,
         "span_dedup": q_span_dedup,
         "kmeans_clusters": q_kmeans_clusters,
+        "quality_classifier": q_quality_classifier,
         "sketch_rollup": q_sketch_rollup,
         "curation_report": q_curation_report,
         "embedding_quantize": q_embedding_quantize,
@@ -2033,6 +2052,7 @@ _EXTRA_QUERY_NAMES = (
     "doc_chunking",
     "span_dedup",
     "kmeans_clusters",
+    "quality_classifier",
     "sketch_rollup",
     "curation_report",
     "embedding_quantize",
@@ -2194,6 +2214,92 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 3) -> str:
     final = assign("e", f"c{iters}")
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cid::INTEGER AS cluster FROM ({final})"
+    )
+
+
+def _logreg_oracle_sql(iters: int = 10, lr: float = 1.0) -> str:
+    """Unrolled full-batch logistic-regression GD matching
+    operators/classifier.py: identical feature expressions, rounded
+    standardization stats, per-iteration gradients rounded to 6
+    decimals, scores rounded to 4.  Weight CTEs chain via scalar
+    subqueries; expression shapes (left-assoc dot product, 1/(1+exp(-z))
+    sigmoid) mirror the Spark column algebra so doubles stay
+    bit-identical below the rounding grain."""
+    feats = {
+        "f_loglen": "ln(1 + len(t))",
+        "f_wordlen": "coalesce(list_sum(list_transform(t, x -> len(x)))::DOUBLE"
+        " / nullif(len(t), 0), 0.0)",
+        "f_stopfrac": "coalesce(len(list_filter(t, x -> x IN"
+        " ('the','a','of','and','to','in')))::DOUBLE / nullif(len(t), 0), 0.0)",
+        "f_distinct": "coalesce(len(list_distinct(t))::DOUBLE"
+        " / nullif(len(t), 0), 0.0)",
+    }
+    names = list(feats)
+    feat_sel = ",\n                ".join(f"{e} AS {n}" for n, e in feats.items())
+    stat_sel = ",\n                ".join(
+        f"round(avg({n}), 6) AS m_{n}, round(stddev_pop({n}), 6) AS s_{n}"
+        for n in names
+    )
+    std_sel = ",\n                ".join(
+        f"({n} - (SELECT m_{n} FROM st)) / (CASE WHEN (SELECT s_{n} FROM st) = 0"
+        f" THEN 1 ELSE (SELECT s_{n} FROM st) END) AS {n}"
+        for n in names
+    )
+
+    def margin(wk: str) -> str:
+        z = f"(SELECT b FROM {wk})"
+        for n in names:
+            z += f" + (SELECT w_{n} FROM {wk}) * {n}"
+        return "(" + z + ")"
+
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference; the weight
+    # chain references each predecessor several times per iteration, so
+    # inlining is exponential in iters (observed: file-handle exhaustion
+    # from thousands of replayed parquet scans).  Materializing makes
+    # each stage compute once — the same shape the Spark side executes.
+    ctes = [
+        f"""f AS MATERIALIZED (
+            SELECT doc_id,
+                {feat_sel},
+                CASE WHEN f_stopfrac > 0.05 AND f_distinct > 0.45
+                     THEN 1.0 ELSE 0.0 END AS y
+            FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+        )""",
+        f"""st AS MATERIALIZED (
+            SELECT {stat_sel} FROM f
+        )""",
+        f"""z AS MATERIALIZED (
+            SELECT doc_id, y,
+                {std_sel}
+            FROM f
+        )""",
+        "w0 AS MATERIALIZED (SELECT "
+        + ", ".join(f"0.0 AS w_{n}" for n in names)
+        + ", 0.0 AS b)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"w{k - 1}"
+        sig = f"1 / (1 + exp(-{margin(prev)}))"
+        cols = [
+            f"round((SELECT w_{n} FROM {prev}) - {lr} * avg(({sig} - y) * {n}), 6)"
+            f" AS w_{n}"
+            for n in names
+        ]
+        cols.append(
+            f"round((SELECT b FROM {prev}) - {lr} * avg({sig} - y), 6) AS b"
+        )
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT "
+            + ",\n                ".join(cols)
+            + " FROM z)"
+        )
+    final_sig = f"round(1 / (1 + exp(-{margin(f'w{iters}')})), 4)"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT doc_id, {final_sig} AS score,
+               ({final_sig} >= 0.5)::INTEGER AS predicted,
+               y::INTEGER AS label
+        FROM z"""
     )
 
 
@@ -2956,6 +3062,7 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM info i LEFT JOIN cov c USING (doc_id)
         """,
         "kmeans_clusters": _kmeans_oracle_sql(k=4, iters=3),
+        "quality_classifier": _logreg_oracle_sql(iters=10, lr=1.0),
         "sketch_rollup": """
             SELECT l_returnflag AS scope,
                    count(DISTINCT l_orderkey)::DOUBLE AS exact_distinct,
