@@ -1304,6 +1304,38 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(corpus, bench, n=5, min_hits=1)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection (operators/heavyhitters.py): per-partition
+    Misra-Gries candidate summaries (bounded memory, ≤k rows emitted
+    per partition) + broadcast-candidate exact re-count — the two-scan
+    pattern that finds skewed join/agg keys at 100 TB without
+    shuffling every distinct key.  Result is exact and partitioning-
+    independent, hence the plain GROUP BY/HAVING oracle."""
+    from tube_spark.operators.heavyhitters import heavy_hitters
+
+    _ensure(spark)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(events, "user_id", min_share=0.0075)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key (operators/layout.py): the code
+    that ``write_zordered`` range-partitions on so parquet min/max
+    stats prune multi-dimensional band predicates.  Fixed bounds
+    (0, 255) make bucketization the identity, so the oracle replays
+    the interleave with exact integer bit math."""
+    from tube_spark.operators.layout import zorder_key
+
+    _ensure(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", (F.col("event_id") % 256).alias("e8")
+    )
+    frame, z = zorder_key(
+        ev, ["user_id", "e8"], bits=8, bounds={"user_id": (0, 255), "e8": (0, 255)}
+    )
+    return frame.select("event_id", "user_id", z.alias("zval"))
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -1954,6 +1986,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pivot_status": q_pivot_status,
         "regexp_extract": q_regexp_extract,
         "repetition_stats": q_repetition_stats,
+        "heavy_hitters": q_heavy_hitters,
+        "zorder_layout": q_zorder_layout,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
@@ -2047,6 +2081,8 @@ _EXTRA_QUERY_NAMES = (
     "stats_summary",
     "regexp_extract",
     "repetition_stats",
+    "heavy_hitters",
+    "zorder_layout",
     "decontamination",
     "data_mixture",
     "doc_chunking",
@@ -2921,6 +2957,25 @@ def _all_oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "heavy_hitters": """
+            SELECT user_id, count(*)::BIGINT AS cnt,
+                   round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6)
+                       AS share
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) / (SELECT count(*)::DOUBLE FROM events) >= 0.0075
+        """,
+        "zorder_layout": """
+            SELECT event_id, user_id,
+                   ("""
+        + " + ".join(
+            f"(((user_id >> {i}) & 1) << {2 * i}) + "
+            f"((((event_id % 256) >> {i}) & 1) << {2 * i + 1})"
+            for i in range(8)
+        )
+        + """)::BIGINT AS zval
+            FROM events
         """,
         "repetition_stats": f"""
             WITH tok AS (
