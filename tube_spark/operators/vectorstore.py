@@ -1,0 +1,225 @@
+"""Cell-partitioned IVF vector store: partition-pruned ANN on parquet.
+
+``operators/similarity.py``'s ``ivf_topk`` is the in-memory shape of
+IVF search — every query recomputes cell assignment over the whole
+corpus.  At 100 TB the corpus must live ON DISK laid out so a search
+touches only the cells it probes.  This module is that layout:
+
+* **Build** — train the coarse quantizer (the same bounded driver-side
+  k-means as ``ivf_topk``: ≤4096-vector deterministic sample), persist
+  the centroids next to the data (``_centroids.json``), assign every
+  vector to its nearest centroid with the map-only Arrow kernel, and
+  write parquet ``partitionBy("cell")`` — one directory per inverted
+  list.
+* **Search** — compute each query's ``nprobe`` nearest cells, collect
+  the DISTINCT probed cell ids (bounded: ≤ n_queries x nprobe ints),
+  and read the store with ``cell IN (...)``.  That predicate is a
+  PARTITION filter: Spark's file index skips every unprobed cell
+  directory before a single byte is read — the scan cost is
+  nprobe/n_cells of the corpus by construction, verified by a
+  plan assertion in tests (``PartitionFilters``).
+* **Append / streaming ingest** — new vectors are assigned with the
+  SAME stored centroids (the code space is frozen at build time, like
+  ``layout.py``'s fixed Z-order bounds), so appends land in existing
+  cells and never reshuffle old data.  ``streaming_vector_ingest``
+  wires it to Structured Streaming via ``foreachBatch`` +
+  ``availableNow``; re-processing a batch rewrites the same rows into
+  the same cells (append idempotency at the id level is delegated to
+  the readers' ``dropDuplicates([id])``, documented below).
+
+Re-centering drift: after heavy appends the frozen centroids may stop
+matching the data distribution (cells grow unbalanced).  ``cell_stats``
+exposes per-cell counts so an operator can decide to rebuild; rebuild =
+``build_ivf_store`` to a fresh path + atomic pointer swap (the
+``sinks/writer.py`` versioned-publish pattern).
+
+No reference counterpart — the reference has no vector surface at all;
+this is the scale path behind SURVEY's similarity-search extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tube_spark.operators.similarity import (
+    _kmeans_centroids,
+    _nearest_centroids_udf,
+    cosine_arrow,
+)
+
+_CENTROIDS = "_centroids.json"
+_DATA = "cells"
+
+
+def _save_centroids(path: str, cent: np.ndarray) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _CENTROIDS), "w") as f:
+        json.dump([[float(x) for x in row] for row in cent], f)
+
+
+def load_centroids(path: str) -> np.ndarray:
+    with open(os.path.join(path, _CENTROIDS)) as f:
+        return np.asarray(json.load(f), dtype=np.float64)
+
+
+def _assign_cells(
+    df: DataFrame, cent: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    assign1 = _nearest_centroids_udf(cent, 1)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(assign1(F.col(vec_col))).alias("cell"),
+    )
+
+
+def build_ivf_store(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Train (or take) centroids, persist them, and write the corpus
+    cell-partitioned.  Returns the centroids."""
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _kmeans_centroids(corpus, vec_col, n_clusters, kmeans_iters, seed)
+    )
+    _save_centroids(path, cent)
+    (
+        _assign_cells(corpus, cent, id_col, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, _DATA))
+    )
+    return cent
+
+
+def append_vectors(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign new vectors with the store's FROZEN centroids and append.
+    Old cells are untouched — an append moves only the new rows."""
+    cent = load_centroids(path)
+    (
+        _assign_cells(df, cent, id_col, vec_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, _DATA))
+    )
+
+
+def store_vectors(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:
+    """The store as a DataFrame (``id, vector, cell``).  ``dedup``
+    drops replayed appends (streaming at-least-once): last write wins
+    is unnecessary — any duplicate row is bit-identical because cell
+    assignment is deterministic under frozen centroids."""
+    df = spark.read.parquet(os.path.join(path, _DATA))
+    if dedup:
+        df = df.dropDuplicates([df.columns[0]])
+    return df
+
+
+def cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell row counts — the rebuild-decision signal (a cell far
+    above corpus/n_cells means the frozen quantizer has drifted)."""
+    return store_vectors(spark, path).groupBy("cell").count().orderBy("cell")
+
+
+def search_store(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the on-disk store.  Probed cell ids are collected
+    (bounded: ≤ |queries| x nprobe ints) and pushed as a PARTITION
+    filter, so unprobed cell directories are never opened."""
+    cent = load_centroids(path)
+    probe_n = _nearest_centroids_udf(cent, nprobe)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_n(F.col(vec_col))).alias("cell"),
+    )
+    probed_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    # partition filter FIRST (dedup above the filter would block
+    # pruning: Catalyst cannot push a non-key filter through the
+    # dropDuplicates aggregate), then replay-dedup the probed subset
+    store = (
+        spark.read.parquet(os.path.join(path, _DATA))
+        .filter(F.col("cell").isin(probed_cells))
+        .dropDuplicates([id_col])
+    )
+    store = store.select(
+        F.col(store.columns[0]).alias("neighbor_id"),
+        F.col(store.columns[1]).alias("c_vec"),
+        "cell",
+    )
+    cos = cosine_arrow()
+    scored = (
+        store.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+        )
+    )
+
+
+def streaming_vector_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    schema=None,
+):
+    """Structured Streaming ingestion: watch ``source_dir`` for new
+    vector parquet files, append each micro-batch into the store with
+    frozen-centroid assignment (``availableNow`` trigger — drain then
+    stop; swap the trigger for continuous ingestion).  The store must
+    already exist (``build_ivf_store`` on a seed corpus)."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_vectors(batch, store_path, id_col=id_col, vec_col=vec_col)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
