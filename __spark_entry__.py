@@ -1336,6 +1336,48 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame.select("event_id", "user_id", z.alias("zval"))
 
 
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/quality_checks.py):
+    every row-level constraint on a table compiles into ONE aggregate
+    pass (Deequ-style); FK containment is a broadcast left join.  All
+    metrics are deterministic fractions, hence the SQL oracle."""
+    from tube_spark.operators.quality_checks import (
+        accepted_values,
+        completeness,
+        in_bounds,
+        matches,
+        referential,
+        row_count,
+        uniqueness,
+        validate,
+    )
+
+    _ensure(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        validate(
+            orders,
+            [
+                completeness("o_custkey"),
+                uniqueness("o_orderkey"),
+                accepted_values("o_orderstatus", ["O", "F", "P"]),
+                row_count(1000),
+            ],
+        )
+        .unionByName(
+            validate(
+                lineitem,
+                [in_bounds("l_quantity", 1, 50), in_bounds("l_discount", 0.0, 0.1)],
+            )
+        )
+        .unionByName(validate(customer, [matches("c_name", "^Customer#")]))
+        .unionByName(referential(lineitem, "l_orderkey", orders, "o_orderkey"))
+        .unionByName(referential(orders, "o_custkey", customer, "c_custkey"))
+    )
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -1988,6 +2030,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "repetition_stats": q_repetition_stats,
         "heavy_hitters": q_heavy_hitters,
         "zorder_layout": q_zorder_layout,
+        "quality_checks": q_quality_checks,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
@@ -2083,6 +2126,7 @@ _EXTRA_QUERY_NAMES = (
     "repetition_stats",
     "heavy_hitters",
     "zorder_layout",
+    "quality_checks",
     "decontamination",
     "data_mixture",
     "doc_chunking",
@@ -2976,6 +3020,71 @@ def _all_oracle_sql() -> dict[str, str]:
         )
         + """)::BIGINT AS zval
             FROM events
+        """,
+        "quality_checks": """
+            SELECT 'completeness' AS constraint, 'o_custkey' AS "column",
+                   round(count(o_custkey) / count(*), 6) AS metric,
+                   1.0::DOUBLE AS threshold,
+                   count(o_custkey) / count(*) >= 1.0 AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'uniqueness', 'o_orderkey',
+                   round(count(DISTINCT o_orderkey) / count(o_orderkey), 6),
+                   1.0::DOUBLE,
+                   count(DISTINCT o_orderkey) / count(o_orderkey) >= 1.0
+            FROM orders
+            UNION ALL
+            SELECT 'accepted_values', 'o_orderstatus',
+                   round(sum((o_orderstatus IN ('O','F','P'))::BIGINT)
+                         / count(o_orderstatus), 6),
+                   1.0::DOUBLE,
+                   sum((o_orderstatus IN ('O','F','P'))::BIGINT)
+                       / count(o_orderstatus) >= 1.0
+            FROM orders
+            UNION ALL
+            SELECT 'row_count', '*', round(count(*)::DOUBLE, 6), 1000.0::DOUBLE,
+                   count(*) >= 1000
+            FROM orders
+            UNION ALL
+            SELECT 'in_bounds', 'l_quantity',
+                   round(sum((l_quantity BETWEEN 1 AND 50)::BIGINT)
+                         / count(l_quantity), 6),
+                   1.0::DOUBLE,
+                   sum((l_quantity BETWEEN 1 AND 50)::BIGINT)
+                       / count(l_quantity) >= 1.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'in_bounds', 'l_discount',
+                   round(sum((l_discount BETWEEN 0.0 AND 0.1)::BIGINT)
+                         / count(l_discount), 6),
+                   1.0::DOUBLE,
+                   sum((l_discount BETWEEN 0.0 AND 0.1)::BIGINT)
+                       / count(l_discount) >= 1.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'matches', 'c_name',
+                   round(sum(regexp_matches(c_name, '^Customer#')::BIGINT)
+                         / count(c_name), 6),
+                   1.0::DOUBLE,
+                   sum(regexp_matches(c_name, '^Customer#')::BIGINT)
+                       / count(c_name) >= 1.0
+            FROM customer
+            UNION ALL
+            SELECT 'referential', 'l_orderkey',
+                   round(sum((l_orderkey IN (SELECT o_orderkey FROM orders))::BIGINT)
+                         / count(*), 6),
+                   1.0::DOUBLE,
+                   sum((l_orderkey IN (SELECT o_orderkey FROM orders))::BIGINT)
+                       / count(*) >= 1.0
+            FROM lineitem WHERE l_orderkey IS NOT NULL
+            UNION ALL
+            SELECT 'referential', 'o_custkey',
+                   round(sum((o_custkey IN (SELECT c_custkey FROM customer))::BIGINT)
+                         / count(*), 6),
+                   1.0::DOUBLE,
+                   sum((o_custkey IN (SELECT c_custkey FROM customer))::BIGINT)
+                       / count(*) >= 1.0
+            FROM orders WHERE o_custkey IS NOT NULL
         """,
         "repetition_stats": f"""
             WITH tok AS (
