@@ -1378,6 +1378,31 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (operators/snapshot.py): one fingerprint-
+    compare full-outer join between snapshot v1 (documents as-is) and a
+    deterministically mutated v2 (every 13th doc removed, every 7th
+    text changed, every 17th re-added under a new id)."""
+    from tube_spark.operators.snapshot import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    v2 = (
+        docs.filter(F.col("doc_id") % 13 != 5)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            ),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 3).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1000000)
+            )
+        )
+    )
+    return snapshot_diff(docs, v2, "doc_id", compare_cols=["text"])
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2031,6 +2056,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "heavy_hitters": q_heavy_hitters,
         "zorder_layout": q_zorder_layout,
         "quality_checks": q_quality_checks,
+        "snapshot_diff": q_snapshot_diff,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
@@ -2127,6 +2153,7 @@ _EXTRA_QUERY_NAMES = (
     "heavy_hitters",
     "zorder_layout",
     "quality_checks",
+    "snapshot_diff",
     "decontamination",
     "data_mixture",
     "doc_chunking",
@@ -3085,6 +3112,23 @@ def _all_oracle_sql() -> dict[str, str]:
                    sum((o_custkey IN (SELECT c_custkey FROM customer))::BIGINT)
                        / count(*) >= 1.0
             FROM orders WHERE o_custkey IS NOT NULL
+        """,
+        "snapshot_diff": """
+            WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN upper(text)
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 13 <> 5
+                UNION ALL
+                SELECT doc_id + 1000000, text
+                FROM documents WHERE doc_id % 17 = 3
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text <> n.text THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
         """,
         "repetition_stats": f"""
             WITH tok AS (
