@@ -1403,6 +1403,30 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(docs, v2, "doc_id", compare_cols=["text"])
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (operators/profile.py): counts,
+    nulls, exact distinct, min/max/mean/stddev for every profiled
+    column from ONE aggregate over one scan."""
+    from tube_spark.operators.profile import profile
+
+    _ensure(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile(
+        orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram with frozen bounds
+    (operators/profile.py): deterministic, append-comparable bins;
+    out-of-range values clamp into the edge bins."""
+    from tube_spark.operators.profile import histogram
+
+    _ensure(spark)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram(lineitem, "l_extendedprice", 0.0, 60000.0, bins=12)
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2057,6 +2081,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "zorder_layout": q_zorder_layout,
         "quality_checks": q_quality_checks,
         "snapshot_diff": q_snapshot_diff,
+        "column_profile": q_column_profile,
+        "value_histogram": q_value_histogram,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
@@ -2154,6 +2180,8 @@ _EXTRA_QUERY_NAMES = (
     "zorder_layout",
     "quality_checks",
     "snapshot_diff",
+    "column_profile",
+    "value_histogram",
     "decontamination",
     "data_mixture",
     "doc_chunking",
@@ -3129,6 +3157,52 @@ def _all_oracle_sql() -> dict[str, str]:
                         WHEN o.text <> n.text THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id
+        """,
+        "column_profile": """
+            SELECT 'o_orderkey' AS "column", count(*)::BIGINT AS n,
+                   (count(*) - count(o_orderkey))::BIGINT AS n_null,
+                   count(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+                   round(min(o_orderkey)::DOUBLE, 6) AS min,
+                   round(max(o_orderkey)::DOUBLE, 6) AS max,
+                   round(avg(o_orderkey::DOUBLE), 6) AS mean,
+                   round(stddev(o_orderkey::DOUBLE), 6) AS stddev
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*)::BIGINT,
+                   (count(*) - count(o_custkey))::BIGINT,
+                   count(DISTINCT o_custkey)::BIGINT,
+                   round(min(o_custkey)::DOUBLE, 6),
+                   round(max(o_custkey)::DOUBLE, 6),
+                   round(avg(o_custkey::DOUBLE), 6),
+                   round(stddev(o_custkey::DOUBLE), 6)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*)::BIGINT,
+                   (count(*) - count(o_totalprice))::BIGINT,
+                   count(DISTINCT o_totalprice)::BIGINT,
+                   round(min(o_totalprice)::DOUBLE, 6),
+                   round(max(o_totalprice)::DOUBLE, 6),
+                   round(avg(o_totalprice::DOUBLE), 6),
+                   round(stddev(o_totalprice::DOUBLE), 6)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*)::BIGINT,
+                   (count(*) - count(o_orderstatus))::BIGINT,
+                   count(DISTINCT o_orderstatus)::BIGINT,
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+            FROM orders
+        """,
+        "value_histogram": """
+            WITH b AS (
+                SELECT least(greatest(
+                           floor((l_extendedprice::DOUBLE - 0.0) / 5000.0),
+                           0), 11)::BIGINT AS bin
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT bin, round((bin * 5000.0)::DOUBLE, 6) AS bin_lo,
+                   round(((bin + 1) * 5000.0)::DOUBLE, 6) AS bin_hi,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY bin ORDER BY bin
         """,
         "repetition_stats": f"""
             WITH tok AS (
