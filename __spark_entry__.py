@@ -1427,6 +1427,29 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(lineitem, "l_extendedprice", 0.0, 60000.0, bins=12)
 
 
+def q_ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH top-k pipeline under portable integer-lattice
+    hyperplanes (operators/similarity.py ``portable_hyperplanes``):
+    identical plumbing to the rows-only gaussian ``ann_lsh_topk`` —
+    Arrow signatures, band buckets, id-only candidate join, exact
+    cosine re-score, per-query ranking — but every stage is
+    reproducible in SQL, so the WHOLE pipeline gets a DuckDB oracle
+    (the same portability trade as ``semantic_dedup``)."""
+    from tube_spark.operators.similarity import portable_hyperplanes, rhp_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 29 == 0)
+    return rhp_lsh_topk(
+        emb,
+        queries,
+        dim=64,
+        k=10,
+        bits=16,
+        bands=4,
+        planes=portable_hyperplanes(64, 16),
+    )
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2083,6 +2106,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "snapshot_diff": q_snapshot_diff,
         "column_profile": q_column_profile,
         "value_histogram": q_value_histogram,
+        "ann_lsh_topk_portable": q_ann_lsh_topk_portable,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
@@ -2182,6 +2206,7 @@ _EXTRA_QUERY_NAMES = (
     "snapshot_diff",
     "column_profile",
     "value_histogram",
+    "ann_lsh_topk_portable",
     "decontamination",
     "data_mixture",
     "doc_chunking",
@@ -3203,6 +3228,43 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(((bin + 1) * 5000.0)::DOUBLE, 6) AS bin_hi,
                    count(*)::BIGINT AS n
             FROM b GROUP BY bin ORDER BY bin
+        """,
+        "ann_lsh_topk_portable": """
+            WITH pl AS (
+                SELECT j, list_transform(range(0, 64),
+                           i -> ((j * 31 + i * 7) % 11 - 5)::DOUBLE) AS p
+                FROM (SELECT unnest(range(0, 16)) AS j)
+            ), e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), bits AS (
+                SELECT vec_id, j,
+                       (list_dot_product(v, p) > 0)::BIGINT AS bit
+                FROM e CROSS JOIN pl
+            ), bands AS (
+                SELECT vec_id, (j // 4)::BIGINT AS cb,
+                       sum(bit << (j % 4))::BIGINT AS cv
+                FROM bits GROUP BY vec_id, cb
+            ), qb AS (
+                SELECT vec_id AS query_id, cb, cv
+                FROM bands WHERE vec_id % 29 = 0
+            ), cand AS (
+                SELECT DISTINCT qb.query_id, c.vec_id AS neighbor_id
+                FROM qb JOIN bands c USING (cb, cv)
+                WHERE c.vec_id <> qb.query_id
+            ), scored AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       list_dot_product(q.v, n.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(n.v, n.v))) AS cos_raw
+                FROM cand
+                JOIN e q ON q.vec_id = cand.query_id
+                JOIN e n ON n.vec_id = cand.neighbor_id
+            )
+            SELECT query_id, neighbor_id, cast(rn AS INTEGER) AS rank,
+                   round(cos_raw, 6) AS cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_raw DESC, neighbor_id) AS rn FROM scored)
+            WHERE rn <= 10
         """,
         "repetition_stats": f"""
             WITH tok AS (

@@ -124,6 +124,20 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
     return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
+def portable_hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic integer-lattice hyperplanes: plane[j][i] =
+    (j*31 + i*7) mod 11 - 5 ∈ [-5, 5].  Statistically rougher than
+    gaussian planes but reproducible in plain SQL — the same trick as
+    ``semdedup``'s portable centroids — so an LSH top-k built on them
+    has a full DuckDB oracle (extras query ``ann_lsh_topk_portable``).
+    Use the gaussian default in production; use this to differentially
+    verify the pipeline's plumbing end to end."""
+    return [
+        [float((j * 31 + i * 7) % 11 - 5) for i in range(dim)]
+        for j in range(bits)
+    ]
+
+
 def rhp_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign signature under random hyperplanes, packed into a long.
 
@@ -207,13 +221,16 @@ def rhp_lsh_topk(
     bits: int = 32,
     bands: int = 4,
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = signature-band collisions (id-only
     join), then exact cosine on candidates.  Recall rises with bands
     (each band is an independent chance to collide); precision of the
-    bucketing rises with band width = bits/bands."""
-    assert bits % bands == 0
-    planes = _hyperplanes(dim, bits, seed)
+    bucketing rises with band width = bits/bands.  ``planes`` overrides
+    the gaussian defaults (see ``portable_hyperplanes``)."""
+    if planes is None:
+        planes = _hyperplanes(dim, bits, seed)
+    assert len(planes) == bits and bits % bands == 0
 
     qb = _band_buckets(queries, planes, bands, id_col, vec_col, "query_id")
     cb = _band_buckets(corpus, planes, bands, id_col, vec_col, "neighbor_id")
