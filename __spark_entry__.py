@@ -1450,6 +1450,16 @@ def q_ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k per-stratum sampling (operators/sampling.py
+    ``stratified_fixed_k``): two-phase skew-resistant selection whose
+    result is identical to a single salted-hash window — which is
+    exactly what the oracle replays."""
+    from tube_spark.operators.sampling import stratified_fixed_k
+
+    return stratified_fixed_k(_docs(spark, sf_dir), "lang", 20, "doc_id")
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2107,6 +2117,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "column_profile": q_column_profile,
         "value_histogram": q_value_histogram,
         "ann_lsh_topk_portable": q_ann_lsh_topk_portable,
+        "stratified_fixed_k": q_stratified_fixed_k,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
@@ -2207,6 +2218,7 @@ _EXTRA_QUERY_NAMES = (
     "column_profile",
     "value_histogram",
     "ann_lsh_topk_portable",
+    "stratified_fixed_k",
     "decontamination",
     "data_mixture",
     "doc_chunking",
@@ -3265,6 +3277,18 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cos_raw DESC, neighbor_id) AS rn FROM scored)
             WHERE rn <= 10
+        """,
+        "stratified_fixed_k": """
+            SELECT doc_id, text, lang, source, n_chars,
+                   sample_rank::INTEGER AS sample_rank
+            FROM (
+                SELECT d.*, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY ('0x' || substr(md5('fixedk' || doc_id), 1, 15))::BIGINT,
+                             doc_id
+                ) AS sample_rank
+                FROM documents d
+            ) WHERE sample_rank <= 20
         """,
         "repetition_stats": f"""
             WITH tok AS (

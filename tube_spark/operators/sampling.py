@@ -95,3 +95,69 @@ def stratified_sample(
             F.col(strata_col) == k, F.lit(int(round(v * _BUCKETS)))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "fixedk",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, deterministically:
+    rows are ranked inside each stratum by salted portable hash (ties
+    by id) and the first k survive.  Partitioning-independent — but
+    NOT append-stable (a new row can hash below an old survivor and
+    displace it); use ``stratified_sample`` when append stability
+    matters more than an exact count.
+
+    Skew shape: the naive form is one window over each stratum — a
+    billion-row stratum funnels through ONE task.  Here selection runs
+    in two phases: (1) per-(input-partition, stratum) top-k via a
+    map-side-complete ``groupBy`` on ``spark_partition_id()`` (each
+    group lives in one partition, so the partial aggregation finishes
+    before the shuffle and at most k x partitions candidate ids move;
+    the aggregation buffers carry only 16-byte (hash, id) entries, not
+    payloads);
+    (2) global top-k per stratum over that bounded candidate set, then
+    a broadcast semi-join pulls the surviving rows' payloads.  No
+    stratum ever funnels through a single task with more than
+    k x partitions rows.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = portable_hash60(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+
+    keyed = df.select(
+        F.col(strata_col).alias("__s"),
+        F.col(id_col).alias("__id"),
+        h.alias("__h"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    local = (
+        keyed.groupBy("__s", "__pid")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("__h", "__id"))), 1, k
+            ).alias("__top")
+        )
+        .select("__s", F.explode("__top").alias("__t"))
+        .select("__s", F.col("__t.__h").alias("__h"), F.col("__t.__id").alias("__id"))
+    )
+    final = (
+        local.groupBy("__s")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("__h", "__id"))), 1, k
+            ).alias("__top")
+        )
+        .select(F.posexplode("__top").alias("__rk", "__t"), "__s")
+        .select(
+            F.col("__t.__id").alias("__id"),
+            (F.col("__rk") + 1).cast("integer").alias(rank_col),
+        )
+    )
+    return df.join(
+        F.broadcast(final), on=F.col(id_col) == F.col("__id"), how="inner"
+    ).drop("__id")
