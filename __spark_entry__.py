@@ -1460,6 +1460,19 @@ def q_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_fixed_k(_docs(spark, sf_dir), "lang", 20, "doc_id")
 
 
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant grouped top-k (operators/ranking.py
+    ``grouped_topk``): two-phase candidate selection equal to the
+    per-group window definition — which is what the oracle replays."""
+    from tube_spark.operators.ranking import grouped_topk
+
+    _ensure(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return grouped_topk(
+        orders, ["o_orderpriority"], "o_totalprice", 3, tiebreak_col="o_orderkey"
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2118,6 +2131,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "value_histogram": q_value_histogram,
         "ann_lsh_topk_portable": q_ann_lsh_topk_portable,
         "stratified_fixed_k": q_stratified_fixed_k,
+        "grouped_topk": q_grouped_topk,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
@@ -2219,6 +2233,7 @@ _EXTRA_QUERY_NAMES = (
     "value_histogram",
     "ann_lsh_topk_portable",
     "stratified_fixed_k",
+    "grouped_topk",
     "decontamination",
     "data_mixture",
     "doc_chunking",
@@ -3277,6 +3292,18 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cos_raw DESC, neighbor_id) AS rn FROM scored)
             WHERE rn <= 10
+        """,
+        "grouped_topk": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   rank::INTEGER AS rank
+            FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank
+                FROM orders
+            ) WHERE rank <= 3
         """,
         "stratified_fixed_k": """
             SELECT doc_id, text, lang, source, n_chars,

@@ -113,3 +113,88 @@ def ntile_distributed(
             + 1
         )
     return ranked.withColumn(tile_col, tile.cast("int")).drop("_gr_rank")
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group WITHOUT funneling each group through one
+    window task.
+
+    ``row_number() OVER (PARTITION BY group ORDER BY v)`` sends every
+    row of a group to a single task — the hot group IS the job at
+    100 TB.  Here selection is two-phase (the ``stratified_fixed_k``
+    pattern generalized to an arbitrary order column):
+
+    1. per-(input-partition, group) top-k via a map-side-complete
+       ``groupBy`` keyed on ``spark_partition_id()`` — each group slice
+       lives in one partition, so the partial aggregate finishes before
+       the shuffle and at most k x partitions (order-key, tiebreak)
+       entries move per group;
+    2. global top-k per group over that bounded candidate set, then a
+       broadcast semi-join retrieves the surviving rows' payloads.
+
+    ``tiebreak_col`` (default: first group-external column — pass one
+    explicitly for a guaranteed total order) makes ranks deterministic.
+    Result is identical to the naive window (equivalence-tested).
+
+    Constraints: ``descending=True`` negates the order key, so the
+    order column must be numeric (ascending works for any sortable
+    type); rows with NULL order values are excluded (a window would
+    rank them after the real top-k — they can never be winners).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not group_cols:
+        raise ValueError("grouped_topk needs at least one group column")
+    if tiebreak_col is None:
+        candidates = [c for c in df.columns if c not in group_cols and c != order_col]
+        if not candidates:
+            raise ValueError("no tiebreak column available — pass tiebreak_col")
+        tiebreak_col = candidates[0]
+
+    v = F.col(order_col)
+    key = (-v if descending else v).alias("__v")
+    keyed = df.filter(v.isNotNull()).select(
+        *[F.col(c) for c in group_cols],
+        key,
+        F.col(tiebreak_col).alias("__t"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    topk_local = (
+        keyed.groupBy(*group_cols, "__pid")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("__v", "__t"))), 1, k
+            ).alias("__top")
+        )
+        .select(*group_cols, F.explode("__top").alias("__e"))
+        .select(*group_cols, F.col("__e.__v").alias("__v"), F.col("__e.__t").alias("__t"))
+    )
+    winners = (
+        topk_local.groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("__v", "__t"))), 1, k
+            ).alias("__top")
+        )
+        .select(*group_cols, F.posexplode("__top").alias("__rk", "__e"))
+        .select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+            F.col("__e.__t").alias("__wt"),
+            (F.col("__rk") + 1).cast("integer").alias(rank_col),
+        )
+    )
+    cond = F.col(tiebreak_col) == F.col("__wt")
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"__g_{c}"))
+    return (
+        df.join(F.broadcast(winners), on=cond, how="inner")
+        .drop("__wt", *[f"__g_{c}" for c in group_cols])
+    )
