@@ -52,6 +52,14 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "hybrid_retrieval",
     "bpe_tokenize",
+    # ops tooling (quality gates, profiling, versioning, skew)
+    "quality_checks",
+    "column_profile",
+    "value_histogram",
+    "snapshot_diff",
+    "grouped_topk",
+    "stratified_fixed_k",
+    "ann_lsh_topk_portable",
 ]
 
 

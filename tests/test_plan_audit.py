@@ -41,6 +41,8 @@ ARROW_OK = {
     "bpe_tokenize",
     "sessionization",
     "hybrid_retrieval",
+    "heavy_hitters",  # Misra-Gries summaries run as MapInPandas
+    "ann_lsh_topk_portable",  # Arrow signature kernel, like ann_lsh_topk
 }
 
 # queries where a BroadcastNestedLoopJoin is the intended plan: the
@@ -71,6 +73,7 @@ BNLJ_OK = {
     "idle_high_balance_customers",
     "important_nation_volume",
     "cheapest_supplier",
+    "heavy_hitters",  # one-row corpus-total broadcast for the share division
 }
 
 # queries that execute driver-side work or streams when *built* — they
