@@ -1473,6 +1473,30 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py ``weighted_sample_k``, Efraimidis-Spirakis
+    keys from the portable hash): TakeOrderedAndProject plan, oracle
+    replays ln(u)/w ranking in SQL."""
+    from tube_spark.operators.sampling import weighted_sample_k
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample_k(docs, "n_chars", 50, "doc_id")
+
+
+def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier gating per group (operators/profile.py
+    ``iqr_outliers``): one grouped exact-quartile aggregate broadcast
+    back against the stream side."""
+    from tube_spark.operators.profile import iqr_outliers
+
+    _ensure(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return iqr_outliers(li, "l_extendedprice", by="l_returnflag")
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2132,6 +2156,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_lsh_topk_portable": q_ann_lsh_topk_portable,
         "stratified_fixed_k": q_stratified_fixed_k,
         "grouped_topk": q_grouped_topk,
+        "weighted_sample": q_weighted_sample,
+        "outlier_flags": q_outlier_flags,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
         "doc_chunking": q_doc_chunking,
@@ -2234,6 +2260,8 @@ _EXTRA_QUERY_NAMES = (
     "ann_lsh_topk_portable",
     "stratified_fixed_k",
     "grouped_topk",
+    "weighted_sample",
+    "outlier_flags",
     "decontamination",
     "data_mixture",
     "doc_chunking",
@@ -3292,6 +3320,34 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                       ORDER BY cos_raw DESC, neighbor_id) AS rn FROM scored)
             WHERE rn <= 10
+        """,
+        "weighted_sample": """
+            SELECT doc_id, lang, n_chars, sample_rank::INTEGER AS sample_rank
+            FROM (
+                SELECT doc_id, lang, n_chars, row_number() OVER (
+                    ORDER BY ln((('0x' || substr(md5('wsample' || doc_id), 1, 15))::BIGINT
+                                 + 1.0) / 1152921504606846976.0)
+                             / n_chars::DOUBLE DESC,
+                             doc_id
+                ) AS sample_rank
+                FROM documents WHERE n_chars > 0
+            ) WHERE sample_rank <= 50
+        """,
+        "outlier_flags": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_extendedprice, 0.25) AS q1,
+                       quantile_cont(l_extendedprice, 0.75) AS q3
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_extendedprice,
+                   round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+                   round(q.q1 - 1.5 * (q.q3 - q.q1), 6) AS lo_fence,
+                   round(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS hi_fence,
+                   (l.l_extendedprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                    OR l.l_extendedprice > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+            FROM lineitem l JOIN q USING (l_returnflag)
         """,
         "grouped_topk": """
             SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -116,3 +116,46 @@ def histogram(
         )
         .orderBy("bin")
     )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    col: str,
+    by: str | None = None,
+    k: float = 1.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Tukey-fence outlier flagging: a value is an outlier when it
+    falls outside [q1 - k*IQR, q3 + k*IQR], optionally per ``by``
+    group.  Returns the input plus (q1, q3, lo_fence, hi_fence,
+    is_outlier).
+
+    One aggregate computes the quartiles (grouped or global one-row),
+    broadcast back against the stream side.  ``approx=False`` uses
+    exact ``percentile`` (sorts each group's values inside the agg
+    buffer — fine up to millions of rows per group, and what the
+    DuckDB oracle replays); ``approx=True`` switches to
+    ``approx_percentile`` (bounded-memory sketch) — the 100 TB
+    default, at the cost of oracle-exactness."""
+    x = F.col(col).cast("double")
+    fn = "approx_percentile" if approx else "percentile"
+    qs = F.expr(f"{fn}({col}, array(0.25, 0.75))")
+    keys = [by] if by else []
+    stats = (df.groupBy(*keys) if keys else df.groupBy()).agg(
+        qs[0].alias("q1"), qs[1].alias("q3")
+    )
+    joined = (
+        df.join(F.broadcast(stats), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(stats))  # one-row aggregate
+    )
+    lo = F.col("q1") - F.lit(float(k)) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(float(k)) * (F.col("q3") - F.col("q1"))
+    return joined.select(
+        *df.columns,
+        F.round("q1", 6).alias("q1"),
+        F.round("q3", 6).alias("q3"),
+        F.round(lo, 6).alias("lo_fence"),
+        F.round(hi, 6).alias("hi_fence"),
+        ((x < lo) | (x > hi)).alias("is_outlier"),
+    )

@@ -161,3 +161,45 @@ def stratified_fixed_k(
     return df.join(
         F.broadcast(final), on=F.col(id_col) == F.col("__id"), how="inner"
     ).drop("__id")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006): every row draws u in (0, 1] from a salted
+    portable hash of its id and scores key = ln(u) / w; the k largest
+    keys are the sample, which realizes inclusion probabilities
+    proportional to weight (exactly the A-ES reservoir scheme, made
+    rerun-stable by the deterministic u).
+
+    Scale shape: ``orderBy(key).limit(k)`` plans as
+    TakeOrderedAndProject — per-partition top-k heaps merged at the
+    driver, never a global sort shuffle.  Rows with weight <= 0 are
+    excluded (their inclusion probability is zero).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    h = portable_hash60(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = F.log(u) / w  # negative; larger (closer to 0) wins
+    ranked = (
+        df.filter(w > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    # rank the k survivors (k rows — the window is trivially small)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn(rank_col, F.row_number().over(win).cast("integer"))
+        .drop("__wkey")
+    )
