@@ -1497,6 +1497,18 @@ def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return iqr_outliers(li, "l_extendedprice", by="l_returnflag")
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text embeddings via the hashing trick
+    (operators/featurize.py): signed-hash word-bigram features,
+    L2-normalized, in sparse (doc_id, idx, val) form — the
+    fully-oracled on-ramp from documents into the vector operators."""
+    from tube_spark.operators.featurize import hashed_ngram_features_sparse
+
+    return hashed_ngram_features_sparse(
+        _docs(spark, sf_dir), dim=64, n=2
+    ).select("doc_id", "idx", "val")
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2157,6 +2169,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stratified_fixed_k": q_stratified_fixed_k,
         "grouped_topk": q_grouped_topk,
         "weighted_sample": q_weighted_sample,
+        "hashed_features": q_hashed_features,
         "outlier_flags": q_outlier_flags,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
@@ -2261,6 +2274,7 @@ _EXTRA_QUERY_NAMES = (
     "stratified_fixed_k",
     "grouped_topk",
     "weighted_sample",
+    "hashed_features",
     "outlier_flags",
     "decontamination",
     "data_mixture",
@@ -3372,6 +3386,32 @@ def _all_oracle_sql() -> dict[str, str]:
                 ) AS sample_rank
                 FROM documents d
             ) WHERE sample_rank <= 20
+        """,
+        "hashed_features": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 1, 0)),
+                           i -> concat(t[i], ' ', t[i + 1]))) AS g
+                FROM tok
+            ), h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('feat' || g), 1, 15))::BIGINT AS hv
+                FROM grams
+            ), sp AS (
+                SELECT doc_id, hv % 64 AS idx,
+                       sum(CASE WHEN (hv // 64) % 2 = 1
+                                THEN -1.0 ELSE 1.0 END) AS v
+                FROM h GROUP BY doc_id, hv % 64
+            )
+            SELECT doc_id, idx::BIGINT AS idx,
+                   round(CASE WHEN nrm > 0 THEN v / nrm ELSE 0.0 END, 6) AS val
+            FROM (
+                SELECT *, sqrt(sum(v * v) OVER (PARTITION BY doc_id)) AS nrm
+                FROM sp
+            )
         """,
         "repetition_stats": f"""
             WITH tok AS (
