@@ -87,3 +87,38 @@ def test_file_skipping_vs_single_column_layout(spark, tmp_path):
         spark.read.parquet(zdir).orderBy("event_id").collect()
         == df.orderBy("event_id").collect()
     )
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files -> few target-size files, same rows, tight stats."""
+    from tube_spark.operators.layout import compact, dir_bytes
+
+    src, out = str(tmp_path / "small"), str(tmp_path / "compacted")
+    df = spark.range(50000).select(
+        F.col("id").alias("event_id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.parquet(src)
+    total = dir_bytes(spark, src)
+    assert total > 0
+    n = compact(spark, src, out, ["event_id"], target_bytes=total // 4)
+    assert 4 <= n <= 6
+    import glob
+
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == n
+    assert (
+        spark.read.parquet(out).orderBy("event_id").collect()
+        == df.orderBy("event_id").collect()
+    )
+    # range-partitioned + sorted: a narrow band touches ~1 file
+    rep = file_skipping_report(spark, out, "event_id", 100, 200).collect()[0]
+    assert rep["files_read"] <= 2
+
+
+def test_compact_validation(spark, tmp_path):
+    from tube_spark.operators.layout import compact
+
+    with pytest.raises(ValueError, match="target_bytes"):
+        compact(spark, "x", "y", ["a"], target_bytes=0)
+    with pytest.raises(ValueError, match="order column"):
+        compact(spark, "x", "y", [])

@@ -164,3 +164,47 @@ def file_skipping_report(
             6,
         ).alias("frac_skipped"),
     )
+
+
+def dir_bytes(spark, path: str) -> int:
+    """Total bytes under ``path`` via the Hadoop FileSystem API (works
+    for any supported scheme, not just local paths)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(p).getLength()
+
+
+def compact(
+    spark,
+    path: str,
+    out_path: str,
+    order_cols: list[str],
+    target_bytes: int = 512 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Rewrite a small-files parquet directory into ceil(total/target)
+    files, range-partitioned and sorted on ``order_cols`` so footer
+    min/max stats stay tight after the rewrite.
+
+    The small-files problem is the chronic failure mode of incremental
+    ingestion at scale (every micro-batch appends a few files; a year
+    later the table is a million 2 MB files and planning time dwarfs
+    scan time).  Compaction is the maintenance half of ``write_zordered``
+    — run it on cold partitions, then atomically swap the directory via
+    the versioned-publish pattern (``sinks/writer.py``).  Returns the
+    output file count."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    if not order_cols:
+        raise ValueError("compact needs at least one order column")
+    total = dir_bytes(spark, path)
+    n = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(path)
+    (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .write.mode(mode)
+        .parquet(out_path)
+    )
+    return n
