@@ -1,0 +1,67 @@
+"""End-to-end curation CLI: curate -> gates -> split -> versioned publish."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tube_spark.curate import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(capsys, *argv) -> tuple[int, dict]:
+    rc = main(list(argv))
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_publish_and_republish(spark, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    rc, rep = _run(
+        capsys,
+        "--docs", f"{SF}/documents.parquet",
+        "--out", out,
+        "--embeddings", f"{SF}/embeddings.parquet",
+        "--quality-gate",
+    )
+    assert rc == 0
+    assert rep["rows"] == sum(rep["splits"].values()) > 0
+    assert set(rep["splits"]) == {"train", "val", "test"}
+    assert rep["gates"]["quality"] == {"uniqueness": True, "completeness": True}
+
+    v1 = spark.read.parquet(rep["version"])
+    assert v1.count() == rep["rows"]
+    assert {"doc_id", "split", "quality_score", "has_embedding"} <= set(v1.columns)
+
+    # republish: identical corpus passes the delta gate
+    rc2, rep2 = _run(
+        capsys,
+        "--docs", f"{SF}/documents.parquet",
+        "--out", out,
+        "--max-removed-frac", "0.1",
+    )
+    assert rc2 == 0
+    assert rep2["gates"]["delta"]["removed_frac"] == 0.0
+    assert rep2["version"].endswith("_v2")
+
+
+def test_delta_gate_blocks_mass_removal(tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    rc, _ = _run(capsys, "--docs", f"{SF}/documents.parquet", "--out", out)
+    assert rc == 0
+    # raising min-quality massively shrinks the corpus -> delta gate trips
+    rc2, rep2 = _run(
+        capsys,
+        "--docs", f"{SF}/documents.parquet",
+        "--out", out,
+        "--min-quality", "0.99",
+        "--max-removed-frac", "0.1",
+    )
+    assert rc2 == 4 and rep2["error"] == "delta gate failed"
+
+
+def test_bad_split_spec(capsys):
+    rc = main(["--docs", "x", "--out", "y", "--splits", "oops"])
+    assert rc == 2

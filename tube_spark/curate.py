@@ -1,0 +1,148 @@
+"""Corpus-curation entry point — the training-data twin of
+``tube_spark.run`` (which drives the graph-ETL surface).
+
+One command takes a raw document table to a curated, split, versioned
+training corpus:
+
+    python -m tube_spark.curate \
+        --docs /data/documents.parquet \
+        --out  /data/curated \
+        [--embeddings /data/embeddings.parquet] \
+        [--min-quality 0.5] [--ngram 1] [--jaccard 0.8] \
+        [--splits train=0.9,val=0.05,test=0.05] \
+        [--quality-gate] [--max-removed-frac 0.5] \
+        [--master local[8]]
+
+Stages (each an operator documented in COVERAGE.md):
+  1. ``curate_corpus``      — quality gate, exact dedup, near-dup drop
+  2. ``quality_checks``     — publish gate: id uniqueness + completeness
+                              (refuses to publish a broken corpus)
+  3. ``snapshot_diff``      — delta gate vs the previous published
+                              version (refuses surprise mass-removals)
+  4. ``hash_split``         — deterministic train/val/test assignment
+  5. versioned publish      — ``VersionedIndexWriter``: the new corpus
+                              lands as ``_vN`` + atomic alias swap, so
+                              readers never see a half-written dataset
+
+Prints one JSON line with per-split counts and gate results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_splits(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        if not _ or not name:
+            raise ValueError(f"bad split spec {part!r} (want name=weight)")
+        out[name.strip()] = float(w)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True, help="documents parquet (doc_id, text, ...)")
+    ap.add_argument("--out", required=True, help="output root (versioned)")
+    ap.add_argument("--embeddings", help="optional embeddings parquet (vec_id, embedding)")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--ngram", type=int, default=1)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
+    ap.add_argument(
+        "--quality-gate", action="store_true",
+        help="fail the publish when id uniqueness/completeness fail",
+    )
+    ap.add_argument(
+        "--max-removed-frac", type=float, default=1.0,
+        help="delta gate vs the previous version (1.0 disables)",
+    )
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    try:
+        splits = _parse_splits(args.splits)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+
+    from pyspark.sql import functions as F
+
+    from tube_spark.operators.curation import curate_corpus
+    from tube_spark.operators.quality_checks import completeness, uniqueness, validate
+    from tube_spark.operators.sampling import hash_split
+    from tube_spark.operators.snapshot import snapshot_diff_summary
+    from tube_spark.session import get_spark
+    from tube_spark.sinks.writer import VersionedIndexWriter
+
+    spark = get_spark(
+        "tube_spark-curate",
+        master=args.master,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    docs = spark.read.parquet(args.docs)
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+
+    curated = curate_corpus(
+        docs,
+        emb,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        ngram_n=args.ngram,
+        jaccard_threshold=args.jaccard,
+    )
+    curated = hash_split(curated, id_col=args.id_col, weights=splits)
+
+    gates: dict[str, object] = {}
+    if args.quality_gate:
+        suite = validate(
+            curated, [uniqueness(args.id_col), completeness(args.id_col)]
+        ).collect()
+        gates["quality"] = {r["constraint"]: bool(r["passed"]) for r in suite}
+        if not all(r["passed"] for r in suite):
+            print(json.dumps({"error": "quality gate failed", "gates": gates}))
+            return 3
+
+    writer = VersionedIndexWriter(args.out, "corpus")
+    prev = writer.current_path()
+    if prev is not None and args.max_removed_frac < 1.0:
+        summary = {
+            r["status"]: r["n"]
+            for r in snapshot_diff_summary(
+                spark.read.parquet(prev), curated, args.id_col, compare_cols=[args.id_col]
+            ).collect()
+        }
+        base = sum(summary.get(s, 0) for s in ("removed", "changed", "unchanged"))
+        removed_frac = summary.get("removed", 0) / base if base else 0.0
+        gates["delta"] = {"removed_frac": round(removed_frac, 6)}
+        if removed_frac > args.max_removed_frac:
+            print(json.dumps({"error": "delta gate failed", "gates": gates}))
+            return 4
+
+    version = writer.publish(curated)
+    counts = {
+        r["split"]: r["n"]
+        for r in curated.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "version": version,
+                "rows": sum(counts.values()),
+                "splits": counts,
+                "gates": gates,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
