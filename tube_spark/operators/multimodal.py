@@ -375,3 +375,102 @@ def resize_images(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=_RESIZE_SCHEMA
     )
+
+
+# ----------------------------------------------------------------------
+# perceptual image hashing (pHash) + image near-duplicate detection
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (type-II, norm='ortho')."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash_bmp(payload: bytes) -> int | None:
+    """64-bit perceptual hash of an uncompressed 24-bit BMP (the
+    classic pHash recipe, per the public imagehash library): grayscale
+    -> nearest-resize to 32x32 -> 2-D DCT-II -> low-frequency 8x8
+    block -> bit i set iff coefficient i > median(block).  Robust to
+    small pixel noise / re-encodes; Hamming distance between hashes
+    tracks perceptual difference.  Returns None for non-BMP payloads
+    (a deployment adds JPEG/PNG by plugging a decoder that yields the
+    same gray 32x32 array)."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    offset, = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, = struct.unpack_from("<H", payload, 28)
+    compression, = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    h = abs(height)
+    stride = bmp_stride(width)
+    if offset + stride * h > len(payload):
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    px = rows.reshape(h, stride)[:, : 3 * width].reshape(h, width, 3)
+    if height > 0:  # bottom-up storage: normalize to top-down
+        px = px[::-1]
+    # BMP stores BGR
+    gray = (
+        0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+    ).astype(np.float64)
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * width) // 32
+    small = gray[np.ix_(yi, xi)]
+    coef = _DCT32 @ small @ _DCT32.T
+    block = coef[:8, :8]
+    med = np.median(block)
+    bits = (block > med).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        val |= int(b) << i
+    if val >= 1 << 63:  # two's complement into a signed Spark long
+        val -= 1 << 64
+    return val
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "media"
+) -> DataFrame:
+    """(id, phash) via Arrow mapInPandas; undecodable payloads yield
+    NULL phash (filtered by near-dup callers, reportable by audits)."""
+    schema = f"`{id_col}` long, phash long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: pdf[id_col],
+                "phash": [
+                    phash_bmp(bytes(p) if p is not None else None)
+                    for p in pdf[payload_col]
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "media",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Image near-dup pairs: pHash signatures + the SAME banded
+    Hamming blocking as text SimHash (operators/dedup.py
+    ``hamming_pairs``) — no all-pairs join, pigeonhole-complete for
+    distance < bands.  The LAION-style image dedup shape: hash is
+    map-only per image; candidate generation touches ids only."""
+    from tube_spark.operators.dedup import hamming_pairs
+
+    sigs = image_phash(df, id_col, payload_col).filter(F.col("phash").isNotNull())
+    return hamming_pairs(sigs, id_col, "phash", 64, max_hamming, bands)
