@@ -474,3 +474,91 @@ def image_near_duplicates(
 
     sigs = image_phash(df, id_col, payload_col).filter(F.col("phash").isNotNull())
     return hamming_pairs(sigs, id_col, "phash", 64, max_hamming, bands)
+
+
+# ----------------------------------------------------------------------
+# audio spectral features (pure-numpy FFT; no codec dependency)
+def spectral_features_wav(
+    payload: bytes, frame: int = 256, hop: int = 128
+) -> dict | None:
+    """Frame-level spectral analysis of a PCM WAV: Hann-windowed STFT
+    magnitudes (numpy rfft), reduced to the per-document features a
+    curation pipeline filters on — dominant frequency, spectral
+    centroid, RMS loudness, frame count.  Returns None for non-WAV
+    payloads.  Mono-izes by averaging channels."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, sample_rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size, = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt_code, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits, = struct.unpack_from("<H", body, 14)
+            if fmt_code != 1:
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if sample_rate is None or data is None or bits != 16:
+        return None
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    ch = max(channels or 1, 1)
+    if ch > 1:
+        samples = samples[: len(samples) // ch * ch].reshape(-1, ch).mean(axis=1)
+    if len(samples) < frame:
+        return {
+            "sample_rate": int(sample_rate),
+            "n_frames": 0,
+            "dominant_hz": 0.0,
+            "spectral_centroid_hz": 0.0,
+            "rms": float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0,
+        }
+    n_frames = 1 + (len(samples) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    window = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(samples[idx] * window, axis=1))  # (frames, bins)
+    power = spec**2
+    mean_power = power.mean(axis=0)
+    mean_power[0] = 0.0  # ignore DC for dominant/centroid
+    freqs = np.fft.rfftfreq(frame, d=1.0 / sample_rate)
+    total = mean_power.sum()
+    centroid = float((freqs * mean_power).sum() / total) if total > 0 else 0.0
+    return {
+        "sample_rate": int(sample_rate),
+        "n_frames": int(n_frames),
+        "dominant_hz": float(freqs[int(mean_power.argmax())]) if total > 0 else 0.0,
+        "spectral_centroid_hz": centroid,
+        "rms": float(np.sqrt(np.mean(samples**2))),
+    }
+
+
+def audio_spectral_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "media"
+) -> DataFrame:
+    """(id, sample_rate, n_frames, dominant_hz, spectral_centroid_hz,
+    rms) via Arrow mapInPandas; non-WAV payloads yield NULL features."""
+    schema = (
+        f"`{id_col}` long, sample_rate int, n_frames int, "
+        "dominant_hz double, spectral_centroid_hz double, rms double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                feat = spectral_features_wav(bytes(p) if p is not None else None)
+                rows.append(
+                    {
+                        id_col: did,
+                        "sample_rate": feat["sample_rate"] if feat else None,
+                        "n_frames": feat["n_frames"] if feat else None,
+                        "dominant_hz": feat["dominant_hz"] if feat else None,
+                        "spectral_centroid_hz": feat["spectral_centroid_hz"] if feat else None,
+                        "rms": feat["rms"] if feat else None,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "sample_rate", "n_frames", "dominant_hz", "spectral_centroid_hz", "rms"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, schema=schema)
