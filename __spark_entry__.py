@@ -1509,6 +1509,30 @@ def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "idx", "val")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/mining.py): exact
+    top-candidate_k cosine search, label anti-match, re-rank to k —
+    the oracle replays the same two-window pipeline."""
+    from tube_spark.operators.mining import hard_negatives
+
+    emb = _emb(spark, sf_dir)
+    return hard_negatives(
+        emb, k=3, candidate_k=30, anchors=emb.filter(F.col("vec_id") < 5)
+    )
+
+
+def q_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced resampling (operators/mining.py):
+    exactly `target` rows per label via hash-ranked replication /
+    downsampling; output is (vec_id, label, copy)."""
+    from tube_spark.operators.mining import class_balanced
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label")
+    return class_balanced(emb, "label", target=50).select(
+        "vec_id", "label", F.col("copy").cast("integer").alias("copy")
+    )
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2170,6 +2194,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "grouped_topk": q_grouped_topk,
         "weighted_sample": q_weighted_sample,
         "hashed_features": q_hashed_features,
+        "hard_negatives": q_hard_negatives,
+        "class_balanced": q_class_balanced,
         "outlier_flags": q_outlier_flags,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
@@ -2275,6 +2301,8 @@ _EXTRA_QUERY_NAMES = (
     "grouped_topk",
     "weighted_sample",
     "hashed_features",
+    "hard_negatives",
+    "class_balanced",
     "outlier_flags",
     "decontamination",
     "data_mixture",
@@ -3412,6 +3440,54 @@ def _all_oracle_sql() -> dict[str, str]:
                 SELECT *, sqrt(sum(v * v) OVER (PARTITION BY doc_id)) AS nrm
                 FROM sp
             )
+        """,
+        "hard_negatives": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+            ), scored AS (
+                SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+                       a.label AS anchor_label, b.label AS negative_label,
+                       list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+                FROM e a JOIN e b ON b.vec_id <> a.vec_id
+                WHERE a.vec_id < 5
+            ), cand AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cos_raw DESC, neighbor_id) AS rn0
+                    FROM scored
+                ) WHERE rn0 <= 30
+            )
+            SELECT anchor_id, neighbor_id AS negative_id,
+                   rank::INTEGER AS rank, round(cos_raw, 6) AS cosine,
+                   anchor_label, negative_label
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY anchor_id
+                           ORDER BY round(cos_raw, 6) DESC, neighbor_id) AS rank
+                FROM cand WHERE anchor_label <> negative_label
+            ) WHERE rank <= 3
+        """,
+        "class_balanced": """
+            WITH c AS (
+                SELECT label, count(*) AS n FROM embeddings GROUP BY label
+            ), r AS (
+                SELECT e.vec_id, e.label, c.n,
+                       row_number() OVER (PARTITION BY e.label
+                           ORDER BY ('0x' || substr(md5('balance' || e.vec_id), 1, 15))::BIGINT,
+                                    e.vec_id) AS rk
+                FROM embeddings e JOIN c USING (label)
+            ), x AS (
+                SELECT vec_id, label,
+                       CASE WHEN n >= 50
+                            THEN CASE WHEN rk <= 50 THEN 1 ELSE 0 END
+                            ELSE (50 // n) + CASE WHEN rk <= 50 % n
+                                                  THEN 1 ELSE 0 END
+                       END AS copies
+                FROM r
+            )
+            SELECT vec_id, label, unnest(range(0, copies))::INTEGER AS copy
+            FROM x WHERE copies > 0
         """,
         "repetition_stats": f"""
             WITH tok AS (

@@ -1,0 +1,119 @@
+"""Contrastive-training data mining over embedding tables.
+
+Training embedding models (retrieval, dedup encoders) needs labeled
+pairs: positives (same label) and HARD negatives — the wrong-label
+neighbors closest to the anchor, which carry nearly all the gradient
+signal (public lore from FaceNet/SBERT-style training).  Random
+negatives are trivial at any scale; hard ones need a top-k similarity
+search per anchor, which is exactly the machinery this engine already
+has.
+
+``hard_negatives`` composes the existing exact ``cosine_topk`` (or any
+swappable top-k: ``ivf_topk`` / ``search_store`` at scale) with a
+label anti-match: for each anchor, the k nearest neighbors whose label
+differs.  The label join is by id against the (id, label) projection —
+vectors never travel twice.
+
+``class_balanced`` resamples a labeled table toward a per-class target
+count: minority classes replicate deterministically (whole copies +
+a salted-hash remainder slice), majority classes downsample with the
+same ``stratified_fixed_k`` hash order — fully deterministic, so both
+directions carry a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tube_spark.operators.similarity import cosine_topk
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    candidate_k: int = 25,
+    anchors: DataFrame | None = None,
+) -> DataFrame:
+    """Per anchor: the ``k`` most-similar wrong-label vectors —
+    (anchor_id, negative_id, rank, cosine, anchor_label,
+    negative_label).
+
+    ``candidate_k`` controls how deep the similarity search looks
+    before the label filter (a same-label-dense neighborhood needs
+    headroom; candidates are ids only, so depth is cheap).  Pass
+    ``anchors`` to mine for a subset (defaults to every vector)."""
+    if k > candidate_k:
+        raise ValueError(f"k ({k}) must be <= candidate_k ({candidate_k})")
+    anchors = anchors if anchors is not None else emb
+    top = cosine_topk(emb, anchors, k=candidate_k, id_col=id_col, vec_col=vec_col)
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    a_lab = labels.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("anchor_label")
+    )
+    n_lab = labels.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("negative_label")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        top.join(F.broadcast(a_lab), "query_id")
+        .join(F.broadcast(n_lab), "neighbor_id")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("negative_id"),
+            "rank",
+            "cosine",
+            "anchor_label",
+            "negative_label",
+        )
+    )
+
+
+def class_balanced(
+    df: DataFrame,
+    label_col: str,
+    target: int,
+    id_col: str = "vec_id",
+    seed: str = "balance",
+) -> DataFrame:
+    """Exactly ``target`` rows per class, deterministically:
+    minority classes replicate (floor(target/n) whole copies, then the
+    hash-ranked first ``target mod n`` rows contribute one extra copy);
+    majority classes keep their hash-ranked first ``target``.  Output
+    adds ``copy`` (0-based replica index).
+
+    Everything derives from a per-class count (one small aggregate,
+    broadcast back) plus the salted-hash rank — partitioning-
+    independent and SQL-reproducible."""
+    if target <= 0:
+        raise ValueError(f"target must be positive, got {target}")
+    from tube_spark.functions.text import portable_hash60
+    from pyspark.sql import Window
+
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    h = portable_hash60(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(label_col).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.join(F.broadcast(counts), on=label_col).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    base = F.floor(F.lit(target) / F.col("__n"))
+    rem = F.lit(target) % F.col("__n")
+    n_copies = F.when(F.col("__n") >= target, F.when(F.col("__rk") <= target, 1).otherwise(0)).otherwise(
+        base + F.when(F.col("__rk") <= rem, 1).otherwise(0)
+    )
+    return (
+        ranked.withColumn("__c", n_copies.cast("int"))
+        .filter(F.col("__c") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__c") - 1)))
+        .drop("__n", "__rk", "__c")
+    )
