@@ -1533,6 +1533,26 @@ def q_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (operators/pagerank.py) on the supplier-part
+    bipartite graph from lineitem (parts offset by 1e6 to keep node ids
+    disjoint; both directions, so no dangling mass).  Fixed 3
+    iterations — the oracle unrolls the identical trajectory in SQL,
+    the kmeans/classifier portable-trajectory pattern."""
+    from tube_spark.operators.pagerank import pagerank
+
+    _ensure(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=3).select("node", "rank")
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2196,6 +2216,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hashed_features": q_hashed_features,
         "hard_negatives": q_hard_negatives,
         "class_balanced": q_class_balanced,
+        "pagerank": q_pagerank,
         "outlier_flags": q_outlier_flags,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
@@ -2303,6 +2324,7 @@ _EXTRA_QUERY_NAMES = (
     "hashed_features",
     "hard_negatives",
     "class_balanced",
+    "pagerank",
     "outlier_flags",
     "decontamination",
     "data_mixture",
@@ -3488,6 +3510,58 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, label, unnest(range(0, copies))::INTEGER AS copy
             FROM x WHERE copies > 0
+        """,
+        "pagerank": """
+            WITH fwd AS (
+                SELECT DISTINCT l_suppkey AS src,
+                       l_partkey + 1000000 AS dst
+                FROM lineitem
+            ), e AS (
+                SELECT src, dst FROM fwd
+                UNION ALL
+                SELECT dst, src FROM fwd
+            ), nodes AS (
+                SELECT DISTINCT src AS node FROM e
+                UNION
+                SELECT DISTINCT dst FROM e
+            ), nn AS (
+                SELECT count(*)::DOUBLE AS n FROM nodes
+            ), od AS (
+                SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src
+            ), r0 AS (
+                SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+            ), r1 AS (
+                SELECT nodes.node,
+                       (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(i.inflow, 0.0) AS rank
+                FROM nodes LEFT JOIN (
+                    SELECT e.dst AS node, sum(r0.rank / od.outdeg) AS inflow
+                    FROM e JOIN r0 ON r0.node = e.src
+                           JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) i USING (node)
+            ), r2 AS (
+                SELECT nodes.node,
+                       (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(i.inflow, 0.0) AS rank
+                FROM nodes LEFT JOIN (
+                    SELECT e.dst AS node, sum(r1.rank / od.outdeg) AS inflow
+                    FROM e JOIN r1 ON r1.node = e.src
+                           JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) i USING (node)
+            ), r3 AS (
+                SELECT nodes.node,
+                       (1.0 - 0.85) / (SELECT n FROM nn)
+                       + 0.85 * coalesce(i.inflow, 0.0) AS rank
+                FROM nodes LEFT JOIN (
+                    SELECT e.dst AS node, sum(r2.rank / od.outdeg) AS inflow
+                    FROM e JOIN r2 ON r2.node = e.src
+                           JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) i USING (node)
+            )
+            SELECT node, round(rank, 8) AS rank FROM r3
         """,
         "repetition_stats": f"""
             WITH tok AS (

@@ -1,0 +1,73 @@
+"""PageRank: python reference equality, dangling mass, invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tube_spark.operators.pagerank import pagerank
+
+
+def _py_pagerank(edges, iters, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out: dict = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        dm = sum(rank[x] for x in nodes if x not in out)
+        new = {}
+        for x in nodes:
+            inflow = sum(
+                rank[u] / len(out[u]) for u in nodes if u in out and x in out[u]
+            )
+            new[x] = (1 - d) / n + d * (inflow + dm / n)
+        rank = new
+    return rank
+
+
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 4), (5, 1),
+    (6, 5),  # 6 has no in-links
+    (3, 7),  # 7 is dangling (no out-edges)
+]
+
+
+def test_matches_python_reference(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    want = _py_pagerank(EDGES, 6)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-7)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hub_ranks_higher(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+    # node 3 receives the most links; node 6 receives none
+    assert got[3] == max(got.values())
+    assert got[6] == min(got.values())
+
+
+def test_early_stop_converges(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    fixed = {r["node"]: r["rank"] for r in pagerank(df, iterations=60).collect()}
+    tol = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=60, tol=1e-9).collect()
+    }
+    for k in fixed:
+        assert tol[k] == pytest.approx(fixed[k], abs=1e-6)
+
+
+def test_validation_and_empty(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.5)
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, iterations=2).count() == 0

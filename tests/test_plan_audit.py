@@ -43,6 +43,7 @@ ARROW_OK = {
     "hybrid_retrieval",
     "heavy_hitters",  # Misra-Gries summaries run as MapInPandas
     "ann_lsh_topk_portable",  # Arrow signature kernel, like ann_lsh_topk
+    "hard_negatives",  # rides cosine_topk's Arrow cosine kernel
 }
 
 # queries where a BroadcastNestedLoopJoin is the intended plan: the
@@ -74,6 +75,7 @@ BNLJ_OK = {
     "important_nation_volume",
     "cheapest_supplier",
     "heavy_hitters",  # one-row corpus-total broadcast for the share division
+    "hard_negatives",  # cosine_topk's broadcast-queries shape
 }
 
 # queries that execute driver-side work or streams when *built* — they
@@ -82,6 +84,7 @@ BNLJ_OK = {
 SKIP = {
     "streaming_events_window",
     "bpe_tokenize",
+    "pagerank",  # iterative: building the frame runs the training loop
 }
 
 

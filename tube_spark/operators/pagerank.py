@@ -1,0 +1,119 @@
+"""Distributed PageRank over an edge DataFrame.
+
+Joins the engine's iterative family (connected components, Lloyd
+k-means, logistic GD, BPE) with the canonical link-analysis operator —
+in a curation pipeline it ranks documents by citation/link importance
+(keep-best tie-breaking, crawl prioritization), and on the graph-ETL
+side it is the standard "walk the graph" beyond-reference ask.
+
+Per iteration (the textbook formulation, Page et al. 1999):
+
+    rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u)
+                               + dangling_mass/N )
+
+Spark shape — one join + one aggregation per round, all keyed:
+
+* out-degrees are computed ONCE and live in the edge frame (the join
+  carries ``rank/outdeg`` contributions keyed by destination);
+* dangling mass (ranks of nodes with no out-edges) is a one-row
+  aggregate broadcast back — the repo's standard scalar pattern;
+* every round ends in ``localCheckpoint(eager=False)`` with the
+  ``CheckpointRotor`` releasing the previous round's blocks — the
+  iterative-operator storage contract shared with components.py;
+* fixed ``iterations`` (deterministic, ORACLE-able: the extras query
+  unrolls 3 rounds in SQL) or early stop on L1 delta < tol.
+
+100 TB notes: the per-round shuffle is |E| contributions hashed on the
+destination — identical shape to the candidate joins elsewhere; skew
+(a node with 10^8 in-links) is an AQE-skew/salting case like any hot
+join key.  Ranks are one row per node; nothing driver-side but the
+one-row dangling/delta aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tube_spark.plans.lifecycle import CheckpointRotor
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+    tol: float | None = None,
+) -> DataFrame:
+    """(node, rank) with Σrank = 1.  ``tol`` enables early stop when
+    the L1 rank change drops below it (costs one extra one-row
+    aggregate per round); leave None for a fixed, oracle-reproducible
+    trajectory."""
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()  # materializes the checkpoint
+    if n_nodes == 0:
+        return spark.createDataFrame([], "node long, rank double")
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges annotated once; reused every round
+    ed = e.join(out_deg, on="src").localCheckpoint(eager=False)
+    ed.count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    rotor = CheckpointRotor(spark)
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        rotor.begin()
+        dangling = (
+            ranks.join(out_deg, on=F.col("node") == F.col("src"), how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            ed.join(ranks, on=F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dangling))  # one-row aggregate
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / n_nodes)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "prev"), on="node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            rotor.commit()
+            if delta < tol:
+                break
+        else:
+            new_ranks.count()  # materialize this round's checkpoint
+            ranks = new_ranks
+            rotor.commit()
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
