@@ -1553,6 +1553,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3).select("node", "rank")
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators/entities.py): part names + typo
+    variants (every 7th part, last char mutated) resolve through
+    prefix blocking, normalized-Levenshtein scoring, and the shared
+    connected-components clustering; oracle = Levenshtein + recursive
+    closure in SQL."""
+    from tube_spark.operators.entities import resolve_entities
+
+    _ensure(spark)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    base = part.select(F.col("p_partkey").alias("rid"), F.col("p_name").alias("name"))
+    variants = part.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(
+            F.expr("substring(p_name, 1, length(p_name) - 1)"), F.lit("x")
+        ).alias("name"),
+    )
+    recs = base.unionByName(variants)
+    return resolve_entities(
+        recs, "rid", F.substring("name", 1, 6), [("name", 1.0)], threshold=0.88
+    )
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2217,6 +2240,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hard_negatives": q_hard_negatives,
         "class_balanced": q_class_balanced,
         "pagerank": q_pagerank,
+        "entity_resolution": q_entity_resolution,
         "outlier_flags": q_outlier_flags,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
@@ -2325,6 +2349,7 @@ _EXTRA_QUERY_NAMES = (
     "hard_negatives",
     "class_balanced",
     "pagerank",
+    "entity_resolution",
     "outlier_flags",
     "decontamination",
     "data_mixture",
@@ -3562,6 +3587,37 @@ def _all_oracle_sql() -> dict[str, str]:
                 ) i USING (node)
             )
             SELECT node, round(rank, 8) AS rank FROM r3
+        """,
+        "entity_resolution": """
+            WITH RECURSIVE recs AS (
+                SELECT p_partkey AS rid, p_name AS name FROM part
+                UNION ALL
+                SELECT p_partkey + 1000000,
+                       substr(p_name, 1, len(p_name) - 1) || 'x'
+                FROM part WHERE p_partkey % 7 = 0
+            ), keyed AS (
+                SELECT rid, name, substr(name, 1, 6) AS bk FROM recs
+            ), pairs AS (
+                SELECT a.rid AS id_a, b.rid AS id_b
+                FROM keyed a JOIN keyed b
+                  ON a.bk = b.bk AND a.rid < b.rid
+                WHERE round(1.0 - levenshtein(a.name, b.name)::DOUBLE
+                        / greatest(len(a.name), len(b.name), 1), 6) >= 0.88
+            ), sym AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT rid, rid FROM recs
+                UNION
+                SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+            ), comp AS (
+                SELECT node AS rid, min(r) AS entity_id FROM reach GROUP BY 1
+            ), cs AS (
+                SELECT entity_id, count(*) AS cluster_size FROM comp GROUP BY 1
+            )
+            SELECT c.rid, c.entity_id, s.cluster_size,
+                   c.rid = c.entity_id AS is_canonical
+            FROM comp c JOIN cs s USING (entity_id)
         """,
         "repetition_stats": f"""
             WITH tok AS (

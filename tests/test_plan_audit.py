@@ -85,6 +85,7 @@ SKIP = {
     "streaming_events_window",
     "bpe_tokenize",
     "pagerank",  # iterative: building the frame runs the training loop
+    "entity_resolution",  # iterative: CC convergence loop runs on build
 }
 
 
