@@ -1576,6 +1576,31 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment detection (operators/dedup.py
+    ``ngram_containment_pairs``): trigram |A∩B|/|A| catches quoted /
+    subset documents that symmetric Jaccard misses; same inverted-index
+    shape, fully oracled."""
+    from tube_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the early and late halves of
+    lineitem by ship date (operators/profile.py ``psi_drift``): frozen
+    value_histogram bins, epsilon-floored log, top-contributing bin."""
+    from tube_spark.operators.profile import psi_drift
+
+    _ensure(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    old = li.filter(F.col("l_shipdate") < F.lit("1995-06-01"))
+    new = li.filter(F.col("l_shipdate") >= F.lit("1995-06-01"))
+    return psi_drift(old, new, "l_extendedprice", 0.0, 60000.0, bins=12)
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2241,6 +2266,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "class_balanced": q_class_balanced,
         "pagerank": q_pagerank,
         "entity_resolution": q_entity_resolution,
+        "ngram_containment": q_ngram_containment,
+        "psi_drift": q_psi_drift,
         "outlier_flags": q_outlier_flags,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
@@ -2350,6 +2377,8 @@ _EXTRA_QUERY_NAMES = (
     "class_balanced",
     "pagerank",
     "entity_resolution",
+    "ngram_containment",
+    "psi_drift",
     "outlier_flags",
     "decontamination",
     "data_mixture",
@@ -3618,6 +3647,71 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT c.rid, c.entity_id, s.cluster_size,
                    c.rid = c.entity_id AS is_canonical
             FROM comp c JOIN cs s USING (entity_id)
+        """,
+        "ngram_containment": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(t) - 2, 0)),
+                           i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))) AS s
+                FROM tok
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / sa.sz::DOUBLE, 6) AS containment_a_in_b,
+                   round(n_inter / sb.sz::DOUBLE, 6) AS containment_b_in_a,
+                   round(n_inter / (sa.sz + sb.sz - n_inter)::DOUBLE, 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE greatest(n_inter / sa.sz::DOUBLE,
+                           n_inter / sb.sz::DOUBLE) >= 0.5
+        """,
+        "psi_drift": """
+            WITH ho AS (
+                SELECT least(greatest(floor((l_extendedprice::DOUBLE - 0.0)
+                           / 5000.0), 0), 11)::BIGINT AS bin,
+                       count(*) AS n_old
+                FROM lineitem
+                WHERE l_shipdate < '1995-06-01' AND l_extendedprice IS NOT NULL
+                GROUP BY 1
+            ), hn AS (
+                SELECT least(greatest(floor((l_extendedprice::DOUBLE - 0.0)
+                           / 5000.0), 0), 11)::BIGINT AS bin,
+                       count(*) AS n_new
+                FROM lineitem
+                WHERE l_shipdate >= '1995-06-01' AND l_extendedprice IS NOT NULL
+                GROUP BY 1
+            ), j AS (
+                SELECT coalesce(ho.bin, hn.bin) AS bin,
+                       coalesce(n_old, 0) AS n_old,
+                       coalesce(n_new, 0) AS n_new
+                FROM ho FULL OUTER JOIN hn ON ho.bin = hn.bin
+            ), t AS (
+                SELECT sum(n_old)::DOUBLE AS t_old,
+                       sum(n_new)::DOUBLE AS t_new
+                FROM j
+            ), c AS (
+                SELECT bin, n_old, n_new,
+                       (n_new / t.t_new - n_old / t.t_old)
+                       * ln(greatest(n_new / t.t_new, 1e-6)
+                            / greatest(n_old / t.t_old, 1e-6)) AS c
+                FROM j CROSS JOIN t
+            )
+            SELECT round(sum(c), 6) AS psi,
+                   sum(n_old)::BIGINT AS n_old,
+                   sum(n_new)::BIGINT AS n_new,
+                   (SELECT bin FROM c ORDER BY c DESC, bin LIMIT 1) AS top_bin,
+                   (SELECT round(c, 6) FROM c ORDER BY c DESC, bin LIMIT 1)
+                       AS top_contrib
+            FROM c
         """,
         "repetition_stats": f"""
             WITH tok AS (

@@ -373,3 +373,61 @@ def hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact CONTAINMENT over word n-gram sets: |A∩B| / |A| — the
+    one-sided cousin of Jaccard that resemblance metrics miss.  A short
+    document quoted inside a long one has tiny Jaccard (the union is
+    dominated by the long doc) but containment ≈ 1; that asymmetry is
+    what quote/subset/boilerplate detection needs (the same
+    inverted-index shape as ``ngram_jaccard_pairs`` — shingle-hash
+    join, never all-pairs; same ``max_shingle_df`` skew cap).
+
+    Returns (id_a, id_b, containment_a_in_b, containment_b_in_a,
+    jaccard) for unordered pairs with max(containment) >= threshold;
+    downstreams pick a direction (drop the contained doc, flag the
+    quoting one, ...).
+    """
+    inv = _shingle_hashes(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        keep = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") <= max_shingle_df
+        )
+        inv = inv.join(keep.select("sh"), on="sh", how="inner")
+    sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = inv.select(F.col(id_col).alias("id_a"), "sh")
+    b = inv.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    c_ab = F.col("n_inter") / F.col("sz_a")
+    c_ba = F.col("n_inter") / F.col("sz_b")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

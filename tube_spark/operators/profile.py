@@ -159,3 +159,67 @@ def iqr_outliers(
         F.round(hi, 6).alias("hi_fence"),
         ((x < lo) | (x > hi)).alias("is_outlier"),
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a column —
+    THE standard drift gauge for score/feature distributions (public
+    credit-scoring lore: <0.1 stable, 0.1-0.25 moderate shift, >0.25
+    action).  PSI = Σ_bins (p_new - p_old) * ln(p_new / p_old) over the
+    SAME frozen-bound histogram both sides (``histogram``), with
+    ``epsilon`` floor so empty bins don't blow up the log.
+
+    One row: (psi, n_old, n_new, top_bin, top_contrib) — the bin
+    contributing most drift, for triage.  Two scans (one per
+    snapshot), tiny joins on the bin id only."""
+    ho = histogram(old, col, lo, hi, bins).select(
+        "bin", F.col("n").alias("n_old")
+    )
+    hn = histogram(new, col, lo, hi, bins).select(
+        "bin", F.col("n").alias("n_new")
+    )
+    joined = ho.join(hn, on="bin", how="full_outer").fillna(
+        0, subset=["n_old", "n_new"]
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    contrib = (
+        joined.crossJoin(F.broadcast(tot))  # one-row totals
+        .select(
+            "bin",
+            "n_old",
+            "n_new",
+            (
+                (F.col("n_new") / F.col("t_new") - F.col("n_old") / F.col("t_old"))
+                * F.log(
+                    F.greatest(F.col("n_new") / F.col("t_new"), F.lit(epsilon))
+                    / F.greatest(F.col("n_old") / F.col("t_old"), F.lit(epsilon))
+                )
+            ).alias("c"),
+        )
+    )
+    top = contrib.orderBy(F.col("c").desc(), F.col("bin").asc()).limit(1)
+    return (
+        contrib.agg(
+            F.round(F.sum("c"), 6).alias("psi"),
+            F.sum("n_old").cast("long").alias("n_old"),
+            F.sum("n_new").cast("long").alias("n_new"),
+        )
+        .crossJoin(
+            F.broadcast(
+                top.select(
+                    F.col("bin").alias("top_bin"),
+                    F.round("c", 6).alias("top_contrib"),
+                )
+            )
+        )
+    )
