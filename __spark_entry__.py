@@ -1601,6 +1601,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(old, new, "l_extendedprice", 0.0, 60000.0, bins=12)
 
 
+def q_cluster_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c-TF-IDF cluster labeling (operators/topics.py): top distinctive
+    terms per document source (clusters are opaque ints in production;
+    source is the deterministic stand-in here)."""
+    from tube_spark.operators.topics import cluster_terms
+
+    docs = _docs(spark, sf_dir).withColumn("cluster", F.col("source"))
+    return cluster_terms(docs, "cluster", top_k=5).select(
+        "cluster", "term", "tf", "score", "rank"
+    )
+
+
 def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted mixture under a token budget
     (operators/mixture.py): web-scale mixture assembly with a
@@ -2268,6 +2280,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "entity_resolution": q_entity_resolution,
         "ngram_containment": q_ngram_containment,
         "psi_drift": q_psi_drift,
+        "cluster_terms": q_cluster_terms,
         "outlier_flags": q_outlier_flags,
         "decontamination": q_decontamination,
         "data_mixture": q_data_mixture,
@@ -2379,6 +2392,7 @@ _EXTRA_QUERY_NAMES = (
     "entity_resolution",
     "ngram_containment",
     "psi_drift",
+    "cluster_terms",
     "outlier_flags",
     "decontamination",
     "data_mixture",
@@ -3712,6 +3726,32 @@ def _all_oracle_sql() -> dict[str, str]:
                    (SELECT round(c, 6) FROM c ORDER BY c DESC, bin LIMIT 1)
                        AS top_contrib
             FROM c
+        """,
+        "cluster_terms": f"""
+            WITH tok AS (
+                SELECT source AS cluster, unnest({_TOK}) AS term
+                FROM documents
+            ), tf AS (
+                SELECT cluster, term, count(*) AS tf
+                FROM tok GROUP BY 1, 2
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tok GROUP BY 1
+            ), a AS (
+                SELECT avg(n) AS A FROM (
+                    SELECT cluster, count(*) AS n FROM tok GROUP BY 1
+                )
+            ), scored AS (
+                SELECT tf.cluster, tf.term, tf.tf,
+                       tf.tf * ln(1.0 + a.A / dfreq.df) AS raw
+                FROM tf JOIN dfreq USING (term) CROSS JOIN a
+            )
+            SELECT cluster, term, tf, round(raw, 6) AS score,
+                   rank::INTEGER AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY cluster
+                           ORDER BY raw DESC, term) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         "repetition_stats": f"""
             WITH tok AS (
