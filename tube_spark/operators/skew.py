@@ -59,3 +59,52 @@ def salted_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     return phase1.groupBy(key).agg(F.sum("__c").cast("long").alias("count"))
+
+
+def adaptive_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    min_share: float = 0.01,
+    salt: int = 16,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Hybrid skew join: detect the big side's hot keys (Misra-Gries +
+    exact re-count, ``operators/heavyhitters.py``) and salt ONLY those;
+    everything else takes the plain equi-join.
+
+    The failure mode this removes: blanket salting replicates the
+    whole small side ``salt``x even though 99.9% of keys never needed
+    it; blanket plain joins let one hot key own a task for hours.  The
+    split routes each row to the right strategy:
+
+      big  --> hot?  --(yes)--> salted join against replicated small-hot
+               --(no)---> plain join against small
+      union
+
+    Hot-key membership is a broadcast literal set (bounded: at most
+    1/min_share keys can exceed ``min_share``), so the router is a
+    map-side filter.  Pass ``hot_keys`` explicitly to skip detection
+    (e.g. detected yesterday, or from the streaming summary's
+    guaranteed set).  Only inner/left, like ``salted_join``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"adaptive_join supports how='inner'|'left', got {how!r}"
+        )
+    if hot_keys is None:
+        from tube_spark.operators.heavyhitters import hot_key_values
+
+        hot_keys = hot_key_values(big, on, min_share)
+    if not hot_keys:
+        return big.join(small, on=on, how=how)
+    is_hot = F.col(on).isin(hot_keys)
+    cold = big.filter(~is_hot | F.col(on).isNull()).join(
+        small, on=on, how=how
+    )
+    hot = salted_join(
+        big.filter(is_hot), small.filter(F.col(on).isin(hot_keys)),
+        on=on, salt=salt, how=how,
+    )
+    return cold.unionByName(hot)
