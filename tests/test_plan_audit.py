@@ -76,6 +76,8 @@ BNLJ_OK = {
     "cheapest_supplier",
     "heavy_hitters",  # one-row corpus-total broadcast for the share division
     "hard_negatives",  # cosine_topk's broadcast-queries shape
+    "cluster_terms",  # one-row avg-tokens-per-cluster broadcast
+    "psi_drift",  # one-row histogram-totals broadcast
 }
 
 # queries that execute driver-side work or streams when *built* — they
