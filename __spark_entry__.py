@@ -1571,8 +1571,12 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("name"),
     )
     recs = base.unionByName(variants)
+    # collapse_exact = the scale path (identical results: exact-equal
+    # names score 1.0 either way; proven in test_entities.py and by
+    # this very oracle, which models the naive all-pairs form)
     return resolve_entities(
-        recs, "rid", F.substring("name", 1, 6), [("name", 1.0)], threshold=0.88
+        recs, "rid", F.substring("name", 1, 6), [("name", 1.0)],
+        threshold=0.88, collapse_exact=True,
     )
 
 

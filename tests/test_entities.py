@@ -76,3 +76,33 @@ def test_validation(spark, records):
         similarity(records, pairs, "rid", [])
     with pytest.raises(ValueError, match="positive"):
         similarity(records, pairs, "rid", [("name", 0.0)])
+
+
+def test_collapse_exact_equivalence(spark):
+    """rep-first resolution returns the same entities as naive when
+    exact duplicates are present (they score 1.0 either way)."""
+    rows = [
+        (1, "Acme Corporation", "NYC"),
+        (2, "Acme Corporation", "NYC"),   # exact dup of 1
+        (3, "Acme Corporatio", "NYC"),    # typo
+        (4, "Acme Corporation", "NYC"),   # exact dup of 1
+        (5, "Beta Industries", "LA"),
+        (6, "Beta Industries", "LA"),     # exact dup of 5
+        (7, "Gamma LLC", "SF"),
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, city string")
+    kw = dict(threshold=0.9)
+    naive = {
+        r["rid"]: (r["entity_id"], r["cluster_size"], r["is_canonical"])
+        for r in resolve_entities(
+            df, "rid", F.col("city"), [("name", 1.0)], **kw
+        ).collect()
+    }
+    repf = {
+        r["rid"]: (r["entity_id"], r["cluster_size"], r["is_canonical"])
+        for r in resolve_entities(
+            df, "rid", F.col("city"), [("name", 1.0)], collapse_exact=True, **kw
+        ).collect()
+    }
+    assert naive == repf
+    assert naive[2][0] == 1 and naive[3][0] == 1 and naive[1][1] == 4

@@ -104,23 +104,44 @@ def resolve_entities(
     fields: list[tuple[str, float]],
     threshold: float = 0.9,
     max_block: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """(id, entity_id, cluster_size, is_canonical) for every input
     record; entity_id = min record id of the matched cluster
-    (singletons are their own entity)."""
-    pairs = candidate_pairs(df, id_col, block_key, max_block)
-    matched = similarity(df, pairs, id_col, fields).filter(
-        F.col("score") >= threshold
-    )
-    comp = connected_components(matched.select("id_a", "id_b"))
-    assign = (
-        df.select(F.col(id_col))
-        .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
-        .select(
-            id_col,
-            F.coalesce(F.col("component"), F.col(id_col)).alias("entity_id"),
+    (singletons are their own entity).
+
+    ``collapse_exact=True`` is the at-scale form: records with
+    IDENTICAL field tuples collapse to one representative (min id)
+    BEFORE pairing, the fuzzy resolution runs on distinct tuples only,
+    and the assignment broadcasts back.  Without it a popular exact
+    value (N identical names) costs C(N,2) scored pairs — measured at
+    sf1: the naive form ground to a halt on 31k-copy name cliques
+    while rep-first resolved the same data in seconds (BENCH_NOTES).
+    Results are identical because exact-equal tuples always score 1.0
+    and would have merged anyway."""
+    if not collapse_exact:
+        assign = _resolve_core(df, id_col, block_key, fields, threshold, max_block)
+    else:
+        cols = [f for f, _ in fields]
+        keyed = df.withColumn("__bk", block_key)
+        reps = keyed.groupBy("__bk", *cols).agg(F.min(id_col).alias(id_col))
+        rep_assign = _resolve_core(
+            reps, id_col, F.col("__bk"), fields, threshold, max_block
         )
-    )
+        assign = (
+            keyed.select(F.col(id_col).alias("__rid"), "__bk", *cols)
+            .join(
+                reps.select(F.col(id_col).alias("__rep"), "__bk", *cols),
+                on=["__bk", *cols],
+            )
+            .join(
+                rep_assign.select(
+                    F.col(id_col).alias("__rep"), "entity_id"
+                ),
+                on="__rep",
+            )
+            .select(F.col("__rid").alias(id_col), "entity_id")
+        )
     sizes = assign.groupBy("entity_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         assign.join(sizes, on="entity_id")
@@ -129,5 +150,29 @@ def resolve_entities(
             "entity_id",
             "cluster_size",
             (F.col(id_col) == F.col("entity_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _resolve_core(
+    df: DataFrame,
+    id_col: str,
+    block_key: Column,
+    fields: list[tuple[str, float]],
+    threshold: float,
+    max_block: int | None,
+) -> DataFrame:
+    """(id, entity_id) via pair → score → connected components."""
+    pairs = candidate_pairs(df, id_col, block_key, max_block)
+    matched = similarity(df, pairs, id_col, fields).filter(
+        F.col("score") >= threshold
+    )
+    comp = connected_components(matched.select("id_a", "id_b"))
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("entity_id"),
         )
     )
