@@ -2379,7 +2379,6 @@ _EXTRA_QUERY_NAMES = (
     "stats_summary",
     "regexp_extract",
     "repetition_stats",
-    "heavy_hitters",
     "zorder_layout",
     "quality_checks",
     "snapshot_diff",
@@ -2392,8 +2391,6 @@ _EXTRA_QUERY_NAMES = (
     "hashed_features",
     "hard_negatives",
     "class_balanced",
-    "pagerank",
-    "entity_resolution",
     "ngram_containment",
     "psi_drift",
     "cluster_terms",
@@ -2401,15 +2398,20 @@ _EXTRA_QUERY_NAMES = (
     "decontamination",
     "data_mixture",
     "doc_chunking",
-    "span_dedup",
-    "kmeans_clusters",
-    "quality_classifier",
-    "sketch_rollup",
-    "curation_report",
     "embedding_quantize",
     "lm_score",
-    "semantic_dedup",
-    "hybrid_retrieval",
+    # -- round-5 rotation: previously-windowed analytics shapes (each
+    # carries a green CORRECTNESS_r04 driver row; now pytest-verified) --
+    "events_window",
+    "event_funnel",
+    "cohort_retention",
+    "window_rank",
+    "ntile_distributed",
+    "pivot_status",
+    "intersect_except",
+    "anti_join",
+    "global_topk",
+    "events_json_extract",
     # TPC-H shape completion (all 22 shapes now covered across the
     # windowed + extras tiers)
     "forecast_revenue",
@@ -2463,24 +2465,27 @@ _QUERY_ORDER = (
     "pricing_summary",
     "returnflag_priority",
     "top_revenue_nations",
-    "events_window",
-    "event_funnel",
-    "cohort_retention",
     "merge_upsert",
     "scd2_history",
     "asof_join",
     "range_join",
     "time_rollup",
     "sketch_report",
-    "window_rank",
     "rollup_pricing",
-    "intersect_except",
-    "anti_join",
-    "global_topk",
-    "events_json_extract",
-    "ntile_distributed",
-    "pivot_status",
-    # -- positions 51-55: permanently rows-only --
+    # -- round-5 rotation: flagships that never had a driver row
+    # (previously extras; the analytics shapes they displaced moved to
+    # the extras tier, still differentially verified by pytest) --
+    "pagerank",
+    "entity_resolution",
+    "kmeans_clusters",
+    "quality_classifier",
+    "semantic_dedup",
+    "hybrid_retrieval",
+    "curation_report",
+    "span_dedup",
+    "sketch_rollup",
+    "heavy_hitters",
+    # -- positions 51-56: permanently rows-only --
 ) + _ROWS_ONLY
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2753,8 +2758,9 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT split,
                    count(*) AS n_docs,
                    sum(len(regexp_extract_all(text,
-                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]'))) AS n_tokens,
-                   sum(CASE WHEN smb < 1000 THEN 1 ELSE 0 END) AS n_sample_10pct
+                       '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT AS n_tokens,
+                   sum(CASE WHEN smb < 1000 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_sample_10pct
             FROM s GROUP BY 1
         """,
         "dedup_keep_best": f"""
@@ -2926,13 +2932,13 @@ def _all_oracle_sql() -> dict[str, str]:
                        cum_before % 512 AS start_offset
                 FROM placed
             )
-            SELECT (start_seq // 50) AS seq_bucket,
+            SELECT (start_seq // 50)::BIGINT AS seq_bucket,
                    count(*) AS n_docs,
                    sum(n_tokens)::BIGINT AS n_tokens,
                    sum(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END)::BIGINT
                        AS n_straddling,
-                   min(start_offset) AS min_start_offset,
-                   max(start_offset) AS max_start_offset
+                   min(start_offset)::BIGINT AS min_start_offset,
+                   max(start_offset)::BIGINT AS max_start_offset
             FROM spans GROUP BY 1 ORDER BY 1
         """,
         "pii_redaction": """

@@ -114,6 +114,33 @@ def main() -> int:
             cur = con.execute(sql)
             cols = [d[0] for d in cur.description]
             orows = [dict(zip(cols, row)) for row in cur.fetchall()]
+            # Driver-fidelity dtype probe: the driver fetches via .df(),
+            # where HUGEINT renders float64 and breaks the value hash
+            # even though fetchall() (above) yields Python ints and
+            # passes.  Mirror tests/test_oracle_dtypes.py: an integral
+            # Spark column whose .df() dtype is float WITHOUT NaNs is
+            # the HUGEINT signature (NaN-bearing ones float on both
+            # sides and stay hash-symmetric).
+            pdf = con.execute(sql).df()
+            integral = {
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("byte", "short", "integer", "long")
+            }
+            drift = [
+                c
+                for c in pdf.columns
+                if c in integral
+                and pdf[c].dtype.kind not in "iu"
+                and not (pdf[c].dtype.kind == "f" and bool(pdf[c].isna().any()))
+            ]
+            if drift:
+                print(
+                    f"FAIL  {name}: oracle dtype drift (driver .df() floats "
+                    f"integral column(s) {drift} — add ::BIGINT)"
+                )
+                failures += 1
+                continue
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
