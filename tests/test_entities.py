@@ -106,3 +106,51 @@ def test_collapse_exact_equivalence(spark):
     }
     assert naive == repf
     assert naive[2][0] == 1 and naive[3][0] == 1 and naive[1][1] == 4
+
+
+def test_collapse_exact_null_fields_not_dropped(spark):
+    """ADVICE r4 (high): collapse_exact=True must not silently drop
+    records whose similarity fields or block key contain NULLs — the
+    rep join is null-safe, and NULL-bearing tuples only collapse when
+    the naive path would actually have merged them (block key non-NULL
+    and self-score ≥ threshold; a NULL field scores 0 against
+    anything, so identical NULL tuples below threshold stay
+    singletons).  Asserts full row-set equality collapse vs naive."""
+    rows = [
+        (1, None, "NYC"),                 # NULL field
+        (2, None, "NYC"),                 # identical NULL tuple — naive
+        (3, "Acme Corporation", "NYC"),   #   keeps 1,2 as singletons
+        (4, "Acme Corporation", None),    # NULL block key
+        (5, "Acme Corporation", None),    # identical, NULL block key
+        (6, None, None),                  # all NULL
+        (7, "Acme Corporatio", "NYC"),    # typo of 3
+        (8, "Acme Corporation", "NYC"),   # exact dup of 3
+    ]
+    df = spark.createDataFrame(rows, "rid long, name string, city string")
+    for fields, threshold in [
+        ([("name", 1.0)], 0.9),
+        ([("name", 2.0), ("city", 1.0)], 0.6),  # NULL city still eligible
+    ]:
+        naive = {
+            r["rid"]: (r["entity_id"], r["cluster_size"], r["is_canonical"])
+            for r in resolve_entities(
+                df, "rid", F.col("city"), fields, threshold=threshold
+            ).collect()
+        }
+        repf = {
+            r["rid"]: (r["entity_id"], r["cluster_size"], r["is_canonical"])
+            for r in resolve_entities(
+                df,
+                "rid",
+                F.col("city"),
+                fields,
+                threshold=threshold,
+                collapse_exact=True,
+            ).collect()
+        }
+        assert set(naive) == {1, 2, 3, 4, 5, 6, 7, 8}, "records dropped"
+        assert naive == repf, f"collapse/no-collapse diverge for {fields}"
+    # NULL-block and NULL-field records are singletons in both modes
+    assert naive[1][0] == 1 and naive[2][0] == 2
+    assert naive[4][0] == 4 and naive[5][0] == 5 and naive[6][0] == 6
+    assert naive[3][0] == naive[7][0] == naive[8][0] == 3

@@ -78,6 +78,44 @@ def test_multi_group_cols(spark):
     assert all(r["count"] == 2 for r in counts) and len(counts) == 6
 
 
+def test_duplicate_tiebreak_values(spark):
+    """ADVICE r4: repeated tiebreak values within a group must not
+    inflate the result past k, duplicate ranks, or admit non-top rows
+    (the old retrieval join matched on tiebreak alone; k=2 returned 6
+    rows including a non-top value on exactly this shape)."""
+    rows = [
+        (1, "g", 10.0, "t1"),
+        (2, "g", 9.0, "t1"),   # same tiebreak as the winner, lower amt
+        (3, "g", 8.0, "t1"),
+        (4, "g", 7.0, "t2"),
+        (5, "h", 3.0, "t1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, amt double, tb string")
+    out = grouped_topk(df, ["grp"], "amt", 2, tiebreak_col="tb").collect()
+    got = {(r["id"], r["rank"]) for r in out}
+    assert got == {(1, 1), (2, 2), (5, 1)}
+
+    # full (group, amt, tiebreak) duplicates: output trims back to k
+    # rows with distinct ranks (row identity among exact ties is
+    # arbitrary — the same nondeterminism the naive window has)
+    dup = spark.createDataFrame(
+        [(1, "g", 5.0, "t"), (2, "g", 5.0, "t"), (3, "g", 5.0, "t")],
+        "id long, grp string, amt double, tb string",
+    )
+    out = grouped_topk(dup, ["grp"], "amt", 2, tiebreak_col="tb").collect()
+    assert sorted(r["rank"] for r in out) == [1, 2]
+
+
+def test_null_tiebreak_not_dropped(spark):
+    rows = [(1, "g", 10.0, None), (2, "g", 9.0, "t"), (3, "g", 8.0, None)]
+    df = spark.createDataFrame(rows, "id long, grp string, amt double, tb string")
+    out = {
+        (r["id"], r["rank"])
+        for r in grouped_topk(df, ["grp"], "amt", 2, tiebreak_col="tb").collect()
+    }
+    assert out == {(1, 1), (2, 2)}
+
+
 def test_validation(spark, sales):
     with pytest.raises(ValueError, match="k must be positive"):
         grouped_topk(sales, ["grp"], "amt", 0)

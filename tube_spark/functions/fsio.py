@@ -1,0 +1,86 @@
+"""Hadoop-FileSystem-backed small-file I/O for driver-side state.
+
+Several operators persist tiny driver-side artifacts next to their
+parquet data: IVF centroids (``operators/vectorstore.py``), the
+Misra-Gries summary (``streaming/heavyhitters.py``), incremental-
+curation state discovery (``streaming/curation.py``).  Plain
+``open()``/``os.listdir()`` binds those artifacts to the driver-local
+filesystem, while the parquet beside them happily lives on ``hdfs://``
+or ``s3a://`` — the stated deployment shape.  These helpers route the
+same few-KB reads/writes through the JVM's ``org.apache.hadoop.fs``
+API (the pattern ``layout.dir_bytes`` already uses), so state and data
+always share a scheme.
+
+All functions take the ``SparkSession`` explicitly — the FileSystem is
+resolved per-path from the session's Hadoop configuration, so one call
+can touch ``file:/tmp/...`` and the next ``s3a://bucket/...``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def join(path: str, *parts: str) -> str:
+    """Scheme-preserving path join (``os.path.join`` is POSIX-local)."""
+    out = path.rstrip("/")
+    for p in parts:
+        out += "/" + p.strip("/")
+    return out
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs(spark, path)
+    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Child names under ``path`` (empty when it doesn't exist)."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(p)]
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    fs.mkdirs(p)
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 65536, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write via a temp file + rename — the strongest atomicity the
+    underlying store offers (true rename on HDFS/local; object stores
+    degrade to copy+delete, same as any manifest writer there)."""
+    fs, p, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"rename {path}.tmp -> {path} failed")

@@ -117,27 +117,61 @@ def resolve_entities(
     value (N identical names) costs C(N,2) scored pairs — measured at
     sf1: the naive form ground to a halt on 31k-copy name cliques
     while rep-first resolved the same data in seconds (BENCH_NOTES).
-    Results are identical because exact-equal tuples always score 1.0
-    and would have merged anyway."""
+
+    Results are identical to ``collapse_exact=False`` — including for
+    NULLs.  Two guards make that true: (1) a tuple only collapses when
+    the naive path would actually have merged its copies — block key
+    non-NULL (NULL blocks never pair: the pair join drops them) AND
+    self-score ≥ threshold (a NULL field scores 0 against ANYTHING, so
+    a record's max achievable score is the weight-share of its
+    non-NULL fields; identical NULL-bearing tuples below threshold
+    stay singletons in the naive path).  Ineligible records pass
+    through as their own representatives.  (2) the join mapping
+    records back to their representative is NULL-SAFE (``eqNullSafe``
+    per key) — a plain name-list equi-join silently drops every row
+    with a NULL field or block key (observed: 4 rows in, 2 rows out)."""
     if not collapse_exact:
         assign = _resolve_core(df, id_col, block_key, fields, threshold, max_block)
     else:
         cols = [f for f, _ in fields]
-        keyed = df.withColumn("__bk", block_key)
-        reps = keyed.groupBy("__bk", *cols).agg(F.min(id_col).alias(id_col))
+        total_w = sum(w for _, w in fields)
+        self_score = F.lit(0.0)
+        for fcol, w in fields:
+            self_score = self_score + F.lit(w / total_w) * F.col(
+                fcol
+            ).isNotNull().cast("double")
+        keyed = df.withColumn("__bk", block_key).withColumn(
+            "__elig",
+            block_key.isNotNull() & (F.round(self_score, 6) >= F.lit(threshold)),
+        )
+        elig = keyed.filter(F.col("__elig"))
+        inelig = keyed.filter(~F.col("__elig"))
+        reps_e = elig.groupBy("__bk", *cols).agg(F.min(id_col).alias(id_col))
+        reps = reps_e.unionByName(inelig.select("__bk", *cols, F.col(id_col)))
         rep_assign = _resolve_core(
             reps, id_col, F.col("__bk"), fields, threshold, max_block
         )
-        assign = (
-            keyed.select(F.col(id_col).alias("__rid"), "__bk", *cols)
-            .join(
-                reps.select(F.col(id_col).alias("__rep"), "__bk", *cols),
-                on=["__bk", *cols],
+        rhs = reps_e.select(
+            F.col(id_col).alias("__rep"),
+            F.col("__bk").alias("__r_bk"),
+            *[F.col(c).alias(f"__r_{c}") for c in cols],
+        )
+        cond = F.col("__bk").eqNullSafe(F.col("__r_bk"))
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        mapping = (
+            elig.select(F.col(id_col).alias("__rid"), "__bk", *cols)
+            .join(rhs, on=cond)
+            .select("__rid", "__rep")
+            .unionByName(
+                inelig.select(
+                    F.col(id_col).alias("__rid"), F.col(id_col).alias("__rep")
+                )
             )
-            .join(
-                rep_assign.select(
-                    F.col(id_col).alias("__rep"), "entity_id"
-                ),
+        )
+        assign = (
+            mapping.join(
+                rep_assign.select(F.col(id_col).alias("__rep"), "entity_id"),
                 on="__rep",
             )
             .select(F.col("__rid").alias(id_col), "entity_id")

@@ -142,7 +142,14 @@ def grouped_topk(
 
     ``tiebreak_col`` (default: first group-external column — pass one
     explicitly for a guaranteed total order) makes ranks deterministic.
-    Result is identical to the naive window (equivalence-tested).
+    Result is identical to the naive window (equivalence-tested), and
+    stays correct when tiebreak values repeat (ADVICE r4): retrieval
+    matches on (group, ORDER VALUE, tiebreak) — not tiebreak alone —
+    against the DISTINCT winning tuples, and a final ``row_number``
+    over the retrieved subset (≤ ~k rows per group, so the window is
+    over candidates, never the full group) assigns ranks and trims
+    exact duplicates back to k.  Rows tied on (order, tiebreak) rank
+    arbitrarily — the same nondeterminism the naive window has.
 
     Constraints: ``descending=True`` negates the order key, so the
     order column must be numeric (ascending works for any sortable
@@ -184,17 +191,30 @@ def grouped_topk(
                 F.sort_array(F.collect_list(F.struct("__v", "__t"))), 1, k
             ).alias("__top")
         )
-        .select(*group_cols, F.posexplode("__top").alias("__rk", "__e"))
+        .select(*group_cols, F.explode("__top").alias("__e"))
         .select(
             *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+            F.col("__e.__v").alias("__wv"),
             F.col("__e.__t").alias("__wt"),
-            (F.col("__rk") + 1).cast("integer").alias(rank_col),
         )
+        .distinct()
     )
-    cond = F.col(tiebreak_col) == F.col("__wt")
+    order_key = -v if descending else F.col(order_col)
+    # eqNullSafe on the tiebreak: a NULL tiebreak still identifies its
+    # winner row (plain == would silently drop it).
+    cond = (order_key == F.col("__wv")) & (
+        F.col(tiebreak_col).eqNullSafe(F.col("__wt"))
+    )
     for c in group_cols:
         cond = cond & (F.col(c) == F.col(f"__g_{c}"))
+    retrieved = df.join(F.broadcast(winners), on=cond, how="inner").drop(
+        "__wv", "__wt", *[f"__g_{c}" for c in group_cols]
+    )
+    # Tiny window: input is the retrieved candidate subset (≤ ~k rows
+    # per group), not the full group — this is rank assignment, not
+    # the selection the two-phase plan exists to avoid.
+    w = Window.partitionBy(*group_cols).orderBy(order_key, F.col(tiebreak_col))
     return (
-        df.join(F.broadcast(winners), on=cond, how="inner")
-        .drop("__wt", *[f"__g_{c}" for c in group_cols])
+        retrieved.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= F.lit(k))
     )

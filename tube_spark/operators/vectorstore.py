@@ -40,12 +40,12 @@ this is the scale path behind SURVEY's similarity-search extension.
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tube_spark.functions import fsio
 from tube_spark.operators.similarity import (
     _kmeans_centroids,
     _nearest_centroids_udf,
@@ -56,15 +56,23 @@ _CENTROIDS = "_centroids.json"
 _DATA = "cells"
 
 
-def _save_centroids(path: str, cent: np.ndarray) -> None:
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _CENTROIDS), "w") as f:
-        json.dump([[float(x) for x in row] for row in cent], f)
+def _save_centroids(spark: SparkSession, path: str, cent: np.ndarray) -> None:
+    # Hadoop FS, not open(): the store path may be hdfs:// or s3a://
+    # (ADVICE r4) — centroids must live on the same scheme as the cells
+    fsio.mkdirs(spark, path)
+    fsio.write_text(
+        spark,
+        fsio.join(path, _CENTROIDS),
+        json.dumps([[float(x) for x in row] for row in cent]),
+    )
 
 
-def load_centroids(path: str) -> np.ndarray:
-    with open(os.path.join(path, _CENTROIDS)) as f:
-        return np.asarray(json.load(f), dtype=np.float64)
+def load_centroids(path: str, spark: SparkSession | None = None) -> np.ndarray:
+    spark = spark or SparkSession.getActiveSession()
+    return np.asarray(
+        json.loads(fsio.read_text(spark, fsio.join(path, _CENTROIDS))),
+        dtype=np.float64,
+    )
 
 
 def _assign_cells(
@@ -95,12 +103,12 @@ def build_ivf_store(
         if centroids is not None
         else _kmeans_centroids(corpus, vec_col, n_clusters, kmeans_iters, seed)
     )
-    _save_centroids(path, cent)
+    _save_centroids(corpus.sparkSession, path, cent)
     (
         _assign_cells(corpus, cent, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(os.path.join(path, _DATA))
+        .parquet(fsio.join(path, _DATA))
     )
     return cent
 
@@ -113,12 +121,12 @@ def append_vectors(
 ) -> None:
     """Assign new vectors with the store's FROZEN centroids and append.
     Old cells are untouched — an append moves only the new rows."""
-    cent = load_centroids(path)
+    cent = load_centroids(path, df.sparkSession)
     (
         _assign_cells(df, cent, id_col, vec_col)
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(os.path.join(path, _DATA))
+        .parquet(fsio.join(path, _DATA))
     )
 
 
@@ -127,7 +135,7 @@ def store_vectors(spark: SparkSession, path: str, dedup: bool = True) -> DataFra
     drops replayed appends (streaming at-least-once): last write wins
     is unnecessary — any duplicate row is bit-identical because cell
     assignment is deterministic under frozen centroids."""
-    df = spark.read.parquet(os.path.join(path, _DATA))
+    df = spark.read.parquet(fsio.join(path, _DATA))
     if dedup:
         df = df.dropDuplicates([df.columns[0]])
     return df
@@ -151,7 +159,7 @@ def search_store(
     """IVF top-k over the on-disk store.  Probed cell ids are collected
     (bounded: ≤ |queries| x nprobe ints) and pushed as a PARTITION
     filter, so unprobed cell directories are never opened."""
-    cent = load_centroids(path)
+    cent = load_centroids(path, spark)
     probe_n = _nearest_centroids_udf(cent, nprobe)
     probes = queries.select(
         F.col(id_col).alias("query_id"),
@@ -165,7 +173,7 @@ def search_store(
     # pruning: Catalyst cannot push a non-key filter through the
     # dropDuplicates aggregate), then replay-dedup the probed subset
     store = (
-        spark.read.parquet(os.path.join(path, _DATA))
+        spark.read.parquet(fsio.join(path, _DATA))
         .filter(F.col("cell").isin(probed_cells))
         .dropDuplicates([id_col])
     )

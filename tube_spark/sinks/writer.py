@@ -27,12 +27,24 @@ optional ``target_files`` repartition bounds small-file count instead.
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+from tube_spark.functions import fsio
+
+
+def _active_spark() -> SparkSession:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "versioned publish needs an active SparkSession (manifest I/O "
+            "goes through the Hadoop FileSystem so hdfs://, s3a:// and "
+            "file:// base dirs all work)"
+        )
+    return spark
 
 
 def array_config(df: DataFrame) -> dict:
@@ -115,19 +127,25 @@ class VersionedIndexWriter:
 
     @property
     def _manifest_path(self) -> str:
-        return os.path.join(self.base_dir, f"{self.index}.manifest.json")
+        return fsio.join(self.base_dir, f"{self.index}.manifest.json")
 
     def manifest(self) -> dict:
-        if os.path.exists(self._manifest_path):
-            with open(self._manifest_path) as f:
-                return json.load(f)
+        spark = _active_spark()
+        if fsio.exists(spark, self._manifest_path):
+            return json.loads(fsio.read_text(spark, self._manifest_path))
         return {"index": self.index, "current": None, "versions": []}
+
+    def _write_manifest(self, m: dict) -> None:
+        # fsio.write_text is the tmp+rename atomic alias swap
+        spark = _active_spark()
+        fsio.mkdirs(spark, self.base_dir)
+        fsio.write_text(spark, self._manifest_path, json.dumps(m))
 
     def current_path(self) -> str | None:
         m = self.manifest()
         if m["current"] is None:
             return None
-        return os.path.join(self.base_dir, f"{self.index}_v{m['current']}")
+        return fsio.join(self.base_dir, f"{self.index}_v{m['current']}")
 
     def publish_bucketed(
         self,
@@ -153,38 +171,32 @@ class VersionedIndexWriter:
              "bucketed_on": list(bucket_cols)}
         )
         m["current"] = version
-        os.makedirs(self.base_dir, exist_ok=True)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path)
+        self._write_manifest(m)
         # prune stale table versions beyond keep_versions
         for v in m["versions"][: -self.keep_versions]:
             spark.sql(f"DROP TABLE IF EXISTS {self.index}_v{v['version']}")
         m["versions"] = m["versions"][-self.keep_versions:]
-        with open(self._manifest_path, "w") as f:
-            json.dump(m, f)
+        self._write_manifest(m)
         return table
 
     def publish(self, df: DataFrame, watermark: str | None = None) -> str:
         """Write a new version, then atomically repoint the alias."""
         m = self.manifest()
         version = (m["versions"][-1]["version"] + 1) if m["versions"] else 1
-        path = os.path.join(self.base_dir, f"{self.index}_v{version}")
+        path = fsio.join(self.base_dir, f"{self.index}_v{version}")
         df.write.mode("overwrite").format(self.format).save(path)
 
-        with open(os.path.join(path, "_array_config.json"), "w") as f:
-            json.dump(array_config(df), f)
+        fsio.write_text(
+            df.sparkSession,
+            fsio.join(path, "_array_config.json"),
+            json.dumps(array_config(df)),
+        )
 
         m["versions"].append(
             {"version": version, "watermark": watermark, "published_at": time.time()}
         )
         m["current"] = version
-        tmp = self._manifest_path + ".tmp"
-        os.makedirs(self.base_dir, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, self._manifest_path)  # atomic alias swap
+        self._write_manifest(m)  # atomic alias swap
         self._prune(m)
         return path
 
@@ -195,16 +207,15 @@ class VersionedIndexWriter:
         return spark.read.format(self.format).load(path)
 
     def _prune(self, m: dict) -> None:
-        import shutil
-
+        spark = _active_spark()
         stale = m["versions"][: -self.keep_versions]
         m["versions"] = m["versions"][-self.keep_versions:]
         for v in stale:
-            p = os.path.join(self.base_dir, f"{self.index}_v{v['version']}")
-            if os.path.exists(p):
-                shutil.rmtree(p)
-        with open(self._manifest_path, "w") as f:
-            json.dump(m, f)
+            p = fsio.join(self.base_dir, f"{self.index}_v{v['version']}")
+            if fsio.exists(spark, p):
+                fs, jp, _ = fsio._fs(spark, p)
+                fs.delete(jp, True)
+        self._write_manifest(m)
 
 
 def freshness_check(writer: VersionedIndexWriter, source_watermark: str | None) -> bool:

@@ -23,7 +23,6 @@ checks.
 
 from __future__ import annotations
 
-import os
 from typing import Protocol
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -32,6 +31,7 @@ from pyspark.sql import types as T
 
 from tube_spark.config.mapping import PropSpec
 from tube_spark.dictionary import Dictionary
+from tube_spark.functions import fsio
 from tube_spark.functions.valuemap import value_map_col
 
 
@@ -135,8 +135,8 @@ class PropsJsonGraphSource:
         prefix, _, label = table.partition("_")
         for name in (table, f"{prefix}_{label.replace('_', '')}"):
             for ext in ("", ".parquet", ".csv"):
-                p = os.path.join(self.base_dir, name + ext)
-                if os.path.exists(p):
+                p = fsio.join(self.base_dir, name + ext)
+                if fsio.exists(self.spark, p):
                     return p
         return None
 
@@ -274,7 +274,7 @@ def discover_edge_tables(
             known.add(name)
     unknown = [
         d
-        for d in sorted(os.listdir(base_dir))
+        for d in sorted(fsio.list_names(spark, base_dir))
         if d.startswith("edge_") and d not in known
     ]
     if not unknown:
@@ -282,7 +282,7 @@ def discover_edge_tables(
 
     sampled: dict[str, tuple[set, set]] = {}
     for table in unknown:
-        raw = src._read(os.path.join(base_dir, table), _EDGE_CSV_SCHEMA)
+        raw = src._read(fsio.join(base_dir, table), _EDGE_CSV_SCHEMA)
         rows = raw.select("src_id", "dst_id").limit(sample).collect()
         if rows:
             sampled[table] = (

@@ -42,12 +42,11 @@ any split of the corpus through ``process_batch`` yields exactly
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tube_spark.functions import fsio
 from tube_spark.operators.dedup import _shingle_hashes, ngram_jaccard_pairs
 from tube_spark.operators.text_analysis import text_stats
 
@@ -71,9 +70,10 @@ class IncrementalCuration:
         self.ngram_n = ngram_n
         self.jaccard_threshold = jaccard_threshold
 
-    # -- state I/O -----------------------------------------------------
+    # -- state I/O (Hadoop FS — the state dir may be hdfs://
+    # or s3a://, ADVICE r4) --------------------------------------------
     def _dir(self, name: str) -> str:
-        return os.path.join(self.state_dir, name)
+        return fsio.join(self.state_dir, name)
 
     def _read_or_empty(
         self, name: str, schema: str, before=None
@@ -82,8 +82,8 @@ class IncrementalCuration:
         ``before`` (monotone keys make that "every earlier batch"), so
         a crash-replayed batch never sees its own prior write."""
         path = self._dir(name)
-        if os.path.isdir(path) and any(
-            d.startswith("batch=") for d in os.listdir(path)
+        if fsio.is_dir(self.spark, path) and any(
+            d.startswith("batch=") for d in fsio.list_names(self.spark, path)
         ):
             df = self.spark.read.parquet(path)
             if before is not None:
@@ -94,7 +94,7 @@ class IncrementalCuration:
     def _append(self, df: DataFrame, name: str, batch_key) -> None:
         # deterministic per-batch subdir + overwrite = replay-idempotent
         df.write.mode("overwrite").parquet(
-            os.path.join(self._dir(name), f"batch={batch_key}")
+            fsio.join(self._dir(name), f"batch={batch_key}")
         )
 
     # -- results -------------------------------------------------------
@@ -113,7 +113,7 @@ class IncrementalCuration:
         lo, hi = (
             batch.agg(F.min(idc), F.max(idc)).collect()[0]
         )
-        replay = os.path.isdir(os.path.join(self._dir("fps"), f"batch={lo}"))
+        replay = fsio.is_dir(self.spark, fsio.join(self._dir("fps"), f"batch={lo}"))
         if not replay:
             prev_max = (
                 self._read_or_empty("fps", "fp string, max_id long")

@@ -35,11 +35,11 @@ rewrite).
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tube_spark.functions import fsio
 from tube_spark.operators.components import connected_components
 from tube_spark.operators.dedup import (
     minhash_buckets,
@@ -79,59 +79,59 @@ class IncrementalDedupGroups:
         self.threshold = threshold
         self.seed = seed
         self.portable = portable
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.mkdirs(spark, state_dir)
 
-    # -- state paths -----------------------------------------------------
+    # -- state paths (Hadoop FS — the state dir may be hdfs:// or
+    # s3a://, ADVICE r4) -------------------------------------------------
     @property
     def _sig_dir(self) -> str:
-        return os.path.join(self.state_dir, "signatures")
+        return fsio.join(self.state_dir, "signatures")
 
     @property
     def _bucket_dir(self) -> str:
-        return os.path.join(self.state_dir, "buckets")
+        return fsio.join(self.state_dir, "buckets")
 
     def _assign_pointer(self) -> str:
-        return os.path.join(self.state_dir, "_CURRENT")
+        return fsio.join(self.state_dir, "_CURRENT")
 
     def _current_assign_dir(self) -> str | None:
         p = self._assign_pointer()
-        if not os.path.exists(p):
+        if not fsio.exists(self.spark, p):
             return None
-        with open(p) as f:
-            v = f.read().strip()
-        return os.path.join(self.state_dir, v) if v else None
+        v = fsio.read_text(self.spark, p).strip()
+        return fsio.join(self.state_dir, v) if v else None
 
     def _publish_assignments(self, df: DataFrame) -> None:
         cur = self._current_assign_dir()
         ver = 0 if cur is None else int(cur.rsplit("_", 1)[-1]) + 1
-        new_dir = os.path.join(self.state_dir, f"assignments_{ver}")
+        new_dir = fsio.join(self.state_dir, f"assignments_{ver}")
         df.write.mode("overwrite").parquet(new_dir)
-        # pointer swap is the atomic publish; the previous version stays
-        # readable for in-flight readers (GC'd out-of-band)
-        tmp = self._assign_pointer() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(f"assignments_{ver}")
-        os.replace(tmp, self._assign_pointer())
+        # pointer swap is the atomic publish (fsio tmp+rename); the
+        # previous version stays readable for in-flight readers (GC'd
+        # out-of-band)
+        fsio.write_text(self.spark, self._assign_pointer(), f"assignments_{ver}")
 
     def gc_versions(self, keep: int = 2) -> list[str]:
         """Delete assignment versions older than the newest ``keep``
         (the out-of-band GC the publish path defers to).  The current
         version is never deleted; returns the removed directory names."""
         import re
-        import shutil
 
         if keep < 1:
             raise ValueError(f"keep must be >= 1, got {keep}")
         vers = sorted(
             (
                 int(m.group(1))
-                for d in os.listdir(self.state_dir)
+                for d in fsio.list_names(self.spark, self.state_dir)
                 if (m := re.fullmatch(r"assignments_(\d+)", d))
             ),
         )
         victims = [f"assignments_{v}" for v in vers[:-keep]]
         for d in victims:
-            shutil.rmtree(os.path.join(self.state_dir, d), ignore_errors=True)
+            p = fsio.join(self.state_dir, d)
+            fs, jp, _ = fsio._fs(self.spark, p)
+            if fs.exists(jp):
+                fs.delete(jp, True)
         return victims
 
     # -- public API ------------------------------------------------------
@@ -166,7 +166,7 @@ class IncrementalDedupGroups:
         buckets_new = minhash_buckets(sig_new, ic, self.num_hashes, self.bands)
         buckets_new = buckets_new.localCheckpoint()
 
-        have_state = os.path.exists(self._bucket_dir)
+        have_state = fsio.exists(self.spark, self._bucket_dir)
         if have_state:
             buckets_all = self.spark.read.parquet(self._bucket_dir).unionByName(
                 buckets_new

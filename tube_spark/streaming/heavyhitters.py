@@ -33,10 +33,10 @@ summaries over arbitrarily large batches) stays distributed.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from tube_spark.functions import fsio
 from tube_spark.operators.heavyhitters import misra_gries_candidates
 
 
@@ -55,19 +55,18 @@ class StreamingHeavyHitters:
         self.key_col = key_col
         self.k = k
 
-    # -- state ---------------------------------------------------------
+    # -- state (Hadoop FS — the state path may be hdfs:// or s3a://,
+    # ADVICE r4; fsio.write_text keeps the tmp+rename replace) ---------
     def _load(self) -> dict:
-        if os.path.exists(self.state_path):
-            with open(self.state_path) as f:
-                return json.load(f)
+        if fsio.exists(self.spark, self.state_path):
+            return json.loads(fsio.read_text(self.spark, self.state_path))
         return {"counters": {}, "n": 0, "err": 0}
 
     def _save(self, state: dict) -> None:
-        tmp = self.state_path + ".tmp"
-        os.makedirs(os.path.dirname(self.state_path) or ".", exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self.state_path)
+        parent = self.state_path.rsplit("/", 1)[0]
+        if parent and parent != self.state_path:
+            fsio.mkdirs(self.spark, parent)
+        fsio.write_text(self.spark, self.state_path, json.dumps(state))
 
     # -- per-batch maintenance ------------------------------------------
     def process_batch(self, batch: DataFrame) -> None:

@@ -36,8 +36,10 @@ def streaming_daily_event_counts(
 
     schema = spark.read.parquet(events_path).schema
     # the file streaming source monitors a DIRECTORY; expose a single
-    # parquet file through a symlinked temp dir
-    if not os.path.isdir(events_path):
+    # LOCAL parquet file through a symlinked temp dir (remote URIs pass
+    # straight through — hdfs://s3a:// paths are directories in practice
+    # and symlinks don't exist there)
+    if "://" not in events_path and not os.path.isdir(events_path):
         d = tempfile.mkdtemp(prefix="tube_spark_stream_")
         os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
         events_path = d
