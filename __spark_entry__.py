@@ -1960,6 +1960,25 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_duplicates(emb, threshold=0.3, bits=32, bands=8)
 
 
+def q_embedding_near_dup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup configuration (bits=64, bands=8, θ=0.9):
+    band width 8 keeps bucket occupancy — and therefore Σ bucket²
+    candidate volume — bounded as the corpus grows (measured sf0.1→sf1
+    ratio 3.3× vs 60.4× for the dense θ=0.3/width-4 instance,
+    BENCH_NOTES).  This is the headline near-dup bench entry; the
+    θ=0.3 ``embedding_near_dup`` instance is kept as a labeled recall
+    hard case.  The synthetic embeddings are random (max pairwise
+    cosine ≈0.51), so the result set is empty by construction — the
+    bench measures the scale path's cost: normalization, 64-bit
+    hyperplane signatures, and the banded bucket self-join."""
+    from tube_spark.operators.similarity import embedding_near_duplicates
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_near_duplicates(emb, threshold=0.9, bits=64, bands=8)
+
+
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force all-pairs cosine ≥ θ — the exact oracle-checked
     baseline the LSH path (embedding_near_dup) is recall-measured
@@ -2314,6 +2333,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_scale": q_embedding_near_dup_scale,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "corpus_curation": q_corpus_curation,
         "multimodal_decode": q_multimodal_decode,
@@ -2356,6 +2376,9 @@ _ROWS_ONLY = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup",
+    # dedup-grade LSH config (the 100 TB parameterization; empty on the
+    # random synthetic embeddings by construction — see its docstring)
+    "embedding_near_dup_scale",
     "streaming_events_window",
     "ann_recall_report",
     # iterative argmax training — not SQL-expressible; differentially

@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "simhash",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    # headline near-dup: the dedup-grade 100 TB configuration
+    # (bits=64/bands=8/θ=0.9 — sf0.1→sf1 ratio 3.3×); the dense θ=0.3
+    # instance stays benched as a labeled recall hard case (60.4× at
+    # 10× by construction — see VERDICT r4 / BENCH_NOTES)
+    "embedding_near_dup_scale",
     "embedding_near_dup",
     # curation extras (registry extras tier)
     "repetition_stats",
