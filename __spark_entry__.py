@@ -2365,9 +2365,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # enforced by tests/test_registry_window.py:
 #   * positions 1-50: every query has an oracle_sql() twin (driver can
 #     hash-match all of them);
-#   * positions 51-55: the five permanently rows-only queries (engine-
-#     specific hash/sampling choices or non-SQL-expressible streaming) —
-#     window slots spent on them can never go green, so they sit last;
+#   * positions 51+: the permanently rows-only queries (engine-specific
+#     hash/sampling choices or non-SQL-expressible streaming/iterative
+#     work; currently len(_ROWS_ONLY) == 7) — window slots spent on them
+#     can never go green, so they sit last;
 #   * redundant TPC-H/window shapes that would overflow the window are
 #     demoted to extra_queries()/extra_oracle_sql(), differentially
 #     verified by pytest (tests/test_extra_queries.py) instead of the
@@ -2411,18 +2412,20 @@ _EXTRA_QUERY_NAMES = (
     "stratified_fixed_k",
     "grouped_topk",
     "weighted_sample",
-    "hashed_features",
-    "hard_negatives",
     "class_balanced",
-    "ngram_containment",
-    "psi_drift",
-    "cluster_terms",
     "outlier_flags",
-    "decontamination",
-    "data_mixture",
-    "doc_chunking",
-    "embedding_quantize",
-    "lm_score",
+    # -- round-6 rotation: flagships with green CORRECTNESS_r05 driver
+    # rows, demoted back to the extras tier (pytest-verified) --
+    "pagerank",
+    "entity_resolution",
+    "kmeans_clusters",
+    "quality_classifier",
+    "semantic_dedup",
+    "hybrid_retrieval",
+    "curation_report",
+    "span_dedup",
+    "sketch_rollup",
+    "heavy_hitters",
     # -- round-5 rotation: previously-windowed analytics shapes (each
     # carries a green CORRECTNESS_r04 driver row; now pytest-verified) --
     "events_window",
@@ -2495,20 +2498,21 @@ _QUERY_ORDER = (
     "time_rollup",
     "sketch_report",
     "rollup_pricing",
-    # -- round-5 rotation: flagships that never had a driver row
-    # (previously extras; the analytics shapes they displaced moved to
-    # the extras tier, still differentially verified by pytest) --
-    "pagerank",
-    "entity_resolution",
-    "kmeans_clusters",
-    "quality_classifier",
-    "semantic_dedup",
-    "hybrid_retrieval",
-    "curation_report",
-    "span_dedup",
-    "sketch_rollup",
-    "heavy_hitters",
-    # -- positions 51-56: permanently rows-only --
+    # -- round-6 rotation: never-driver-checked extras promoted into
+    # the 10 rotation slots (the round-5 batch each carries a green
+    # CORRECTNESS_r05 driver row and moves to the extras tier, still
+    # differentially verified by pytest) --
+    "ngram_containment",
+    "cluster_terms",
+    "psi_drift",
+    "hashed_features",
+    "hard_negatives",
+    "embedding_quantize",
+    "lm_score",
+    "data_mixture",
+    "decontamination",
+    "doc_chunking",
+    # -- positions 51+: permanently rows-only (len(_ROWS_ONLY) entries) --
 ) + _ROWS_ONLY
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2545,7 +2549,7 @@ _TOK = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')
 
 def oracle_sql() -> dict[str, str]:
     """Driver-facing oracles, in registry-window order (50 entries —
-    every windowed query except the five rows-only tails)."""
+    every windowed query except the rows-only tails in _ROWS_ONLY)."""
     full = _all_oracle_sql()
     return {k: full[k] for k in _QUERY_ORDER if k in full}
 

@@ -34,6 +34,7 @@ ARROW_OK = {
     "ann_cosine_topk",
     "ann_recall_report",
     "embedding_near_dup",
+    "embedding_near_dup_scale",  # same Arrow cosine kernel as embedding_near_dup
     "embedding_near_dup_exact",
     "semantic_dedup",
     "sequence_packing",

@@ -6,7 +6,7 @@ past that window and they received no verification.  These tests pin
 the contract so it cannot regress silently:
 
 * every query in positions 1-50 has an ``oracle_sql()`` twin;
-* the five permanently rows-only queries sit at positions 51+;
+* the permanently rows-only queries (_ROWS_ONLY) sit at positions 51+;
 * the demoted extras tier stays consistent (every extra has both a
   callable and an oracle, and never shadows a windowed query).
 """

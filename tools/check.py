@@ -111,17 +111,19 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows ({took:.1f}s) [no oracle]")
             continue
         try:
-            cur = con.execute(sql)
-            cols = [d[0] for d in cur.description]
-            orows = [dict(zip(cols, row)) for row in cur.fetchall()]
+            # Single execution via the relation API: column types come
+            # from bind-time metadata, rows from one fetchall().
             # Driver-fidelity dtype probe: the driver fetches via .df(),
             # where HUGEINT renders float64 and breaks the value hash
-            # even though fetchall() (above) yields Python ints and
-            # passes.  Mirror tests/test_oracle_dtypes.py: an integral
-            # Spark column whose .df() dtype is float WITHOUT NaNs is
-            # the HUGEINT signature (NaN-bearing ones float on both
-            # sides and stay hash-symmetric).
-            pdf = con.execute(sql).df()
+            # even though fetchall() yields Python ints and passes
+            # (tests/test_oracle_dtypes.py pins the class).  The lossy
+            # "float dtype without NaNs" .df() signature is replaced by
+            # reading the DuckDB logical type directly: an integral
+            # Spark column whose oracle type is HUGEINT is the drift.
+            rel = con.sql(sql)
+            cols = list(rel.columns)
+            otypes = dict(zip(cols, (str(t) for t in rel.types)))
+            orows = [dict(zip(cols, row)) for row in rel.fetchall()]
             integral = {
                 f.name
                 for f in sdf.schema.fields
@@ -129,10 +131,8 @@ def main() -> int:
             }
             drift = [
                 c
-                for c in pdf.columns
-                if c in integral
-                and pdf[c].dtype.kind not in "iu"
-                and not (pdf[c].dtype.kind == "f" and bool(pdf[c].isna().any()))
+                for c in cols
+                if c in integral and otypes[c] in ("HUGEINT", "UHUGEINT")
             ]
             if drift:
                 print(
