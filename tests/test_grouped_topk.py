@@ -116,6 +116,25 @@ def test_null_tiebreak_not_dropped(spark):
     assert out == {(1, 1), (2, 2)}
 
 
+def test_null_group_key_not_dropped(spark):
+    """ADVICE r5: groupBy keeps NULL groups, so a NULL group key can
+    win — the retrieval join must use eqNullSafe on group columns too
+    (plain == silently dropped the whole NULL group, diverging from the
+    naive window, which ranks NULL partitions normally)."""
+    rows = [
+        (1, None, 10.0),
+        (2, None, 9.0),
+        (3, None, 8.0),
+        (4, "g", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, amt double")
+    out = {
+        (r["id"], r["rank"])
+        for r in grouped_topk(df, ["grp"], "amt", 2, tiebreak_col="id").collect()
+    }
+    assert out == {(1, 1), (2, 2), (4, 1)}
+
+
 def test_validation(spark, sales):
     with pytest.raises(ValueError, match="k must be positive"):
         grouped_topk(sales, ["grp"], "amt", 0)

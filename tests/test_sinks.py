@@ -41,6 +41,22 @@ def test_versioned_publish_and_rollover(spark, tmp_path):
         assert json.load(f) == {"array": []}
 
 
+def test_missing_manifest_with_versions_refuses_restart(spark, tmp_path):
+    """ADVICE r5: a lost manifest next to existing version directories
+    must not silently restart numbering at v1 over live data."""
+    import pytest
+
+    base = str(tmp_path)
+    w = VersionedIndexWriter(base, "cust", keep_versions=2)
+    w.publish(spark.range(3).withColumn("v", F.lit("one")))
+    os.remove(os.path.join(base, "cust.manifest.json"))
+    with pytest.raises(FileNotFoundError, match="refusing to restart"):
+        w.manifest()
+    # a genuinely fresh index (no version dirs) still reads as empty
+    w2 = VersionedIndexWriter(str(tmp_path / "fresh"), "cust")
+    assert w2.manifest() == {"index": "cust", "current": None, "versions": []}
+
+
 def test_select_sink_derives_connector_nodes_from_hosts():
     # ADVICE r3: the Spark connector bulk-write must target the same
     # cluster as the injected/constructed REST client, not the default

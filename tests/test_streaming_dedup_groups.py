@@ -130,6 +130,25 @@ def test_at_least_once_redelivery_is_idempotent(spark, tmp_path):
     assert got[4] == got[1] == got[2] == 1 and got[3] == 3
 
 
+def test_lost_pointer_resumes_after_highest_version(spark, tmp_path):
+    """ADVICE r5: a lost _CURRENT pointer must not restart publishing at
+    assignments_0 over a directory in-flight readers may still scan —
+    the next publish resumes after the highest version on disk."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    inc = IncrementalDedupGroups(spark, str(tmp_path / "s6"), **PARAMS)
+    for i in range(2):  # publishes assignments_0, assignments_1
+        inc.process_batch(mk([(200 + i, f"totally unique words {chr(97 + i)} here")]))
+    os.remove(os.path.join(inc.state_dir, "_CURRENT"))
+    inc.process_batch(mk([(300, "more unique words zeta here")]))
+    vers = sorted(
+        d for d in os.listdir(inc.state_dir) if d.startswith("assignments_")
+    )
+    assert "assignments_2" in vers  # resumed, not restarted
+    assert open(os.path.join(inc.state_dir, "_CURRENT")).read().strip() == "assignments_2"
+
+
 def test_gc_versions_keeps_current(spark, tmp_path):
     import os
 

@@ -70,9 +70,17 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 
 def write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Write via a temp file + rename — the strongest atomicity the
-    underlying store offers (true rename on HDFS/local; object stores
-    degrade to copy+delete, same as any manifest writer there)."""
+    """Write via a temp file + overwrite-rename.
+
+    On HDFS and the local FS the swap is a single
+    ``FileContext.rename(..., Rename.OVERWRITE)`` metadata op, so a
+    concurrent reader always sees either the old or the new content —
+    never a missing file (the delete-then-rename window would make
+    callers that treat a missing manifest as empty state restart
+    version numbering).  Stores without an ``AbstractFileSystem``
+    binding (e.g. bare ``s3a://``) fall back to delete+rename — the
+    same non-atomic window every manifest writer has on an object
+    store; pair with a versioned-pointer layout there."""
     fs, p, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
@@ -80,6 +88,20 @@ def write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
+    try:
+        ctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        rename_opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        rename_opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        ctx.rename(tmp, p, rename_opts)
+        return
+    except Exception:
+        # UnsupportedFileSystemException (no AbstractFileSystem for the
+        # scheme) or an engine that rejects OVERWRITE — degrade below.
+        pass
     if fs.exists(p):
         fs.delete(p, False)
     if not fs.rename(tmp, p):

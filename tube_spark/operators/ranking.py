@@ -200,13 +200,14 @@ def grouped_topk(
         .distinct()
     )
     order_key = -v if descending else F.col(order_col)
-    # eqNullSafe on the tiebreak: a NULL tiebreak still identifies its
-    # winner row (plain == would silently drop it).
+    # eqNullSafe on the tiebreak AND the group keys: a NULL tiebreak (or
+    # a NULL group key — groupBy keeps NULL groups, so they can win)
+    # still identifies its winner row; plain == would silently drop it.
     cond = (order_key == F.col("__wv")) & (
         F.col(tiebreak_col).eqNullSafe(F.col("__wt"))
     )
     for c in group_cols:
-        cond = cond & (F.col(c) == F.col(f"__g_{c}"))
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
     retrieved = df.join(F.broadcast(winners), on=cond, how="inner").drop(
         "__wv", "__wt", *[f"__g_{c}" for c in group_cols]
     )

@@ -69,6 +69,11 @@ def _save_centroids(spark: SparkSession, path: str, cent: np.ndarray) -> None:
 
 def load_centroids(path: str, spark: SparkSession | None = None) -> np.ndarray:
     spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "load_centroids needs a SparkSession (none active): pass one "
+            "explicitly or create it before loading the IVF store"
+        )
     return np.asarray(
         json.loads(fsio.read_text(spark, fsio.join(path, _CENTROIDS))),
         dtype=np.float64,

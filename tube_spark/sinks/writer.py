@@ -133,6 +133,22 @@ class VersionedIndexWriter:
         spark = _active_spark()
         if fsio.exists(spark, self._manifest_path):
             return json.loads(fsio.read_text(spark, self._manifest_path))
+        # A missing manifest alongside existing version directories means
+        # the pointer was lost (crashed writer, partial restore) — NOT a
+        # fresh index.  Restarting at v1 would republish over live data.
+        prefix = f"{self.index}_v"
+        stale = [
+            n
+            for n in fsio.list_names(spark, self.base_dir)
+            if n.startswith(prefix) and n[len(prefix):].isdigit()
+        ]
+        if stale:
+            raise FileNotFoundError(
+                f"manifest for index '{self.index}' is missing but version "
+                f"directories exist ({sorted(stale)}): refusing to restart "
+                "version numbering — restore the manifest or remove the "
+                "stale version directories"
+            )
         return {"index": self.index, "current": None, "versions": []}
 
     def _write_manifest(self, m: dict) -> None:

@@ -103,7 +103,20 @@ class IncrementalDedupGroups:
 
     def _publish_assignments(self, df: DataFrame) -> None:
         cur = self._current_assign_dir()
-        ver = 0 if cur is None else int(cur.rsplit("_", 1)[-1]) + 1
+        if cur is None:
+            # A lost _CURRENT pointer must not restart at assignments_0
+            # over a directory in-flight readers may still be scanning:
+            # resume after the highest version present on disk instead.
+            import re
+
+            vers = [
+                int(m.group(1))
+                for d in fsio.list_names(self.spark, self.state_dir)
+                if (m := re.fullmatch(r"assignments_(\d+)", d))
+            ]
+            ver = max(vers) + 1 if vers else 0
+        else:
+            ver = int(cur.rsplit("_", 1)[-1]) + 1
         new_dir = fsio.join(self.state_dir, f"assignments_{ver}")
         df.write.mode("overwrite").parquet(new_dir)
         # pointer swap is the atomic publish (fsio tmp+rename); the
