@@ -1517,7 +1517,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     return hard_negatives(
-        emb, k=3, candidate_k=30, anchors=emb.filter(F.col("vec_id") < 5)
+        # .limit(5) = structural bound for the plan audit (the filter
+        # already yields exactly vec_ids 0-4)
+        emb, k=3, candidate_k=30, anchors=emb.filter(F.col("vec_id") < 5).limit(5)
     )
 
 
@@ -1923,7 +1925,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    queries = emb.filter(F.col("vec_id") < 5)
+    # .limit(5) = structural bound for the plan audit (the filter
+    # already yields exactly vec_ids 0-4)
+    queries = emb.filter(F.col("vec_id") < 5).limit(5)
     return cosine_topk(emb, queries, k=10)
 
 

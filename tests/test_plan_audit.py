@@ -9,10 +9,14 @@ asserts the executed plan contains:
 * no ``CartesianProduct`` — an unbroadcast cross join is never the
   plan we want;
 * Arrow Python stages (``ArrowEvalPython`` / ``MapInPandas`` /
-  ``FlatMapGroupsInPandas``) only in queries declared to use them —
-  the relational path stays whole-stage-codegen JVM;
-* ``BroadcastNestedLoopJoin`` only where the build side is a
-  one-row/tiny aggregate by construction (declared below).
+  ``FlatMapGroupsInPandas``) only in queries declared to use them, and
+  at most the declared stage COUNT (a declared query silently growing
+  extra Python stages is the r5-verdict degradation hole) — the
+  relational path stays whole-stage-codegen JVM;
+* every ``BroadcastNestedLoopJoin`` build side must be BOUNDED BY
+  CONSTRUCTION (empty-grouping aggregate, limit/top-k, or a local
+  relation — verified by walking the build subtree, not by trusting a
+  name allowlist), and only queries declared below may contain one.
 
 Individual operator tests pin positive properties (pushdown, broadcast,
 no-exchange bucketing); this is the negative sweep that keeps future
@@ -22,34 +26,40 @@ queries from regressing the global invariants.
 from __future__ import annotations
 
 import importlib.util
+import re
 
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# queries whose plans legitimately contain Arrow Python stages
+# queries whose plans legitimately contain Arrow Python stages, with the
+# MAXIMUM allowed stage count (ArrowEvalPython + MapInPandas +
+# FlatMapGroupsInPandas occurrences in the executed plan at sf0.001).
+# Measured from the current plans; a declared query that grows extra
+# Python stages fails until the growth is justified and re-declared.
 ARROW_OK = {
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_cosine_topk",
-    "ann_recall_report",
-    "embedding_near_dup",
-    "embedding_near_dup_scale",  # same Arrow cosine kernel as embedding_near_dup
-    "embedding_near_dup_exact",
-    "semantic_dedup",
-    "sequence_packing",
-    "multimodal_decode",
-    "bpe_tokenize",
-    "sessionization",
-    "hybrid_retrieval",
-    "heavy_hitters",  # Misra-Gries summaries run as MapInPandas
-    "ann_lsh_topk_portable",  # Arrow signature kernel, like ann_lsh_topk
-    "hard_negatives",  # rides cosine_topk's Arrow cosine kernel
+    "ann_lsh_topk": 3,
+    "ann_ivf_topk": 3,
+    "ann_cosine_topk": 0,  # Arrow kernel fuses away at audit scale
+    "ann_recall_report": 11,
+    "embedding_near_dup": 4,
+    "embedding_near_dup_scale": 4,  # same Arrow cosine kernel as embedding_near_dup
+    "embedding_near_dup_exact": 2,
+    "semantic_dedup": 0,
+    "sequence_packing": 0,
+    "multimodal_decode": 2,
+    "bpe_tokenize": 0,  # in SKIP (iterative); declared for completeness
+    "sessionization": 0,
+    "hybrid_retrieval": 0,
+    "heavy_hitters": 1,  # Misra-Gries summaries run as MapInPandas
+    "ann_lsh_topk_portable": 3,  # Arrow signature kernel, like ann_lsh_topk
+    "hard_negatives": 0,  # rides cosine_topk's Arrow cosine kernel
 }
 
-# queries where a BroadcastNestedLoopJoin is the intended plan: the
-# build side is a single-row (or k-row, k tiny) aggregate broadcast
-# against the stream side — the standard scalar-subquery-join shape
+# queries where a BroadcastNestedLoopJoin is the intended plan AND every
+# build side must be provably bounded by construction (_is_bounded):
+# empty-grouping aggregate, limit/top-k, or local relation — the
+# standard scalar-subquery-join / broadcast-query-set shape
 BNLJ_OK = {
     "promo_revenue_share",
     "small_qty_revenue",
@@ -81,6 +91,24 @@ BNLJ_OK = {
     "psi_drift",  # one-row histogram-totals broadcast
 }
 
+# BNLJ builds that are KEYED aggregates: bounded by group-key
+# cardinality (a handful of scopes/flags), which structure alone cannot
+# prove — the weaker positive assertion is that every unbounded path in
+# the build terminates at an aggregate before reaching a scan (so a raw
+# corpus can never be the broadcast side)
+BNLJ_AGG_OK = {
+    "sketch_rollup",  # per-returnflag KLL sketches unioned with their merge
+}
+
+# labeled O(n²) exact baselines: the build side IS the corpus by design
+# (brute-force oracle twins for the LSH/ANN paths — never the scale
+# path; see their docstrings).  Exempt from the build-side assertion
+# but still must be declared here to plan a BNLJ at all.
+BNLJ_EXACT_BASELINE = {
+    "embedding_near_dup_exact",
+    "ann_recall_report",  # contains exact_near_pairs + exact top-k branches
+}
+
 # queries that execute driver-side work or streams when *built* — they
 # are audited by their own operator tests; planning them here would
 # re-run training loops / streaming queries for no added signal
@@ -102,21 +130,143 @@ def _entry():
 _M = _entry()
 _ALL = {**_M.queries(), **_M.extra_queries()}
 
+_ARROW_TOKENS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+# node classes that pass row counts through (or shrink them): a bounded
+# input stays bounded across these
+_PASS_THROUGH_PREFIXES = (
+    "Project",
+    "Filter",
+    "Sort",
+    "Exchange",
+    "ShuffleExchange",
+    "BroadcastExchange",
+    "WholeStageCodegen",
+    "InputAdapter",
+    "Coalesce",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
+    "TableCacheQueryStage",
+    "ResultQueryStage",
+    "ReusedExchange",
+    "InMemoryTableScan",
+    "ColumnarToRow",
+    "RowToColumnar",
+    "Window",  # 1:1 on rows
+    "Generate",  # explode of a bounded agg's array stays small
+    "Expand",
+    "ArrowEvalPython",
+    "SubqueryBroadcast",
+    "Deduplicate",
+)
+
+# leaf/structural classes bounded by construction
+_BOUNDED_LEAVES = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalLimit",
+    "LocalTableScan",
+    "EmptyRelation",
+    "RDDScan",  # parallelized driver-side k-row state (centroids etc.)
+    "Range",
+)
+
+
+def _children(node):
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        return [node.inputPlan()]
+    if name == "InMemoryTableScanExec":
+        # descend into the cached plan: boundedness of a cache is the
+        # boundedness of what was cached
+        try:
+            return [node.relation().cachedPlan()]
+        except Exception:
+            return []
+    return [node.children().apply(i) for i in range(node.children().size())]
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _is_bounded(node) -> bool:
+    """True when the subtree's output row count is bounded by
+    construction: an aggregate with no grouping keys (exactly one row),
+    a limit/top-k, a local relation, or compositions of those through
+    row-preserving operators and joins of bounded inputs."""
+    name = node.getClass().getSimpleName()
+    kids = _children(node)
+    if name.startswith(_BOUNDED_LEAVES):
+        return True
+    if "Aggregate" in name:  # Hash/Sort/ObjectHash aggregates
+        try:
+            if node.groupingExpressions().isEmpty():
+                return True
+        except Exception:
+            pass
+        return bool(kids) and all(_is_bounded(c) for c in kids)
+    if "Join" in name or name.startswith("Union"):
+        return bool(kids) and all(_is_bounded(c) for c in kids)
+    if name.startswith(_PASS_THROUGH_PREFIXES):
+        return bool(kids) and all(_is_bounded(c) for c in kids)
+    return False
+
+
+def _is_agg_bounded(node) -> bool:
+    """Weaker bound for declared keyed-aggregate broadcasts: every path
+    from the build root must hit SOME aggregate (keyed counts too)
+    before reaching a scan — a raw corpus can never be the build."""
+    name = node.getClass().getSimpleName()
+    if name.startswith(_BOUNDED_LEAVES) or "Aggregate" in name:
+        return True
+    kids = _children(node)
+    if (
+        "Join" in name
+        or name.startswith("Union")
+        or name.startswith(_PASS_THROUGH_PREFIXES)
+    ):
+        return bool(kids) and all(_is_agg_bounded(c) for c in kids)
+    return False
+
 
 @pytest.mark.parametrize("name", sorted(n for n in _ALL if n not in SKIP))
 def test_plan_has_no_scale_killers(spark, name):
     df = _ALL[name](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    exec_plan = df._jdf.queryExecution().executedPlan()
+    plan = exec_plan.toString()
 
     assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF\n{plan[:1500]}"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan[:1500]}"
 
-    arrow = any(
-        tok in plan
-        for tok in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
-    )
-    if arrow:
+    n_arrow = sum(len(re.findall(tok, plan)) for tok in _ARROW_TOKENS)
+    if n_arrow:
         assert name in ARROW_OK, f"{name}: undeclared Arrow Python stage\n{plan[:1500]}"
+        assert n_arrow <= ARROW_OK[name], (
+            f"{name}: {n_arrow} Arrow Python stages, declared max "
+            f"{ARROW_OK[name]} — a new Python stage crept into the plan\n{plan[:1500]}"
+        )
 
     if "BroadcastNestedLoopJoin" in plan:
-        assert name in BNLJ_OK, f"{name}: undeclared BNLJ\n{plan[:1500]}"
+        declared = BNLJ_OK | BNLJ_AGG_OK | BNLJ_EXACT_BASELINE
+        assert name in declared, f"{name}: undeclared BNLJ\n{plan[:1500]}"
+        if name in BNLJ_EXACT_BASELINE:
+            return
+        # positive assertion: EVERY BNLJ build side must be bounded by
+        # construction — a declared query whose broadcast side grows
+        # beyond a one-row/tiny aggregate fails here, not at 100 TB
+        check = _is_agg_bounded if name in BNLJ_AGG_OK else _is_bounded
+        for nd in _walk(exec_plan):
+            if "NestedLoop" not in nd.getClass().getSimpleName():
+                continue
+            kids = _children(nd)
+            build = kids[1] if "Right" in nd.buildSide().toString() else kids[0]
+            assert check(build), (
+                f"{name}: BNLJ build side is not bounded by construction: "
+                f"{build.getClass().getSimpleName()} subtree\n"
+                f"{build.toString()[:1200]}"
+            )

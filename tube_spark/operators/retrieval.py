@@ -191,8 +191,13 @@ def hybrid_topk(
 
     v = F.col(vec_col).cast("array<double>")
     emb = embeddings.select(F.col(vec_id_col).alias(id_col), v.alias("v"))
-    qv = emb.filter(F.col(id_col) == query_vec_id).select(
-        F.col("v").alias("qv")
+    # .limit(1) makes the broadcast side STRUCTURALLY one-row (the id
+    # filter already guarantees it semantically) — the plan audit can
+    # then prove the BNLJ build bounded instead of trusting the filter
+    qv = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(F.col("v").alias("qv"))
+        .limit(1)
     )
     dense = (
         emb.filter(F.col(id_col) != query_vec_id)
