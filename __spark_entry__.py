@@ -2165,17 +2165,40 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real multimodal decode: deterministic BMP images (even doc_ids)
-    and PCM WAVs (odd doc_ids) are synthesized as genuine container
-    bytes, then parsed back by the numpy header-walking kernel through
-    Arrow-batched mapInPandas.  The oracle predicts every decoded stat
-    (dimensions, byte counts, pixel mean, sample RMS, duration) from
-    doc_id alone — a full-value check that the parser actually reads
-    the headers and payload it was handed."""
+    """Real multimodal decode: deterministic MJPEG AVIs (doc_id%4==0),
+    BMP images (other even doc_ids) and PCM WAVs (odd doc_ids) are
+    synthesized as genuine container bytes, then parsed back by the
+    numpy header-walking kernels through Arrow-batched mapInPandas.
+    The oracle predicts every decoded stat (dimensions, byte counts,
+    frame-count duration, pixel mean, sample RMS) from doc_id alone —
+    a full-value check that the parsers actually read the headers and
+    payload they were handed."""
     from tube_spark.operators.multimodal import decode_features, synthesize_media_col
 
     docs = synthesize_media_col(_docs(spark, sf_dir).select("doc_id"))
     return decode_features(docs).withColumn("value_mean", F.round("value_mean", 6))
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over real MJPEG-in-AVI containers: doc_ids
+    divisible by 4 carry a synthesized AVI (id%5+2 frames at 10 fps,
+    32x24); sample_video_frames demuxes the RIFF container and emits
+    the first frame at or after each 200 ms boundary — frame indices
+    0, 2, 4... bounded by the frame count, each with its timestamp and
+    the dimensions read from the frame's own JPEG SOF marker.  The
+    oracle replays the cadence arithmetic from doc_id alone (every
+    synthesized frame body is exactly 61 bytes)."""
+    from tube_spark.operators.multimodal import (
+        sample_video_frames,
+        synthesize_media_col,
+    )
+
+    docs = synthesize_media_col(
+        _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 4 == 0)
+    )
+    return sample_video_frames(docs, every_ms=200).select(
+        "doc_id", "frame_idx", "ts_ms", "width", "height", "frame_bytes"
+    )
 
 
 def q_streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2341,6 +2364,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "corpus_curation": q_corpus_curation,
         "multimodal_decode": q_multimodal_decode,
+        "video_frames": q_video_frames,
         "streaming_events_window": q_streaming_events_window,
         "ann_recall_report": q_ann_recall_report,
         "bpe_tokenize": q_bpe_tokenize,
@@ -2418,6 +2442,7 @@ _EXTRA_QUERY_NAMES = (
     "weighted_sample",
     "class_balanced",
     "outlier_flags",
+    "video_frames",
     # -- round-6 rotation: flagships with green CORRECTNESS_r05 driver
     # rows, demoted back to the extras tier (pytest-verified) --
     "pagerank",
@@ -4256,25 +4281,47 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(cos_raw, 6) AS cosine
             FROM p WHERE cos_raw >= 0.3
         """,
+        "video_frames": """
+            SELECT doc_id,
+                   cast(i AS INTEGER) AS frame_idx,
+                   cast(i * 100 AS BIGINT) AS ts_ms,
+                   32 AS width, 24 AS height,
+                   cast(61 AS BIGINT) AS frame_bytes
+            FROM (SELECT doc_id, doc_id % 5 + 2 AS n_frames
+                  FROM documents WHERE doc_id % 4 = 0),
+                 unnest(range(0, n_frames)) AS u(i)
+            WHERE i % 2 = 0
+        """,
         "multimodal_decode": """
             WITH dims AS (
                 SELECT doc_id,
                        doc_id % 13 + 1 AS w,
                        doc_id % 7 + 1 AS h,
-                       doc_id % 50 + 10 AS n_samp
+                       doc_id % 50 + 10 AS n_samp,
+                       doc_id % 5 + 2 AS n_frames
                 FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-                   CASE WHEN doc_id % 2 = 0 THEN cast(w AS INTEGER) END AS width,
-                   CASE WHEN doc_id % 2 = 0 THEN cast(h AS INTEGER) END AS height,
-                   CASE WHEN doc_id % 2 = 0
+                   CASE WHEN doc_id % 4 = 0 THEN 'video'
+                        WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   CASE WHEN doc_id % 4 = 0 THEN 32
+                        WHEN doc_id % 2 = 0 THEN cast(w AS INTEGER) END AS width,
+                   CASE WHEN doc_id % 4 = 0 THEN 24
+                        WHEN doc_id % 2 = 0 THEN cast(h AS INTEGER) END AS height,
+                   -- AVI: fixed 224-byte container + 70 bytes/frame
+                   -- (8-byte chunk header + 61-byte JPEG + 1 pad)
+                   CASE WHEN doc_id % 4 = 0
+                        THEN cast(224 + 70 * n_frames AS BIGINT)
+                        WHEN doc_id % 2 = 0
                         THEN cast(54 + ((3*w + 3) // 4 * 4) * h AS BIGINT)
                         ELSE cast(44 + 2 * n_samp AS BIGINT) END AS n_bytes,
                    CASE WHEN doc_id % 2 = 1 THEN 8000 END AS sample_rate,
-                   CASE WHEN doc_id % 2 = 1
+                   CASE WHEN doc_id % 4 = 0
+                        THEN cast(n_frames * 100 AS BIGINT)
+                        WHEN doc_id % 2 = 1
                         THEN cast(n_samp * 1000 // 8000 AS BIGINT) END AS duration_ms,
-                   CASE WHEN doc_id % 2 = 0
+                   CASE WHEN doc_id % 4 = 0 THEN NULL
+                        WHEN doc_id % 2 = 0
                         THEN round(list_sum(list_transform(range(0, 3*w*h),
                                  i -> (doc_id*31 + i) % 256))
                              / cast(3*w*h AS DOUBLE), 6)

@@ -54,14 +54,16 @@ def test_non_bmp_returns_none():
 
 def test_resize_images_operator(spark):
     base = spark.range(0, 20).select(F.col("id").alias("doc_id"))
-    media = synthesize_media_col(base)  # even ids BMP, odd ids WAV
+    media = synthesize_media_col(base)  # id%4==0 AVI, other even BMP, odd WAV
     out = resize_images(media, 4, 3).collect()
     rows = {r["doc_id"]: r for r in out}
     assert len(rows) == 20
-    for i in range(0, 20, 2):
+    for i in range(2, 20, 4):  # BMPs resized
         assert rows[i]["resized"] and (rows[i]["width"], rows[i]["height"]) == (4, 3)
         assert decode_bmp(bytes(rows[i]["media"]))["width"] == 4
     for i in range(1, 20, 2):  # WAVs pass through untouched
+        assert not rows[i]["resized"] and rows[i]["width"] is None
+    for i in range(0, 20, 4):  # AVIs pass through untouched
         assert not rows[i]["resized"] and rows[i]["width"] is None
 
 

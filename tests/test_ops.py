@@ -193,7 +193,6 @@ def test_multimodal_decode(spark):
     unparseable payloads fall through to kind=unknown; nulls survive."""
     from tube_spark.operators.multimodal import (
         decode_features,
-        frame_sample_stub,
         synthesize_bmp,
         synthesize_wav,
     )
@@ -224,8 +223,6 @@ def test_multimodal_decode(spark):
     assert out[3]["kind"] == "unknown" and out[3]["n_bytes"] == 15
     assert out[4]["kind"] == "unknown" and out[4]["n_bytes"] == 0
 
-    frames = frame_sample_stub(df.filter(F.col("media").isNotNull())).collect()
-    assert len(frames) >= 2 and all(f["ts_ms"] == f["frame_idx"] * 1000 for f in frames)
 
 
 def test_bmp_wav_decoder_edge_cases():

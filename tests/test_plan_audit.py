@@ -48,6 +48,7 @@ ARROW_OK = {
     "semantic_dedup": 0,
     "sequence_packing": 0,
     "multimodal_decode": 2,
+    "video_frames": 2,  # synth pandas_udf + demux mapInPandas
     "bpe_tokenize": 0,  # in SKIP (iterative); declared for completeness
     "sessionization": 0,
     "hybrid_retrieval": 0,

@@ -7,14 +7,17 @@ typed metadata struct:
     media_meta: struct<kind string, mime string, width int, height int,
                        duration_ms long, sample_rate int>
 
-The decode kernel is REAL for the two container formats a pure
-numpy/stdlib environment can parse — uncompressed BMP images and PCM
-WAV audio (header walk + pixel/sample statistics).  Formats that need
-a codec library (JPEG, MP4…) dispatch to kind="unknown" with byte
-stats only; a deployment drops Pillow/ffmpeg into ``decode_media``'s
-dispatch table without touching the Spark plumbing.  Video frame
-sampling remains a labeled stub (``frame_sample_stub``) — there is no
-demuxer here — but its explode-shaped mapInPandas plumbing is real.
+The decode kernel is REAL for the three container formats a pure
+numpy/stdlib environment can parse — uncompressed BMP images, PCM WAV
+audio, and MJPEG-in-AVI video (RIFF header walks + pixel/sample
+statistics; AVI frames are demuxed to per-frame JPEG chunks whose
+dimensions come from a JPEG marker walk).  Pixel-decoding a JPEG scan
+needs a codec library — that single step dispatches through
+``decode_jpeg_pixels`` (returns None here); a deployment drops
+Pillow/ffmpeg into that one hook without touching the demuxer or the
+Spark plumbing.  Everything else — container walk, frame offsets,
+timestamps, dimensions, sampling cadence — is real and tested against
+synthesized-but-valid container bytes.
 
 Scale notes:
 * binary payloads make rows wide — decode batches are re-chunked by
@@ -122,11 +125,133 @@ def decode_wav(payload: bytes) -> dict | None:
     }
 
 
+# ----------------------------------------------------------------------
+# MJPEG-in-AVI video: RIFF container demux + JPEG marker walk
+def jpeg_dimensions(buf: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG's SOF marker — a pure marker walk
+    (SOI, skip segments by length, read SOF0-3/5-7/9-11/13-15).  No
+    codec: this parses the header, not the entropy-coded scan.  Returns
+    None when the buffer is not a well-formed JPEG header."""
+    if buf is None or len(buf) < 4 or buf[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            return None
+        marker = buf[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:  # standalone
+            pos += 2
+            continue
+        seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > len(buf):
+            return None
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seg_len < 7:
+                return None
+            height = int.from_bytes(buf[pos + 5 : pos + 7], "big")
+            width = int.from_bytes(buf[pos + 7 : pos + 9], "big")
+            return width, height
+        if marker == 0xDA:  # SOS: scan data follows; header walk is done
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+def decode_jpeg_pixels(frame: bytes) -> "np.ndarray | None":
+    """Codec dispatch point: pixel-decode one JPEG frame to an HxWx3
+    uint8 array.  A pure numpy/stdlib environment has no JPEG entropy
+    decoder, so this returns None (callers emit header-level features
+    only); a deployment plugs Pillow/libjpeg here and every downstream
+    operator (frame stats, pHash-over-frames) lights up unchanged."""
+    try:  # pragma: no cover - exercised only where Pillow exists
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        return np.asarray(Image.open(io.BytesIO(frame)).convert("RGB"))
+    except ImportError:
+        return None
+
+
+def parse_avi(payload: bytes) -> dict | None:
+    """Demux an AVI container (RIFF header walk, same style as the
+    BMP/WAV parsers): main-header timing/dims + the (offset, size) of
+    every video frame chunk in the ``movi`` list.  Pure stdlib — reads
+    structure, not pixels.  Returns None when not a parseable AVI."""
+    if (
+        payload is None
+        or len(payload) < 24
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    usec_per_frame = width = height = None
+    total_frames = 0
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        nonlocal usec_per_frame, width, height, total_frames
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            size, = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if body_start + size > end:
+                break  # truncated chunk
+            if cid in (b"LIST", b"RIFF"):
+                list_type = payload[body_start : body_start + 4]
+                walk(
+                    body_start + 4,
+                    body_start + size,
+                    in_movi or list_type == b"movi",
+                )
+            elif cid == b"avih" and size >= 40:
+                usec_per_frame, = struct.unpack_from("<I", payload, body_start)
+                total_frames, = struct.unpack_from("<I", payload, body_start + 16)
+                width, = struct.unpack_from("<I", payload, body_start + 32)
+                height, = struct.unpack_from("<I", payload, body_start + 36)
+            elif in_movi and len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                # ##dc = compressed / ##db = uncompressed video frame
+                frames.append((body_start, size))
+            pos = body_start + size + (size % 2)  # chunks pad to even
+
+    walk(12, len(payload), False)
+    if usec_per_frame is None or not usec_per_frame:
+        return None
+    return {
+        "usec_per_frame": int(usec_per_frame),
+        "width": int(width) if width else None,
+        "height": int(height) if height else None,
+        "n_frames": len(frames) or int(total_frames),
+        "frames": frames,
+    }
+
+
+def decode_avi(payload: bytes) -> dict | None:
+    """AVI → video stats for ``decode_media``: dims from the main
+    header, duration from usec_per_frame × demuxed frame count."""
+    avi = parse_avi(payload)
+    if avi is None:
+        return None
+    return {
+        "kind": "video",
+        "width": avi["width"],
+        "height": avi["height"],
+        "n_bytes": len(payload),
+        "sample_rate": None,
+        "duration_ms": int(avi["n_frames"] * avi["usec_per_frame"] // 1000),
+        "value_mean": None,
+    }
+
+
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes: BMP → image stats, WAV → audio stats,
-    anything else → kind="unknown" with byte stats only (the hook where
-    a deployment plugs Pillow/ffmpeg)."""
-    for dec in (decode_bmp, decode_wav):
+    AVI → video stats, anything else → kind="unknown" with byte stats
+    only (the hook where a deployment plugs Pillow/ffmpeg)."""
+    for dec in (decode_bmp, decode_wav, decode_avi):
         out = dec(payload)
         if out is not None:
             return out
@@ -177,10 +302,11 @@ def synthesize_wav(seed: int, n_samples: int, sample_rate: int = 8000) -> bytes:
 
 
 def synthesize_media_col(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a deterministic ``media`` binary column: even ids get a
-    BMP (width ``id%13+1`` × height ``id%7+1``), odd ids a WAV
+    """Attach a deterministic ``media`` binary column: ids divisible by
+    4 get an MJPEG AVI (``id%5+2`` frames at 10 fps, 32×24), other even
+    ids a BMP (width ``id%13+1`` × height ``id%7+1``), odd ids a WAV
     (``id%50+10`` samples at 8 kHz) — real container bytes for
-    exercising the decoders when the corpus has no media."""
+    exercising all three decoders when the corpus has no media."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
@@ -188,7 +314,9 @@ def synthesize_media_col(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         out = []
         for i in ids:
             i = int(i)
-            if i % 2 == 0:
+            if i % 4 == 0:
+                out.append(synthesize_avi(i, i % 5 + 2))
+            elif i % 2 == 0:
                 out.append(synthesize_bmp(i, i % 13 + 1, i % 7 + 1))
             else:
                 out.append(synthesize_wav(i, i % 50 + 10))
@@ -257,44 +385,136 @@ def repartition_for_payload(
     )
 
 
-def frame_sample_stub(
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_crc32", T.LongType()),
+    ]
+)
+
+
+def sample_video_frames(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "media",
     every_ms: int = 1000,
 ) -> DataFrame:
-    """STUB frame sampler: a real one would demux video and emit one row
-    per sampled frame (no demuxer in this environment).  The fake emits
-    ``n = len(payload) % 4 + 1`` deterministic "frames" so the
-    explode-shaped plumbing (one input row → many output rows through
-    mapInPandas) is real."""
-
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("ts_ms", T.LongType()),
-            T.StructField("frame_hash", T.LongType()),
-        ]
-    )
+    """Demux MJPEG-in-AVI payloads (``parse_avi``) and emit one row per
+    SAMPLED frame — the first frame at or after each ``every_ms``
+    boundary, the standard thumbnail/keyframe cadence.  Per frame:
+    exact timestamp (frame_idx × usec_per_frame), dimensions from the
+    frame's own JPEG SOF marker (falling back to the container header),
+    byte size, and a CRC32 content fingerprint (exact-dup detection
+    across videos without decoding pixels).  Non-AVI payloads emit no
+    rows.  Explode-shaped mapInPandas: one input row → many output
+    rows; pixel decode stays behind ``decode_jpeg_pixels``."""
+    import zlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                n = (len(payload) % 4 + 1) if payload is not None else 0
-                for i in range(n):
+                raw = bytes(payload) if payload is not None else None
+                avi = parse_avi(raw)
+                if avi is None or not avi["frames"]:
+                    continue
+                usec = avi["usec_per_frame"]
+                # frames whose timestamp crosses the next sample boundary
+                step_us = every_ms * 1000
+                next_due = 0
+                for i, (off, size) in enumerate(avi["frames"]):
+                    ts_us = i * usec
+                    if ts_us < next_due:
+                        continue
+                    next_due = ts_us + step_us - (ts_us % step_us) if step_us else ts_us + 1
+                    frame = raw[off : off + size]
+                    dims = jpeg_dimensions(frame)
                     rows.append(
                         {
-                            "doc_id": did,
+                            "doc_id": int(did),
                             "frame_idx": i,
-                            "ts_ms": i * every_ms,
-                            "frame_hash": hash((did, i)) & 0x7FFFFFFF,
+                            "ts_ms": ts_us // 1000,
+                            "width": dims[0] if dims else avi["width"],
+                            "height": dims[1] if dims else avi["height"],
+                            "frame_bytes": size,
+                            "frame_crc32": zlib.crc32(frame),
                         }
                     )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
 
-    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, schema=schema)
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_FRAME_SCHEMA
+    )
+
+
+def synthesize_jpeg(seed: int, width: int, height: int) -> bytes:
+    """A minimal structurally-valid JPEG: SOI, APP0/JFIF, SOF0 carrying
+    the real dimensions, then EOI.  ``jpeg_dimensions`` (and any
+    marker-walking tool) parses it; there is no entropy-coded scan —
+    the payload's 16 trailing filler bytes are deterministic in
+    ``seed`` so frame fingerprints differ per frame."""
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    filler = bytes((seed * 31 + i * 7) % 256 for i in range(16))
+    com = b"\xff\xfe" + (2 + len(filler)).to_bytes(2, "big") + filler
+    return b"\xff\xd8" + app0 + sof0 + com + b"\xff\xd9"
+
+
+def synthesize_avi(
+    seed: int, n_frames: int, width: int = 32, height: int = 24, fps: int = 10
+) -> bytes:
+    """A valid MJPEG-in-AVI container: RIFF(AVI ) → LIST(hdrl){avih,
+    LIST(strl){strh,strf}} → LIST(movi){00dc×n}.  Every frame is a
+    ``synthesize_jpeg`` whose bytes vary by (seed, frame index)."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    usec_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0x10, n_frames, 0, 1, 0, width, height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n_frames, 0, 0xFFFFFFFF,
+        0, 0, 0, width, height,
+    )
+    strf = struct.pack(  # BITMAPINFOHEADER
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(
+        b"movi",
+        b"".join(
+            chunk(b"00dc", synthesize_jpeg(seed + i, width, height))
+            for i in range(n_frames)
+        ),
+    )
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 def resize_bmp(payload: bytes, out_w: int, out_h: int) -> bytes | None:
