@@ -5,6 +5,13 @@ Prints ONE JSON line:
 
 Each query is collected to completion (driver-side count of rows) so the
 timing includes the full plan execution, not just plan construction.
+
+Warm-up + best-of-3 (VERDICT r5 task 8): one cheap parquet action plus a
+tiny mapInPandas pay the JVM/JIT/Arrow-worker-fork startup before any
+timer starts, and each query reports the minimum of three runs — the
+stable signal a warmed long-running cluster would see.  This kills the
+cold-start phantoms (r5's top_revenue_nations printed 2.22 s on
+unchanged code; warm runs are 1.0-1.5 s).
 """
 
 from __future__ import annotations
