@@ -2201,6 +2201,45 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the FAISS IVF-PQ building block): 64-dim
+    embeddings split into 8 subspaces of 8 dims, each encoded as the
+    argmin-L2 index into a 16-entry codebook — 64x compression.
+    Integer-lattice codebooks make every distance (and the tie-to-
+    lowest-index argmin) bit-reproducible in DuckDB, so the driver
+    hash-checks the full encode: per-vector code string AND total
+    squared reconstruction error.  Map-only native expressions — one
+    corpus scan, zero shuffles (plan-audited)."""
+    from tube_spark.operators.quantize import pq_encode
+
+    emb = _emb(spark, sf_dir)
+    return pq_encode(emb, dim=64, m=8, k=16).select(
+        "vec_id",
+        F.array_join("codes", "-").alias("codes_str"),
+        F.round("sq_error", 6).alias("sq_error"),
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index scan via asymmetric distance computation (ADC): encode
+    the corpus once, then score every stored vector as m lookup-table
+    reads against vector 0's query subvectors — the scan touches ONLY
+    the codes column (64x fewer bytes than the float corpus).  The
+    oracle replays codes, table, and ranking in SQL; ties broken by
+    vec_id in both engines."""
+    from tube_spark.operators.quantize import pq_encode, pq_search
+
+    emb = _emb(spark, sf_dir)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    codes = pq_encode(emb, dim=64, m=8, k=16).select("vec_id", "codes")
+    return pq_search(codes, qv, dim=64, m=8, k=16, topk=10).select(
+        "vec_id", F.round("approx_sq_dist", 6).alias("approx_sq_dist")
+    )
+
+
 def q_streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming availableNow twin of q_events_window."""
     from tube_spark.streaming.refresh import streaming_daily_event_counts
@@ -2365,6 +2404,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_curation": q_corpus_curation,
         "multimodal_decode": q_multimodal_decode,
         "video_frames": q_video_frames,
+        "product_quantize": q_product_quantize,
+        "pq_search": q_pq_search,
         "streaming_events_window": q_streaming_events_window,
         "ann_recall_report": q_ann_recall_report,
         "bpe_tokenize": q_bpe_tokenize,
@@ -2443,6 +2484,8 @@ _EXTRA_QUERY_NAMES = (
     "class_balanced",
     "outlier_flags",
     "video_frames",
+    "product_quantize",
+    "pq_search",
     # -- round-6 rotation: flagships with green CORRECTNESS_r05 driver
     # rows, demoted back to the extras tier (pytest-verified) --
     "pagerank",
@@ -4280,6 +4323,72 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cos_raw, 6) AS cosine
             FROM p WHERE cos_raw >= 0.3
+        """,
+        "pq_search": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), q AS (
+                SELECT v AS qv FROM e WHERE vec_id = 0
+            ), enc AS (
+                SELECT vec_id,
+                    list_transform(range(0, 8), s ->
+                        list_position(
+                            list_transform(range(0, 16), j ->
+                                list_sum(list_transform(range(0, 8), i ->
+                                    (v[s*8 + i + 1]
+                                     - ((s*13 + j*31 + i*7) % 11 - 5))
+                                    * (v[s*8 + i + 1]
+                                       - ((s*13 + j*31 + i*7) % 11 - 5))))),
+                            list_min(
+                                list_transform(range(0, 16), j ->
+                                    list_sum(list_transform(range(0, 8), i ->
+                                        (v[s*8 + i + 1]
+                                         - ((s*13 + j*31 + i*7) % 11 - 5))
+                                        * (v[s*8 + i + 1]
+                                           - ((s*13 + j*31 + i*7) % 11 - 5))))))
+                        ) - 1) AS codes
+                FROM e
+            ), tab AS (
+                SELECT list_transform(range(0, 8), s ->
+                    list_transform(range(0, 16), j ->
+                        list_sum(list_transform(range(0, 8), i ->
+                            (qv[s*8 + i + 1] - ((s*13 + j*31 + i*7) % 11 - 5))
+                            * (qv[s*8 + i + 1]
+                               - ((s*13 + j*31 + i*7) % 11 - 5)))))) AS t
+                FROM q
+            )
+            SELECT vec_id,
+                   round(list_sum(list_transform(range(0, 8),
+                       s -> t[s + 1][codes[s + 1] + 1])), 6) AS approx_sq_dist
+            FROM enc, tab
+            ORDER BY list_sum(list_transform(range(0, 8),
+                       s -> t[s + 1][codes[s + 1] + 1])) ASC, vec_id ASC
+            LIMIT 10
+        """,
+        "product_quantize": """
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), d AS (
+                SELECT vec_id,
+                    list_transform(range(0, 8), s ->
+                        list_transform(range(0, 16), j ->
+                            list_sum(list_transform(range(0, 8), i ->
+                                (v[s*8 + i + 1]
+                                 - ((s*13 + j*31 + i*7) % 11 - 5))
+                                * (v[s*8 + i + 1]
+                                   - ((s*13 + j*31 + i*7) % 11 - 5)))))) AS dmat
+                FROM e
+            )
+            SELECT vec_id,
+                   array_to_string(list_transform(dmat,
+                       dd -> list_position(dd, list_min(dd)) - 1), '-') AS codes_str,
+                   round(list_sum(list_transform(dmat, dd -> list_min(dd))), 6)
+                       AS sq_error
+            FROM d
         """,
         "video_frames": """
             SELECT doc_id,

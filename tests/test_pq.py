@@ -1,0 +1,99 @@
+"""Product quantization: encode/decode consistency, tie-breaks, plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tube_spark.operators.quantize import lattice_codebooks, pq_decode, pq_encode
+
+
+def test_encode_decode_roundtrip_error(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = pq_encode(emb, dim=64, m=8, k=16)
+    dec = pq_decode(enc, dim=64, m=8, k=16)
+    # sq_error must equal the squared distance to the decoded vector
+    joined = (
+        enc.join(dec, "vec_id")
+        .join(emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")), "vec_id")
+        .select(
+            "vec_id",
+            "sq_error",
+            F.aggregate(
+                F.zip_with("v", "vector", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("recomputed"),
+        )
+    )
+    bad = joined.filter(F.abs(F.col("sq_error") - F.col("recomputed")) > 1e-9)
+    assert bad.count() == 0
+    assert dec.select(F.size("vector")).distinct().collect()[0][0] == 64
+
+
+def test_codes_bounded_and_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc = pq_encode(emb, dim=64, m=8, k=16)
+    stats = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] <= 15 and stats["m"] == 8
+    a = sorted(map(tuple, enc.collect()))
+    b = sorted(map(tuple, pq_encode(emb.repartition(7), dim=64, m=8, k=16).collect()))
+    assert a == b
+
+
+def test_tie_breaks_to_lowest_index(spark):
+    # codebook with duplicate centroids: argmin must take the FIRST
+    books = [[[0.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]
+    df = spark.createDataFrame([(1, [0.1, 0.1])], "vec_id long, embedding array<double>")
+    r = pq_encode(df, dim=2, m=1, k=3, codebooks=books).first()
+    assert list(r["codes"]) == [0]
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_encode(df, dim=64, m=7)
+    with pytest.raises(ValueError, match="codebooks"):
+        pq_encode(df, dim=64, m=8, k=16, codebooks=[[[0.0]]])
+
+
+def test_map_only_plan(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        pq_encode(emb, dim=64)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one scan, no shuffle, no Python stages
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_pq_search_adc_matches_decoded_distance(spark):
+    from tube_spark.operators.quantize import pq_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    codes = pq_encode(emb, dim=64).select("vec_id", "codes")
+    top = pq_search(codes, qv, dim=64, topk=5)
+    # ADC distance == exact distance from query to the DECODED vector
+    dec = pq_decode(codes, dim=64)
+    q = F.array(*[F.lit(x) for x in qv])
+    exact = dec.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(q, "vector", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    joined = top.join(exact, "vec_id").filter(
+        F.abs(F.col("approx_sq_dist") - F.col("d")) > 1e-9
+    )
+    assert joined.count() == 0
+    assert top.count() == 5
+
+    with pytest.raises(ValueError, match="query dim"):
+        pq_search(codes, [0.0] * 63, dim=64)

@@ -100,3 +100,150 @@ def dequantize_codes(
         + F.element_at(lo, i + 1),
     )
     return df.select(F.col(id_col), vec.alias("vector"))
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ) — the FAISS IVF-PQ building block
+def lattice_codebooks(m: int, sub_dim: int, k: int) -> list[list[list[float]]]:
+    """Data-independent PQ codebooks on a small integer lattice:
+    ``codebook[s][j][i] = (s*13 + j*31 + i*7) % 11 - 5``.  Integers, so
+    any engine reproduces the assignment argmin exactly — the same
+    portability device as ``semdedup.lattice_centroids`` (use k-means
+    sub-codebooks for real compression quality; this is the
+    differential-verification path)."""
+    return [
+        [
+            [float((s * 13 + j * 31 + i * 7) % 11 - 5) for i in range(sub_dim)]
+            for j in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantize: split each ``dim``-vector into ``m`` subspaces
+    of ``dim/m`` and encode each as the index of its nearest codebook
+    entry (L2; ties -> lowest index).  64 float32 dims at m=8/k=16
+    compress 64x to 8 nibbles.  Output: (id, codes array<int> length m,
+    sq_error = total squared reconstruction error).
+
+    Map-only: every distance is a native Catalyst expression over the
+    embedded codebook literals — one corpus scan, zero shuffles, whole-
+    stage codegen (plan-audited via the host query).  At larger m*k,
+    switch the argmin to the Arrow matmul kernel exactly as
+    ``semdedup.assign_clusters(use_arrow=True)`` does; the native path
+    stays the portable/oracled semantics.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    books = codebooks if codebooks is not None else lattice_codebooks(m, sub_dim, k)
+    if len(books) != m or any(len(b) != k for b in books):
+        raise ValueError("codebooks must be m lists of k centroids")
+    v = F.col(vec_col).cast("array<double>")
+
+    def dists(s: int) -> F.Column:
+        # squared L2 to each of subspace s's k centroids; sequential
+        # left-to-right adds so DuckDB's list_sum reproduces the floats
+        out = []
+        for c in books[s]:
+            acc = None
+            for i, ci in enumerate(c):
+                d = F.element_at(v, s * sub_dim + i + 1) - F.lit(ci)
+                term = d * d
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return F.array(*out)
+
+    dmats = [dists(s) for s in range(m)]
+    codes = F.array(
+        *[(F.array_position(dm, F.array_min(dm)) - 1).cast("int") for dm in dmats]
+    )
+    sq_err = None
+    for dm in dmats:
+        e = F.array_min(dm)
+        sq_err = e if sq_err is None else sq_err + e
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        sq_err.alias("sq_error"),
+    )
+
+
+def pq_decode(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(id, vector array<double>) — concatenated codebook centroids, the
+    PQ reconstruction ``pq_encode``'s sq_error measures against."""
+    sub_dim = dim // m
+    books = codebooks if codebooks is not None else lattice_codebooks(m, sub_dim, k)
+    parts = []
+    for s in range(m):
+        book = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[s]])
+        parts.append(F.element_at(book, F.element_at(F.col(codes_col), s + 1) + 1))
+    return df.select(F.col(id_col), F.concat(*parts).alias("vector"))
+
+
+def pq_search(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) over PQ codes — how a PQ
+    index is actually scanned: precompute the m x k table of squared
+    distances from the query's subvectors to every codebook entry
+    (driver-side, m*k floats), then score each stored vector as the sum
+    of m table lookups indexed by its codes.  No decode, no original
+    vectors touched — the scan reads only the codes column.
+
+    Scale: the lookup table is a broadcast literal (m*k doubles); the
+    scan is map-only + one TakeOrderedAndProject for top-k.  100 TB of
+    codes at m=8 is ~1/64th the original bytes, and column pruning
+    means that is ALL the scan reads.
+    """
+    if len(query_vec) != dim:
+        raise ValueError(f"query dim {len(query_vec)} != {dim}")
+    sub_dim = dim // m
+    books = codebooks if codebooks is not None else lattice_codebooks(m, sub_dim, k)
+    # driver-side ADC table: table[s][j] = ||q_s - c_sj||^2, summed in
+    # the same left-to-right order as pq_encode for reproducibility
+    table = [
+        [
+            sum(
+                (query_vec[s * sub_dim + i] - c[i]) * (query_vec[s * sub_dim + i] - c[i])
+                for i in range(sub_dim)
+            )
+            for c in books[s]
+        ]
+        for s in range(m)
+    ]
+    approx = None
+    for s in range(m):
+        lut = F.array(*[F.lit(x) for x in table[s]])
+        term = F.element_at(lut, F.element_at(F.col(codes_col), s + 1) + 1)
+        approx = term if approx is None else approx + term
+    return (
+        codes_df.select(F.col(id_col), approx.alias("approx_sq_dist"))
+        .orderBy(F.col("approx_sq_dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )

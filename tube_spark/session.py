@@ -20,6 +20,11 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-plan the output partitioning of cached plans too —
+    # otherwise a .cache() freezes whatever spark.sql.shuffle.partitions
+    # was at materialization time and every downstream stage inherits it
+    # (measured: minhash's cached signatures at partitions=200 cost 4x).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow transfer for the few Pandas-UDF operators (multimodal decode,
     # embedding kernels). Never row-at-a-time Python UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -53,6 +58,14 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULT_CONF)
+    if master.startswith("local"):
+        # In local mode the driver JVM IS every executor; pyspark's 1 GiB
+        # default heap is what 32 worker threads would otherwise share
+        # (measured: GC-locker thrash and flaky shuffle OOMs at sf1).
+        # -Xmx reserves address space, not RSS, so a generous ceiling is
+        # safe.  On a real cluster master is non-local and this never
+        # applies — executor/driver memory comes from spark-submit.
+        conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
