@@ -97,3 +97,43 @@ def test_pq_search_adc_matches_decoded_distance(spark):
 
     with pytest.raises(ValueError, match="query dim"):
         pq_search(codes, [0.0] * 63, dim=64)
+
+
+def test_pq_train_beats_lattice_codebooks(spark):
+    from tube_spark.operators.quantize import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    trained = pq_train(emb, dim=64, m=8, k=16, iters=3)
+    assert len(trained) == 8 and all(len(b) == 16 for b in trained)
+    assert all(len(c) == 8 for b in trained for c in b)
+
+    def total_err(books):
+        return (
+            pq_encode(emb, dim=64, m=8, k=16, codebooks=books)
+            .agg(F.sum("sq_error"))
+            .first()[0]
+        )
+
+    err_trained = total_err(trained)
+    err_lattice = total_err(lattice_codebooks(8, 8, 16))
+    # trained codebooks must reconstruct strictly better than the
+    # data-independent lattice (that is the point of training)
+    assert err_trained < err_lattice * 0.9, (err_trained, err_lattice)
+
+
+def test_pq_train_monotone_improvement(spark):
+    from tube_spark.operators.quantize import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+
+    def err(books):
+        return (
+            pq_encode(emb, dim=64, m=8, k=16, codebooks=books)
+            .agg(F.sum("sq_error"))
+            .first()[0]
+        )
+
+    e1 = err(pq_train(emb, dim=64, m=8, k=16, iters=1))
+    e3 = err(pq_train(emb, dim=64, m=8, k=16, iters=3))
+    # Lloyd iterations never increase total quantization error
+    assert e3 <= e1 + 1e-9

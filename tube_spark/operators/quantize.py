@@ -247,3 +247,86 @@ def pq_search(
         .orderBy(F.col("approx_sq_dist").asc(), F.col(id_col).asc())
         .limit(topk)
     )
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: k-means in EACH of the m subspaces — but all
+    m trainings advance together in ONE corpus scan per Lloyd
+    iteration, not m separate jobs.  Rows explode to (subspace,
+    subvector) once per iteration; assignment is a native argmin
+    against that subspace's current centroids (a literal nested array
+    indexed by subspace id); the update is one groupBy(subspace, code,
+    dim) average whose result is m*k*sub_dim rows — bounded driver
+    state, the same contract as ``clustering.kmeans_fit``.
+
+    Init is the portable smallest-ids rule per subspace (subvectors of
+    the k lowest ids).  Returns codebooks shaped for ``pq_encode`` /
+    ``pq_search``; empty codes keep their previous centroid.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    seed_rows = df.select(id_col, v.alias("v")).orderBy(id_col).limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seed_rows)}")
+    books = [
+        [
+            [float(seed_rows[j]["v"][s * sub_dim + i]) for i in range(sub_dim)]
+            for j in range(k)
+        ]
+        for s in range(m)
+    ]
+
+    # (subspace, subvector) rows — built once, reused every iteration
+    subs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(v, s * sub_dim + 1, sub_dim).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e")
+    ).select("e.s", "e.sv")
+
+    for _ in range(iters):
+        # literal nested array: books_lit[s+1] = k centroids of subspace s
+        books_lit = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+                for book in books
+            ]
+        )
+        cents = F.element_at(books_lit, F.col("s") + 1)
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sv"), c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        rows = (
+            subs.select(F.col("s"), code.alias("code"), F.posexplode("sv").alias("dim", "x"))
+            .groupBy("s", "code", "dim")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        nxt = [[list(c) for c in book] for book in books]
+        for r in rows:
+            nxt[r["s"]][r["code"]][r["dim"]] = float(r["mean"])
+        books = nxt
+    return books
