@@ -108,3 +108,107 @@ def test_streaming_ingest_matches_batch(spark, emb, tmp_path):
         for r in store_vectors(spark, p2).select("vec_id", "cell").collect()
     }
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ: partition-pruned cells + codes-only ADC scan
+def test_ivfpq_build_and_search(spark, tmp_path):
+    from tube_spark.operators.vectorstore import (
+        build_ivfpq_store,
+        load_pq_books,
+        search_store_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_store(emb, path, dim=64, n_clusters=8, m=8, k_codes=16, pq_iters=2)
+    books = load_pq_books(path, spark)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+
+    queries = emb.filter(F.col("vec_id") < 3).limit(3)
+    out = search_store_pq(spark, path, queries, dim=64, k=5, nprobe=3)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+    # the ADC scan must prune partitions AND read only the codes column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "cell#" in plan.split("PartitionFilters")[1][:80]
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    code_scans = [s for s in scans if "codes" in s]
+    assert code_scans and all("embedding" not in s for s in code_scans), scans
+
+
+def test_ivfpq_adc_matches_encode_distances(spark, tmp_path):
+    """ADC scores from the store must equal pq_encode+lookup computed
+    independently — the store round-trips codebooks and codes exactly."""
+    from tube_spark.operators.quantize import pq_encode
+    from tube_spark.operators.vectorstore import (
+        build_ivfpq_store,
+        load_centroids,
+        load_pq_books,
+        search_store_pq,
+    )
+    from tube_spark.operators.similarity import _nearest_centroids_udf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "ivfpq2")
+    build_ivfpq_store(emb, path, dim=64, n_clusters=4, m=8, k_codes=16, pq_iters=1)
+    books = load_pq_books(path, spark)
+    q = emb.filter(F.col("vec_id") == 0).limit(1)
+    got = {
+        r["neighbor_id"]: r["approx_sq_dist"]
+        for r in search_store_pq(spark, path, q, dim=64, k=5, nprobe=2).collect()
+    }
+
+    # independent recomputation: encode corpus, ADC against query 0
+    qv = [float(x) for x in q.first()["embedding"]]
+    cent = load_centroids(path, spark)
+    probe = _nearest_centroids_udf(cent, 2)
+    cells = set(q.select(F.explode(probe(F.col("embedding")))).toPandas().iloc[:, 0])
+    assign1 = _nearest_centroids_udf(cent, 1)
+    in_cells = emb.withColumn("cell", F.explode(assign1(F.col("embedding")))).filter(
+        F.col("cell").isin(list(cells)) & (F.col("vec_id") != 0)
+    )
+    codes = pq_encode(in_cells, dim=64, m=8, k=16, codebooks=books)
+    lut = [
+        [
+            sum((qv[s * 8 + i] - books[s][j][i]) ** 2 for i in range(8))
+            for j in range(16)
+        ]
+        for s in range(8)
+    ]
+    expect = {}
+    for r in codes.collect():
+        d = 0.0
+        for s, c in enumerate(r["codes"]):
+            d = d + lut[s][c]
+        expect[r["vec_id"]] = d
+    want = dict(
+        sorted(expect.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    )
+    assert set(got) == set(want)
+    for nid in got:
+        assert abs(got[nid] - round(want[nid], 6)) < 1e-6
+
+
+def test_ivfpq_rerank_exact(spark, tmp_path):
+    from tube_spark.operators.vectorstore import build_ivfpq_store, search_store_pq
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "ivfpq3")
+    build_ivfpq_store(emb, path, dim=64, n_clusters=4, m=8, k_codes=16, pq_iters=1)
+    q = emb.filter(F.col("vec_id") == 1).limit(1)
+    out = search_store_pq(spark, path, q, dim=64, k=3, nprobe=2, rerank=20).collect()
+    assert len(out) == 3 and [r["rank"] for r in out] == [1, 2, 3]
+    # exact re-rank orders by true squared distance
+    ds = [r["sq_dist"] for r in out]
+    assert ds == sorted(ds)

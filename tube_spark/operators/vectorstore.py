@@ -236,3 +236,191 @@ def streaming_vector_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+# ----------------------------------------------------------------------
+# IVF-PQ: coarse cells prune DIRECTORIES, PQ codes shrink the BYTES —
+# composed, a probe reads nprobe/n_cells of the corpus and only the
+# codes column of that (the FAISS IVF-PQ cost model on parquet)
+_PQ_BOOKS = "_pq_codebooks.json"
+
+
+def _save_pq_books(spark: SparkSession, path: str, books) -> None:
+    fsio.write_text(spark, fsio.join(path, _PQ_BOOKS), json.dumps(books))
+
+
+def load_pq_books(path: str, spark: SparkSession | None = None):
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "load_pq_books needs a SparkSession (none active): pass one "
+            "explicitly or create it before loading the IVF-PQ store"
+        )
+    return json.loads(fsio.read_text(spark, fsio.join(path, _PQ_BOOKS)))
+
+
+def build_ivfpq_store(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+    m: int = 8,
+    k_codes: int = 16,
+    train_pq: bool = True,
+    pq_iters: int = 3,
+) -> None:
+    """IVF-PQ build: coarse centroids + per-subspace PQ codebooks are
+    trained (both bounded driver state), persisted next to the data,
+    and every vector lands in its cell directory carrying its m-byte
+    code vector AND the raw vector (codes answer the scan; the vector
+    column exists for exact re-rank and is column-pruned away unless a
+    query asks for it)."""
+    from tube_spark.operators.quantize import (
+        lattice_codebooks,
+        pq_encode,
+        pq_train,
+    )
+
+    spark = corpus.sparkSession
+    cent = _kmeans_centroids(corpus, vec_col, n_clusters, kmeans_iters, seed)
+    _save_centroids(spark, path, cent)
+    books = (
+        pq_train(corpus, dim, m, k_codes, pq_iters, id_col, vec_col)
+        if train_pq
+        else lattice_codebooks(m, dim // m, k_codes)
+    )
+    _save_pq_books(spark, path, books)
+    coded = pq_encode(corpus, dim, m, k_codes, id_col, vec_col, books).select(
+        id_col, "codes"
+    )
+    (
+        _assign_cells(corpus, cent, id_col, vec_col)
+        .join(coded, on=id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(fsio.join(path, _DATA))
+    )
+
+
+def search_store_pq(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ search: probe ``nprobe`` cells per query (partition
+    filter — unprobed directories never open), then ADC-score ONLY the
+    codes column of the probed cells against per-query lookup tables
+    (m*k doubles each, broadcast as literals on the bounded query set).
+    Returns (query_id, neighbor_id, rank, approx_sq_dist) ranked by
+    approximate squared L2 — the PQ metric; for normalized embeddings
+    this ordering matches cosine.  ``rerank > 0`` re-scores that many
+    ADC candidates per query with exact distances on the raw vectors
+    (a second bounded read of the same cells), the standard
+    accuracy/IO dial.
+    """
+    books = load_pq_books(path, spark)
+    m, k_codes = len(books), len(books[0])
+    sub_dim = dim // m
+    cent = load_centroids(path, spark)
+    probe_n = _nearest_centroids_udf(cent, nprobe)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()  # bounded by the broadcast-queries contract (cosine_topk)
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_n(F.col(vec_col))).alias("cell"),
+    )
+    probed_cells = sorted({r["cell"] for r in probed.select("cell").distinct().collect()})
+
+    def lut_flat(qv):
+        return [
+            sum(
+                (float(qv[s * sub_dim + i]) - books[s][j][i])
+                * (float(qv[s * sub_dim + i]) - books[s][j][i])
+                for i in range(sub_dim)
+            )
+            for s in range(m)
+            for j in range(k_codes)
+        ]
+
+    luts = spark.createDataFrame(
+        [(r["query_id"], lut_flat(r["q_vec"])) for r in qrows],
+        f"query_id long, lut array<double>",
+    ).join(probed, on="query_id")
+
+    codes_scan = (
+        spark.read.parquet(fsio.join(path, _DATA))
+        .filter(F.col("cell").isin(probed_cells))
+        .select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
+        .dropDuplicates(["neighbor_id"])
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            F.lit(s * k_codes) + F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        codes_scan.join(F.broadcast(luts), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("approx_sq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(max(k, rerank)))
+    )
+    if not rerank:
+        return top.select(
+            "query_id", "neighbor_id", "rank",
+            F.round("approx_sq_dist", 6).alias("approx_sq_dist"),
+        )
+    # exact re-rank: fetch raw vectors for the ADC survivors only
+    vecs = (
+        spark.read.parquet(fsio.join(path, _DATA))
+        .filter(F.col("cell").isin(probed_cells))
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .dropDuplicates(["neighbor_id"])
+    )
+    qlits = spark.createDataFrame(
+        [(r["query_id"], [float(x) for x in r["q_vec"]]) for r in qrows],
+        "query_id long, q_vec array<double>",
+    )
+    exact = (
+        top.join(vecs, on="neighbor_id")
+        .join(F.broadcast(qlits), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_vec"),
+                    F.col("c_vec").cast("array<double>"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sq_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sq_dist", 6).alias("sq_dist"))
+    )
