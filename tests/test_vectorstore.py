@@ -212,3 +212,29 @@ def test_ivfpq_rerank_exact(spark, tmp_path):
     # exact re-rank orders by true squared distance
     ds = [r["sq_dist"] for r in out]
     assert ds == sorted(ds)
+
+
+def test_ivfpq_append_frozen_codebooks(spark, tmp_path):
+    from tube_spark.operators.vectorstore import (
+        append_vectors_pq,
+        build_ivfpq_store,
+        search_store_pq,
+        store_vectors,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "ivfpq_app")
+    build_ivfpq_store(
+        emb.filter(F.col("vec_id") < 400), path, dim=64, n_clusters=4, pq_iters=1
+    )
+    append_vectors_pq(emb.filter(F.col("vec_id") >= 400), path, dim=64)
+    allrows = store_vectors(spark, path)
+    assert allrows.count() == emb.count()
+    assert allrows.filter(F.col("codes").isNull()).count() == 0
+    # appended vectors are searchable
+    q = emb.filter(F.col("vec_id") == 0).limit(1)
+    out = search_store_pq(spark, path, q, dim=64, k=500, nprobe=4).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert any(i >= 400 for i in ids)

@@ -424,3 +424,33 @@ def search_store_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sq_dist", 6).alias("sq_dist"))
     )
+
+
+def append_vectors_pq(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append to an IVF-PQ store: assign cells with the FROZEN
+    centroids and encode with the FROZEN codebooks (both loaded from
+    the store), so appended rows are byte-compatible with the build.
+    Plain ``append_vectors`` must not be used on a PQ store — it would
+    write NULL codes and poison the ADC scan."""
+    from tube_spark.operators.quantize import pq_encode
+
+    spark = df.sparkSession
+    cent = load_centroids(path, spark)
+    books = load_pq_books(path, spark)
+    m, k_codes = len(books), len(books[0])
+    coded = pq_encode(df, dim, m, k_codes, id_col, vec_col, books).select(
+        id_col, "codes"
+    )
+    (
+        _assign_cells(df, cent, id_col, vec_col)
+        .join(coded, on=id_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(fsio.join(path, _DATA))
+    )
