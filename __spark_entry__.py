@@ -2240,6 +2240,26 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-line removal (RefinedWeb/C4 pass,
+    operators/spandedup.py dedup_lines): documents are split into
+    4-word lines, any line held by >=2 distinct documents survives only
+    in the lowest-id holder, and each document is rebuilt in original
+    line order.  Output is (doc_id, md5 of the rebuilt text, line
+    counts) so the driver hash-checks the REWRITE itself, not just the
+    counts."""
+    from tube_spark.operators.spandedup import dedup_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){3}\S+) ", "$1\n").alias("text"),
+    )
+    out = dedup_lines(docs, min_docs=2, min_line_chars=5)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"), "n_lines", "n_lines_removed"
+    )
+
+
 def q_streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming availableNow twin of q_events_window."""
     from tube_spark.streaming.refresh import streaming_daily_event_counts
@@ -2406,6 +2426,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "video_frames": q_video_frames,
         "product_quantize": q_product_quantize,
         "pq_search": q_pq_search,
+        "line_dedup": q_line_dedup,
         "streaming_events_window": q_streaming_events_window,
         "ann_recall_report": q_ann_recall_report,
         "bpe_tokenize": q_bpe_tokenize,
@@ -2486,6 +2507,7 @@ _EXTRA_QUERY_NAMES = (
     "video_frames",
     "product_quantize",
     "pq_search",
+    "line_dedup",
     # -- round-6 rotation: flagships with green CORRECTNESS_r05 driver
     # rows, demoted back to the extras tier (pytest-verified) --
     "pagerank",
@@ -4323,6 +4345,34 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(cos_raw, 6) AS cosine
             FROM p WHERE cos_raw >= 0.3
+        """,
+        "line_dedup": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((\\S+ ){3}\\S+) ',
+                                      '\\1' || chr(10), 'g') AS text
+                FROM documents
+            ), split AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+            ), l AS (
+                SELECT doc_id, i AS pos, ls[i] AS line
+                FROM split, unnest(range(1, len(ls) + 1)) AS g(i)
+            ), s AS (
+                SELECT line, min(doc_id) AS keeper
+                FROM l WHERE length(line) >= 5
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+            ), k AS (
+                SELECT l.doc_id, l.pos, l.line,
+                       (s.line IS NULL OR l.doc_id = s.keeper) AS keep
+                FROM l LEFT JOIN s USING (line)
+            )
+            SELECT doc_id,
+                   md5(coalesce(string_agg(CASE WHEN keep THEN line END,
+                       chr(10) ORDER BY pos), '')) AS text_md5,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT
+                       AS n_lines_removed
+            FROM k GROUP BY doc_id
         """,
         "pq_search": """
             WITH e AS (

@@ -64,3 +64,46 @@ def test_portable_matches_xxhash_semantics(spark):
     a = _stats(spark, rows, k=3, portable=False)
     b = _stats(spark, rows, k=3, portable=True)
     assert a == b
+
+
+def test_dedup_lines_rewrite(spark):
+    from tube_spark.operators.spandedup import dedup_lines
+
+    rows = [
+        (1, "alpha beta\nshared line one\nunique a"),
+        (2, "shared line one\ngamma delta\nshared line one"),
+        (3, "unique b\nshared line one"),
+        (4, "xy\nxy"),  # short lines exempt from dedup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=2, min_line_chars=5).collect()}
+    # doc 1 is the lowest-id holder: keeps the shared line
+    assert out[1]["text"] == "alpha beta\nshared line one\nunique a"
+    assert out[1]["n_lines_removed"] == 0
+    # doc 2 loses BOTH occurrences, order of the rest preserved
+    assert out[2]["text"] == "gamma delta"
+    assert out[2]["n_lines_removed"] == 2
+    assert out[3]["text"] == "unique b" and out[3]["n_lines_removed"] == 1
+    # short lines never removed even when repeated across docs
+    assert out[4]["text"] == "xy\nxy" and out[4]["n_lines_removed"] == 0
+    assert all(out[i]["n_lines"] >= 1 for i in out)
+
+
+def test_dedup_lines_all_removed_and_partitioning(spark):
+    from tube_spark.operators.spandedup import dedup_lines
+
+    rows = [(1, "only shared line"), (2, "only shared line")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[1]["text"] == "only shared line"
+    assert out[2]["text"] == "" and out[2]["n_lines_removed"] == 1
+
+    big = spark.createDataFrame(
+        [(i, f"common header line\nbody {i} text here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dedup_lines(big).collect()))
+    b = sorted(map(tuple, dedup_lines(big.repartition(7)).collect()))
+    assert a == b
+    kept = [t for t in a if "common header line" in t[1]]
+    assert len(kept) == 1 and kept[0][0] == 0

@@ -137,3 +137,72 @@ def span_dup_filter(
     stats = span_dup_stats(df, id_col, text_col, k, min_docs, portable)
     keep = stats.filter(F.col("dup_fraction") <= max_fraction).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicated-LINE removal (the RefinedWeb/C4 pass):
+    a line appearing in ≥ ``min_docs`` distinct documents is kept only
+    in the lowest-id document holding it and removed everywhere else;
+    lines shorter than ``min_line_chars`` are exempt (empty lines and
+    stray punctuation are not boilerplate evidence).  Returns
+    ``(id, text, n_lines, n_lines_removed)`` with the document text
+    rebuilt in original line order.
+
+    Scale shape: one ``posexplode`` over lines; the dup-stat aggregate
+    (``count(DISTINCT doc), min(doc)`` per line) is the only extra
+    shuffle, keyed on the line value — boilerplate lines are hot keys
+    by definition, which is exactly what AQE skew-split handles; the
+    rebuild reuses the per-document grouping every doc-level operator
+    needs anyway.  At 100 TB, swap the raw-line key for xxhash64(line)
+    and verify equality on the join (kept textual here so the DuckDB
+    oracle replays semantics byte-for-byte).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    eligible = F.length(F.col("line")) >= min_line_chars
+    stats = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    kept = (
+        lines.join(stats, on="line", how="left")
+        .withColumn(
+            "keep",
+            F.col("n_docs").isNull() | (F.col(id_col) == F.col("keeper")),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line")).otherwise(
+                                F.lit(None)
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )
