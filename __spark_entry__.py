@@ -2504,6 +2504,8 @@ _EXTRA_QUERY_NAMES = (
     "weighted_sample",
     "class_balanced",
     "outlier_flags",
+    # -- added in round 6, never driver-checked yet: prime candidates
+    # for the round-7 rotation window --
     "video_frames",
     "product_quantize",
     "pq_search",

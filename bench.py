@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "grouped_topk",
     "stratified_fixed_k",
     "ann_lsh_topk_portable",
+    # round-6 additions (video demux, PQ family, line rewrite)
+    "video_frames",
+    "product_quantize",
+    "pq_search",
+    "line_dedup",
 ]
 
 

@@ -137,8 +137,12 @@ def pq_encode(
 
     Map-only: every distance is a native Catalyst expression over the
     embedded codebook literals — one corpus scan, zero shuffles, whole-
-    stage codegen (plan-audited via the host query).  At larger m*k,
-    switch the argmin to the Arrow matmul kernel exactly as
+    stage codegen (plan-audited via the host query).  The m*k*sub_dim
+    expression tree is assembled as ONE SQL string (``F.expr``), not
+    composed Column objects — per-operator composition costs a py4j
+    JVM round-trip each and measured ~9 s of DRIVER time at m=8/k=16
+    before any row moved.  At larger m*k, switch the argmin to the
+    Arrow matmul kernel exactly as
     ``semdedup.assign_clusters(use_arrow=True)`` does; the native path
     stays the portable/oracled semantics.
     """
@@ -148,33 +152,47 @@ def pq_encode(
     books = codebooks if codebooks is not None else lattice_codebooks(m, sub_dim, k)
     if len(books) != m or any(len(b) != k for b in books):
         raise ValueError("codebooks must be m lists of k centroids")
-    v = F.col(vec_col).cast("array<double>")
 
-    def dists(s: int) -> F.Column:
-        # squared L2 to each of subspace s's k centroids; sequential
-        # left-to-right adds so DuckDB's list_sum reproduces the floats
-        out = []
+    def dists_sql(s: int) -> str:
+        # squared L2 to each of subspace s's k centroids; "a + b + c"
+        # parses left-associative, so DuckDB's sequential list_sum
+        # reproduces the floats bit-for-bit
+        cents = []
         for c in books[s]:
-            acc = None
-            for i, ci in enumerate(c):
-                d = F.element_at(v, s * sub_dim + i + 1) - F.lit(ci)
-                term = d * d
-                acc = term if acc is None else acc + term
-            out.append(acc)
-        return F.array(*out)
+            # CAST('<repr>' AS DOUBLE): repr is the shortest exact
+            # round-trip string, and string->double parse reproduces the
+            # exact binary64 (decimal-literal parsing would too for the
+            # lattice ints, but trained codebook means are arbitrary)
+            terms = [
+                f"(element_at(__v, {s * sub_dim + i + 1}) - CAST('{ci!r}' AS DOUBLE))"
+                f" * (element_at(__v, {s * sub_dim + i + 1}) - CAST('{ci!r}' AS DOUBLE))"
+                for i, ci in enumerate(c)
+            ]
+            cents.append(" + ".join(terms))
+        return "array(" + ", ".join(cents) + ")"
 
-    dmats = [dists(s) for s in range(m)]
-    codes = F.array(
-        *[(F.array_position(dm, F.array_min(dm)) - 1).cast("int") for dm in dmats]
+    dmats = [f"__d{s}" for s in range(m)]
+    codes = (
+        "array("
+        + ", ".join(
+            f"CAST(array_position({d}, array_min({d})) - 1 AS INT)" for d in dmats
+        )
+        + ")"
     )
-    sq_err = None
-    for dm in dmats:
-        e = F.array_min(dm)
-        sq_err = e if sq_err is None else sq_err + e
-    return df.select(
-        F.col(id_col),
-        codes.alias("codes"),
-        sq_err.alias("sq_error"),
+    sq_err = " + ".join(f"array_min({d})" for d in dmats)
+    return (
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .select(
+            F.col(id_col),
+            *[F.expr(dists_sql(s)).alias(f"__d{s}") for s in range(m)],
+        )
+        .select(
+            F.col(id_col),
+            F.expr(codes).alias("codes"),
+            F.expr(sq_err).alias("sq_error"),
+        )
     )
 
 
