@@ -90,6 +90,7 @@ BNLJ_OK = {
     "hard_negatives",  # cosine_topk's broadcast-queries shape
     "cluster_terms",  # one-row avg-tokens-per-cluster broadcast
     "psi_drift",  # one-row histogram-totals broadcast
+    "kmeans_clusters",  # one-row centers broadcast (codegen-cache shape)
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key

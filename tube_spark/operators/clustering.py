@@ -50,11 +50,68 @@ def _sq_dist(vec: Column, center: list[float]) -> Column:
     )
 
 
+def _sq_dist_sql(vec_name: str, center: list[float]) -> str:
+    """``_sq_dist`` as ONE SQL string: composing k*dim Column objects
+    costs a py4j round-trip per operator (~16 s of driver time for the
+    3-iteration k=4/dim=64 training before any row moved — same tax
+    measured on pq_encode, see BENCH_NOTES r6).  "a + b + c" is
+    left-associative and every term is a non-negative square, so the
+    chain equals the 0.0-seeded fold bit-for-bit and the unrolled
+    DuckDB oracle keeps matching."""
+    return " + ".join(
+        f"(element_at(`{vec_name}`, {i + 1}) - CAST('{float(x)!r}' AS DOUBLE))"
+        f" * (element_at(`{vec_name}`, {i + 1}) - CAST('{float(x)!r}' AS DOUBLE))"
+        for i, x in enumerate(center)
+    )
+
+
 def _argmin_cluster(vec: Column, centers: list[list[float]]) -> Column:
     """Index of the nearest center; ties break to the FIRST (lowest
     index) via ``array_position`` of the minimum."""
     dists = F.array(*[_sq_dist(vec, c) for c in centers])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _argmin_cluster_sql(vec_name: str, centers: list[list[float]]) -> Column:
+    """``_argmin_cluster`` built as one SQL string (see ``_sq_dist_sql``)."""
+    dists = "array(" + ", ".join(_sq_dist_sql(vec_name, c) for c in centers) + ")"
+    return F.expr(
+        f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+    )
+
+
+def _assign_via_broadcast(
+    df: DataFrame,
+    centers: list[list[float]],
+    vec_col: str,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-center assignment with centers as broadcast one-row DATA
+    instead of literals.  Embedding k*dim literals re-compiles a fresh
+    500+-term codegen method EVERY Lloyd iteration (measured 3-6 s per
+    iteration at k=4/dim=64 — Janino, not data).  With centers as a
+    column, the expression TEXT is identical across iterations, so the
+    codegen cache hits and each iteration pays only the scan.  The
+    arithmetic is the same 0.0-seeded zip_with fold and first-minimum
+    argmin, so the portable DuckDB oracle keeps hash-matching; the
+    one-row broadcast is the declared-bounded BNLJ shape
+    (tests/test_plan_audit.py)."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centers],)], "__c array<array<double>>"
+    )
+    dists = F.transform(
+        F.col("__c"),
+        lambda cc: F.aggregate(
+            F.zip_with(F.col(vec_col), cc, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return (
+        df.crossJoin(F.broadcast(cdf)).withColumn(out_col, cluster).drop("__c")
+    )
 
 
 def kmeans_init_ids(
@@ -79,9 +136,8 @@ def kmeans_fit(
     final centers.  Empty clusters keep their previous center."""
     centers = [list(map(float, c)) for c in centers]
     for _ in range(iters):
-        assigned = df.select(
-            _argmin_cluster(F.col(vec_col), centers).alias("cluster"),
-            F.posexplode(vec_col).alias("dim", "val"),
+        assigned = _assign_via_broadcast(df, centers, vec_col).select(
+            "cluster", F.posexplode(vec_col).alias("dim", "val")
         )
         rows = (
             assigned.groupBy("cluster", "dim")
@@ -104,7 +160,7 @@ def kmeans_assign(
     out_col: str = "cluster",
 ) -> DataFrame:
     """Map-only nearest-center assignment — appends ``out_col``."""
-    return df.withColumn(out_col, _argmin_cluster(F.col(vec_col), centers))
+    return _assign_via_broadcast(df, centers, vec_col, out_col)
 
 
 def kmeans(
