@@ -319,15 +319,17 @@ def pq_train(
         ).alias("e")
     ).select("e.s", "e.sv")
 
+    spark = df.sparkSession
     for _ in range(iters):
-        # literal nested array: books_lit[s+1] = k centroids of subspace s
-        books_lit = F.array(
-            *[
-                F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
-                for book in books
-            ]
+        # codebooks as broadcast one-row DATA, not literals: the
+        # expression text stays identical across iterations so the
+        # codegen cache hits (the kmeans _assign_via_broadcast lesson —
+        # 1024 embedded literals re-compiled a fresh Janino method per
+        # iteration)
+        bdf = spark.createDataFrame(
+            [(books,)], "__books array<array<array<double>>>"
         )
-        cents = F.element_at(books_lit, F.col("s") + 1)
+        cents = F.element_at(F.col("__books"), F.col("s") + 1)
         dists = F.transform(
             cents,
             lambda c: F.aggregate(
@@ -338,7 +340,12 @@ def pq_train(
         )
         code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         rows = (
-            subs.select(F.col("s"), code.alias("code"), F.posexplode("sv").alias("dim", "x"))
+            subs.crossJoin(F.broadcast(bdf))
+            # code assigned BELOW the explode: a Generate in the same
+            # projection re-evaluates the argmin once per exploded
+            # dimension row (the kmeans 64x-redundant-work bug)
+            .withColumn("code", code)
+            .select(F.col("s"), "code", F.posexplode("sv").alias("dim", "x"))
             .groupBy("s", "code", "dim")
             .agg(F.avg("x").alias("mean"))
             .collect()
