@@ -91,6 +91,7 @@ BNLJ_OK = {
     "cluster_terms",  # one-row avg-tokens-per-cluster broadcast
     "psi_drift",  # one-row histogram-totals broadcast
     "kmeans_clusters",  # one-row centers broadcast (codegen-cache shape)
+    "semantic_dedup",  # one-row centroids broadcast (codegen-cache shape)
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key

@@ -77,6 +77,40 @@ def _argmax_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _assign_via_broadcast(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``_argmax_cluster`` with centroids as broadcast one-row DATA —
+    the iteration-invariant-expression-text form (see
+    ``clustering._assign_via_broadcast``): k*dim literals cost a py4j
+    round-trip per operator to build and a fresh codegen compile per
+    distinct centroid set.  Float-identical to the literal form: the
+    in-engine norm fold ``0.0 + x*x + ...`` replays Python's
+    ``sum(x*x for x in c)`` left-to-right over the same doubles, and
+    ``dot`` is the same 0.0-seeded zip_with fold — so the portable
+    DuckDB oracle keeps hash-matching.  The one-row broadcast is the
+    plan-audit-declared bounded BNLJ shape."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "__cent array<array<double>>",
+    )
+    v = F.col(vec_col)
+    scores = F.transform(
+        F.col("__cent"),
+        lambda cc: dot(v, cc)
+        / F.sqrt(F.aggregate(cc, F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    cl = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return (
+        df.crossJoin(F.broadcast(cdf))
+        .select(F.col(id_col), v.alias(vec_col), cl.alias("cluster"))
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
@@ -102,9 +136,11 @@ def assign_clusters(
         c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
         probes = _nearest_centroids_udf(c, 1)
         cl = probes(v).getItem(0)
-    else:
-        cl = _argmax_cluster(v, centroids)
-    return df.select(F.col(id_col), v.alias(vec_col), cl.alias("cluster"))
+        return df.select(F.col(id_col), v.alias(vec_col), cl.alias("cluster"))
+    # native path: centroids as broadcast data (codegen-cache shape)
+    return _assign_via_broadcast(
+        df.select(F.col(id_col), v.alias(vec_col)), centroids, id_col, vec_col
+    )
 
 
 def semantic_duplicates(
