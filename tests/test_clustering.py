@@ -83,3 +83,30 @@ def test_round_to_is_deterministic(spark, data):
     b = kmeans_fit(df, init, iters=3, round_to=6)
     assert a == b
     assert all(x == round(x, 6) for c in a for x in c)
+
+
+def test_broadcast_assignment_equals_literal_form(spark):
+    """The codegen-cache fix (r6) claims float-identity between the
+    literal-embedded argmin and the broadcast-data form — pin it, since
+    the DuckDB oracle contract depends on it."""
+    from pyspark.sql import functions as F
+
+    from tube_spark.operators.clustering import (
+        _argmin_cluster,
+        _assign_via_broadcast,
+        kmeans_init_ids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centers = kmeans_init_ids(emb, "vec_id", "embedding", 4)
+    lit = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", _argmin_cluster(F.col("embedding"), centers).alias("c")
+        ).collect()
+    }
+    bc = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_via_broadcast(emb, centers, "embedding").collect()
+    }
+    assert lit == bc

@@ -117,3 +117,31 @@ def test_max_cluster_size_cap(spark):
         emb, threshold=TAU, centroids=cent, max_cluster_size=10**6
     ).count()
     assert full == capped
+
+
+def test_broadcast_argmax_equals_literal_form(spark):
+    """Float-identity of the broadcast-centroid assignment (r6) vs the
+    literal argmax the DuckDB oracle replays."""
+    from pyspark.sql import functions as F
+
+    from tube_spark.operators.semdedup import (
+        _argmax_cluster,
+        _assign_via_broadcast,
+        lattice_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = lattice_centroids(8, 64)
+    lit = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", _argmax_cluster(F.col("embedding"), cents).alias("c")
+        ).collect()
+    }
+    bc = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_via_broadcast(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert lit == bc
