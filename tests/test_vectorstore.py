@@ -238,3 +238,36 @@ def test_ivfpq_append_frozen_codebooks(spark, tmp_path):
     out = search_store_pq(spark, path, q, dim=64, k=500, nprobe=4).collect()
     ids = {r["neighbor_id"] for r in out}
     assert any(i >= 400 for i in ids)
+
+
+def test_streaming_ivfpq_ingest(spark, tmp_path):
+    from tube_spark.operators.vectorstore import (
+        build_ivfpq_store,
+        search_store_pq,
+        store_vectors,
+        streaming_vector_ingest_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    path = str(tmp_path / "ivfpq_stream")
+    build_ivfpq_store(
+        emb.filter(F.col("vec_id") < 300), path, dim=64, n_clusters=4, pq_iters=1
+    )
+    src = str(tmp_path / "incoming")
+    emb.filter(F.col("vec_id") >= 300).write.parquet(src)
+    q = streaming_vector_ingest_pq(
+        spark, src, path, dim=64, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    allrows = store_vectors(spark, path)
+    assert allrows.count() == emb.count()
+    assert allrows.filter(F.col("codes").isNull()).count() == 0
+    # streamed rows are ADC-searchable
+    probe = emb.filter(F.col("vec_id") == 0).limit(1)
+    ids = {
+        r["neighbor_id"]
+        for r in search_store_pq(spark, path, probe, dim=64, k=400, nprobe=4).collect()
+    }
+    assert any(i >= 300 for i in ids)

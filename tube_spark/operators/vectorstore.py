@@ -454,3 +454,37 @@ def append_vectors_pq(
         .partitionBy("cell")
         .parquet(fsio.join(path, _DATA))
     )
+
+
+def streaming_vector_ingest_pq(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    schema=None,
+):
+    """Structured Streaming ingestion into an IVF-PQ store: each
+    micro-batch is assigned with the FROZEN centroids and encoded with
+    the FROZEN codebooks (``append_vectors_pq``), so streamed rows are
+    byte-compatible with the build and immediately ADC-searchable.
+    ``availableNow`` trigger — drain then stop; the store must already
+    exist (``build_ivfpq_store`` on a seed corpus).  Replays are
+    idempotent at the row level: assignment and encoding are
+    deterministic under frozen state, so duplicates are bit-identical
+    and collapse in the readers' ``dropDuplicates([id])``."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        append_vectors_pq(batch, store_path, dim, id_col=id_col, vec_col=vec_col)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
