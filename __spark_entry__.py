@@ -2492,24 +2492,25 @@ _EXTRA_QUERY_NAMES = (
     "filter_like",
     "stats_summary",
     "regexp_extract",
-    "repetition_stats",
     "zorder_layout",
-    "quality_checks",
-    "snapshot_diff",
     "column_profile",
     "value_histogram",
-    "ann_lsh_topk_portable",
-    "stratified_fixed_k",
-    "grouped_topk",
     "weighted_sample",
     "class_balanced",
     "outlier_flags",
-    # -- added in round 6, never driver-checked yet: prime candidates
-    # for the round-7 rotation window --
-    "video_frames",
-    "product_quantize",
-    "pq_search",
-    "line_dedup",
+    # -- round-7 rotation: the round-6 batch, each with a green
+    # CORRECTNESS_r06 driver row, demoted to the extras tier
+    # (pytest-verified) --
+    "ngram_containment",
+    "cluster_terms",
+    "psi_drift",
+    "hashed_features",
+    "hard_negatives",
+    "embedding_quantize",
+    "lm_score",
+    "data_mixture",
+    "decontamination",
+    "doc_chunking",
     # -- round-6 rotation: flagships with green CORRECTNESS_r05 driver
     # rows, demoted back to the extras tier (pytest-verified) --
     "pagerank",
@@ -2594,20 +2595,31 @@ _QUERY_ORDER = (
     "time_rollup",
     "sketch_report",
     "rollup_pricing",
-    # -- round-6 rotation: never-driver-checked extras promoted into
-    # the 10 rotation slots (the round-5 batch each carries a green
-    # CORRECTNESS_r05 driver row and moves to the extras tier, still
-    # differentially verified by pytest) --
-    "ngram_containment",
-    "cluster_terms",
-    "psi_drift",
-    "hashed_features",
-    "hard_negatives",
-    "embedding_quantize",
-    "lm_score",
-    "data_mixture",
-    "decontamination",
-    "doc_chunking",
+    # -- round-7 rotation: never-driver-checked extras promoted into
+    # the 10 rotation slots (the round-6 batch each carries a green
+    # CORRECTNESS_r06 driver row and moves to the extras tier, still
+    # differentially verified by pytest).
+    # Backlog after this rotation: 18 never-driver-checked extras.
+    # Rotation schedule (mechanical — promote into slots 41-50, demote
+    # the sitting batch to _EXTRA_QUERY_NAMES):
+    #   r8: column_profile, value_histogram, weighted_sample,
+    #       class_balanced, outlier_flags, zorder_layout,
+    #       forecast_revenue, volume_shipping, market_share,
+    #       product_profit
+    #   r9: cheapest_supplier, important_nation_volume, top_supplier,
+    #       parts_supplier_counts, small_qty_revenue,
+    #       discounted_brand_revenue, excess_quantity_suppliers,
+    #       waiting_suppliers  (+2 slots free for r8 additions)
+    "video_frames",
+    "product_quantize",
+    "pq_search",
+    "line_dedup",
+    "quality_checks",
+    "repetition_stats",
+    "grouped_topk",
+    "snapshot_diff",
+    "stratified_fixed_k",
+    "ann_lsh_topk_portable",
     # -- positions 51+: permanently rows-only (len(_ROWS_ONLY) entries) --
 ) + _ROWS_ONLY
 
