@@ -147,6 +147,39 @@ def test_lost_pointer_resumes_after_highest_version(spark, tmp_path):
     )
     assert "assignments_2" in vers  # resumed, not restarted
     assert open(os.path.join(inc.state_dir, "_CURRENT")).read().strip() == "assignments_2"
+    # ADVICE r6: recovery must also preserve the CONTENT — the publish
+    # after the loss still carries every pre-loss doc->group assignment
+    # (previously prev=empty dropped them all)
+    kept = {r.doc_id for r in inc.assignments().collect()}
+    assert kept == {200, 201, 300}
+
+
+def test_lost_pointer_read_recovers_assignments(spark, tmp_path):
+    """ADVICE r6: assignments() with a lost _CURRENT pointer falls back
+    to the highest complete version on disk and heals the pointer,
+    instead of returning an empty frame."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    inc = IncrementalDedupGroups(spark, str(tmp_path / "s7"), **PARAMS)
+    inc.process_batch(mk([(1, "alpha beta gamma delta unique")]))
+    inc.process_batch(mk([(2, "epsilon zeta eta theta unique")]))
+    os.remove(os.path.join(inc.state_dir, "_CURRENT"))
+    recovered = {r.doc_id for r in inc.assignments().collect()}
+    assert recovered == {1, 2}
+    assert (
+        open(os.path.join(inc.state_dir, "_CURRENT")).read().strip()
+        == "assignments_1"
+    )
+    # a partial (uncommitted) higher version is skipped by the recovery
+    os.remove(os.path.join(inc.state_dir, "_CURRENT"))
+    partial = os.path.join(inc.state_dir, "assignments_9")
+    os.makedirs(partial)  # no _SUCCESS marker: crash mid-write
+    assert {r.doc_id for r in inc.assignments().collect()} == {1, 2}
+    assert (
+        open(os.path.join(inc.state_dir, "_CURRENT")).read().strip()
+        == "assignments_1"
+    )
 
 
 def test_gc_versions_keeps_current(spark, tmp_path):

@@ -50,34 +50,17 @@ def _sq_dist(vec: Column, center: list[float]) -> Column:
     )
 
 
-def _sq_dist_sql(vec_name: str, center: list[float]) -> str:
-    """``_sq_dist`` as ONE SQL string: composing k*dim Column objects
-    costs a py4j round-trip per operator (~16 s of driver time for the
-    3-iteration k=4/dim=64 training before any row moved — same tax
-    measured on pq_encode, see BENCH_NOTES r6).  "a + b + c" is
-    left-associative and every term is a non-negative square, so the
-    chain equals the 0.0-seeded fold bit-for-bit and the unrolled
-    DuckDB oracle keeps matching."""
-    return " + ".join(
-        f"(element_at(`{vec_name}`, {i + 1}) - CAST('{float(x)!r}' AS DOUBLE))"
-        f" * (element_at(`{vec_name}`, {i + 1}) - CAST('{float(x)!r}' AS DOUBLE))"
-        for i, x in enumerate(center)
-    )
-
-
 def _argmin_cluster(vec: Column, centers: list[list[float]]) -> Column:
     """Index of the nearest center; ties break to the FIRST (lowest
-    index) via ``array_position`` of the minimum."""
+    index) via ``array_position`` of the minimum.
+
+    Literal-embedding form — kept for the float-identity test against
+    ``_assign_via_broadcast`` (the production path); do NOT call it
+    per-iteration in a trainer (fresh literals force a Janino recompile
+    each round — SCALE.md §iterative; the one-SQL-string variant of
+    this tradeoff lives at its real call sites in operators/quantize.py)."""
     dists = F.array(*[_sq_dist(vec, c) for c in centers])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-
-def _argmin_cluster_sql(vec_name: str, centers: list[list[float]]) -> Column:
-    """``_argmin_cluster`` built as one SQL string (see ``_sq_dist_sql``)."""
-    dists = "array(" + ", ".join(_sq_dist_sql(vec_name, c) for c in centers) + ")"
-    return F.expr(
-        f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
-    )
 
 
 def _assign_via_broadcast(

@@ -125,7 +125,19 @@ def append_vectors(
     vec_col: str = "embedding",
 ) -> None:
     """Assign new vectors with the store's FROZEN centroids and append.
-    Old cells are untouched — an append moves only the new rows."""
+    Old cells are untouched — an append moves only the new rows.
+
+    Refuses to run on an IVF-PQ store: rows appended without the
+    ``codes`` column read back as NULL ``approx_sq_dist``, which sorts
+    FIRST under the ascending ADC rank window and corrupts results —
+    use ``append_vectors_pq`` (which encodes with the frozen codebooks)
+    there instead."""
+    if fsio.exists(df.sparkSession, fsio.join(path, _PQ_BOOKS)):
+        raise ValueError(
+            f"{path} is an IVF-PQ store ({_PQ_BOOKS} present): plain "
+            "append_vectors would write NULL codes and poison the ADC "
+            "scan — use append_vectors_pq(df, path, dim, ...) instead"
+        )
     cent = load_centroids(path, df.sparkSession)
     (
         _assign_cells(df, cent, id_col, vec_col)
@@ -331,6 +343,9 @@ def search_store_pq(
     books = load_pq_books(path, spark)
     m, k_codes = len(books), len(books[0])
     sub_dim = dim // m
+    # derive the id type from the caller's frame — hardcoding `long`
+    # mis-joins (or fails) for string/int id columns (ADVICE r6)
+    qid_type = queries.schema[id_col].dataType.simpleString()
     cent = load_centroids(path, spark)
     probe_n = _nearest_centroids_udf(cent, nprobe)
     qrows = queries.select(
@@ -355,12 +370,16 @@ def search_store_pq(
 
     luts = spark.createDataFrame(
         [(r["query_id"], lut_flat(r["q_vec"])) for r in qrows],
-        f"query_id long, lut array<double>",
+        f"query_id {qid_type}, lut array<double>",
     ).join(probed, on="query_id")
 
+    # codes IS NOT NULL guards against rows slipped in via plain
+    # append_vectors (NULL approx_sq_dist sorts first ascending);
+    # append_vectors itself also refuses PQ stores
     codes_scan = (
         spark.read.parquet(fsio.join(path, _DATA))
         .filter(F.col("cell").isin(probed_cells))
+        .filter(F.col("codes").isNotNull())
         .select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
         .dropDuplicates(["neighbor_id"])
     )
@@ -397,7 +416,7 @@ def search_store_pq(
     )
     qlits = spark.createDataFrame(
         [(r["query_id"], [float(x) for x in r["q_vec"]]) for r in qrows],
-        "query_id long, q_vec array<double>",
+        f"query_id {qid_type}, q_vec array<double>",
     )
     exact = (
         top.join(vecs, on="neighbor_id")

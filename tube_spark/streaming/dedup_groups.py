@@ -96,27 +96,55 @@ class IncrementalDedupGroups:
 
     def _current_assign_dir(self) -> str | None:
         p = self._assign_pointer()
-        if not fsio.exists(self.spark, p):
-            return None
-        v = fsio.read_text(self.spark, p).strip()
-        return fsio.join(self.state_dir, v) if v else None
+        if fsio.exists(self.spark, p):
+            v = fsio.read_text(self.spark, p).strip()
+            if v:
+                return fsio.join(self.state_dir, v)
+        # Lost/empty pointer with versions on disk: RECOVER rather than
+        # return None — returning None made the next batch compute
+        # prev=empty and publish a current holding only that batch,
+        # silently dropping every prior doc->group assignment even
+        # though the newest assignments_N still held them (ADVICE r6).
+        # Prefer the highest version carrying a _SUCCESS commit marker
+        # (a crash mid-write leaves a partial dir without one); fall
+        # back to the highest dir when no marker exists anywhere
+        # (committers with marksuccessfuljobs=false).  The pointer is
+        # healed so later reads and publishes resume normally.
+        import re
 
-    def _publish_assignments(self, df: DataFrame) -> None:
-        cur = self._current_assign_dir()
-        if cur is None:
-            # A lost _CURRENT pointer must not restart at assignments_0
-            # over a directory in-flight readers may still be scanning:
-            # resume after the highest version present on disk instead.
-            import re
-
-            vers = [
+        vers = sorted(
+            (
                 int(m.group(1))
                 for d in fsio.list_names(self.spark, self.state_dir)
                 if (m := re.fullmatch(r"assignments_(\d+)", d))
-            ]
-            ver = max(vers) + 1 if vers else 0
-        else:
-            ver = int(cur.rsplit("_", 1)[-1]) + 1
+            ),
+            reverse=True,
+        )
+        if not vers:
+            return None
+        pick = next(
+            (
+                v
+                for v in vers
+                if fsio.exists(
+                    self.spark,
+                    fsio.join(
+                        self.state_dir, f"assignments_{v}", "_SUCCESS"
+                    ),
+                )
+            ),
+            vers[0],
+        )
+        name = f"assignments_{pick}"
+        fsio.write_text(self.spark, p, name)
+        return fsio.join(self.state_dir, name)
+
+    def _publish_assignments(self, df: DataFrame) -> None:
+        cur = self._current_assign_dir()
+        # _current_assign_dir recovers a lost pointer from the versions
+        # on disk, so cur is None only when no assignments_N exists at
+        # all — numbering never restarts over a live directory.
+        ver = 0 if cur is None else int(cur.rsplit("_", 1)[-1]) + 1
         new_dir = fsio.join(self.state_dir, f"assignments_{ver}")
         df.write.mode("overwrite").parquet(new_dir)
         # pointer swap is the atomic publish (fsio tmp+rename); the
