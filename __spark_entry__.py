@@ -4367,7 +4367,10 @@ def _all_oracle_sql() -> dict[str, str]:
                                       '\\1' || chr(10), 'g') AS text
                 FROM documents
             ), split AS (
-                SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+                -- NULL text normalizes to '' (doc preserved), matching
+                -- dedup_lines' coalesce contract
+                SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+                FROM d
             ), l AS (
                 SELECT doc_id, i AS pos, ls[i] AS line
                 FROM split, unnest(range(1, len(ls) + 1)) AS g(i)

@@ -1,10 +1,13 @@
-"""Differential verification of the demoted extras tier.
+"""Differential verification of the extras tier.
 
-These 14 queries were cut from the driver's 50-row correctness window
-(redundant TPC-H / window plan shapes — each shape keeps one windowed
-representative).  They remain full queries with DuckDB oracles; this
-test runs the same rows+columns+value-hash comparison the driver runs,
-at sf0.001, so "demoted" still means "verified".
+The extras tier (``_EXTRA_QUERY_NAMES`` — the test below sizes itself
+from it) holds every oracled query currently outside the driver's
+50-row correctness window: redundant TPC-H / window plan shapes,
+queries rotated out after earning a green driver row, and new
+operators queued for a future rotation.  They remain full queries with
+DuckDB oracles; this test runs the same rows+columns+value-hash
+comparison the driver runs, at sf0.001, so "outside the window" still
+means "verified".
 """
 
 from __future__ import annotations

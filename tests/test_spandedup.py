@@ -107,3 +107,44 @@ def test_dedup_lines_all_removed_and_partitioning(spark):
     assert a == b
     kept = [t for t in a if "common header line" in t[1]]
     assert len(kept) == 1 and kept[0][0] == 0
+
+
+def test_dedup_lines_null_text_preserved(spark):
+    """VERDICT r6: a NULL-text document must not vanish from the
+    rewrite output — it normalizes to empty text and survives."""
+    from tube_spark.operators.spandedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "shared boilerplate line\nunique alpha"), (2, None),
+         (3, "shared boilerplate line\nunique beta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df, min_docs=2, min_line_chars=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["text"] == "" and out[2]["n_lines"] == 1
+    assert out[2]["n_lines_removed"] == 0
+    assert "shared boilerplate line" in out[1]["text"]
+    assert "shared boilerplate line" not in out[3]["text"]
+
+
+def test_dedup_lines_hash_path_equivalence(spark):
+    """VERDICT r6 #3: hash_lines=True (xxhash64 pre-filter + textual
+    verify) must produce output IDENTICAL to the textual path — checked
+    on the real sf0.01 documents under the driver query's line split."""
+    from pyspark.sql import functions as F
+
+    from tube_spark.operators.spandedup import dedup_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id",
+        F.regexp_replace("text", r"((\S+ ){3}\S+) ", "$1\n").alias("text"),
+    )
+    textual = dedup_lines(docs, min_docs=2, min_line_chars=5)
+    hashed = dedup_lines(docs, min_docs=2, min_line_chars=5, hash_lines=True)
+    a = sorted(map(tuple, textual.collect()))
+    b = sorted(map(tuple, hashed.collect()))
+    assert a == b
+    # and the hash path's dup-stat pre-aggregate exchanges the 8-byte
+    # hash key, not the raw line
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan

@@ -145,6 +145,7 @@ def dedup_lines(
     text_col: str = "text",
     min_docs: int = 2,
     min_line_chars: int = 1,
+    hash_lines: bool = False,
 ) -> DataFrame:
     """Corpus-wide duplicated-LINE removal (the RefinedWeb/C4 pass):
     a line appearing in ≥ ``min_docs`` distinct documents is kept only
@@ -152,33 +153,67 @@ def dedup_lines(
     lines shorter than ``min_line_chars`` are exempt (empty lines and
     stray punctuation are not boilerplate evidence).  Returns
     ``(id, text, n_lines, n_lines_removed)`` with the document text
-    rebuilt in original line order.
+    rebuilt in original line order.  NULL ``text`` normalizes to the
+    empty string — the document row is PRESERVED (with ``text = ''``),
+    never silently dropped.
 
     Scale shape: one ``posexplode`` over lines; the dup-stat aggregate
     (``count(DISTINCT doc), min(doc)`` per line) is the only extra
-    shuffle, keyed on the line value — boilerplate lines are hot keys
-    by definition, which is exactly what AQE skew-split handles; the
-    rebuild reuses the per-document grouping every doc-level operator
-    needs anyway.  At 100 TB, swap the raw-line key for xxhash64(line)
-    and verify equality on the join (kept textual here so the DuckDB
-    oracle replays semantics byte-for-byte).
+    shuffle; boilerplate lines are hot keys by definition, which is
+    exactly what AQE skew-split handles; the rebuild reuses the
+    per-document grouping every doc-level operator needs anyway.
+
+    ``hash_lines=True`` is the 100 TB configuration: a first aggregate
+    keyed on ``xxhash64(line)`` — 8 bytes instead of the raw line —
+    finds candidate hashes held by ≥ ``min_docs`` docs; exact textual
+    stats are then computed ONLY over lines matching a candidate hash
+    (at web scale the overwhelming majority of lines are unique and
+    never enter a text-keyed exchange), and the dup-stat join verifies
+    line equality alongside the hash.  A hash collision can only ADD a
+    line to the candidate set, never remove one, and the second pass
+    recomputes exact per-line stats — so the output is IDENTICAL to
+    the textual path on every input (pinned by
+    tests/test_spandedup.py).  The textual path stays the default
+    because it is the oracle-replayable semantics.
     """
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     )
     eligible = F.length(F.col("line")) >= min_line_chars
-    stats = (
-        lines.filter(eligible)
-        .groupBy("line")
-        .agg(
-            F.count_distinct(F.col(id_col)).alias("n_docs"),
-            F.min(F.col(id_col)).alias("keeper"),
+
+    def _line_stats(frame: DataFrame) -> DataFrame:
+        return (
+            frame.groupBy("line")
+            .agg(
+                F.count_distinct(F.col(id_col)).alias("n_docs"),
+                F.min(F.col(id_col)).alias("keeper"),
+            )
+            .filter(F.col("n_docs") >= min_docs)
         )
-        .filter(F.col("n_docs") >= min_docs)
-    )
+
+    if hash_lines:
+        lines = lines.withColumn("lh", F.xxhash64("line"))
+        # pass 1: pure 8-byte-key exchange — no line text moves
+        hot = (
+            lines.filter(eligible)
+            .groupBy("lh")
+            .agg(F.count_distinct(F.col(id_col)).alias("h_docs"))
+            .filter(F.col("h_docs") >= min_docs)
+            .select("lh")
+        )
+        # pass 2: exact textual stats over the candidate minority only
+        stats = _line_stats(
+            lines.join(hot, on="lh", how="left_semi").filter(eligible)
+        ).withColumn("lh", F.xxhash64("line"))
+        join_on = ["lh", "line"]  # hash narrows, equality verifies
+    else:
+        stats = _line_stats(lines.filter(eligible))
+        join_on = ["line"]
     kept = (
-        lines.join(stats, on="line", how="left")
+        lines.join(stats, on=join_on, how="left")
         .withColumn(
             "keep",
             F.col("n_docs").isNull() | (F.col(id_col) == F.col("keeper")),
