@@ -95,12 +95,14 @@ BNLJ_OK = {
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key
-# cardinality (a handful of scopes/flags), which structure alone cannot
-# prove — the weaker positive assertion is that every unbounded path in
-# the build terminates at an aggregate before reaching a scan (so a raw
-# corpus can never be the broadcast side)
+# cardinality, which structure alone cannot prove — so each declaration
+# NAMES its low-cardinality grouping columns (returnflag-class enums)
+# and the walker asserts every keyed aggregate on the build path groups
+# ONLY by those.  A future keyed broadcast over a high-cardinality key
+# (doc_id, orderkey, ...) fails the audit instead of hiding behind a
+# generic "some aggregate exists" bound.
 BNLJ_AGG_OK = {
-    "sketch_rollup",  # per-returnflag KLL sketches unioned with their merge
+    "sketch_rollup": {"l_returnflag"},  # per-returnflag sketches + merge
 }
 
 # labeled O(n²) exact baselines: the build side IS the corpus by design
@@ -220,20 +222,38 @@ def _is_bounded(node) -> bool:
     return False
 
 
-def _is_agg_bounded(node) -> bool:
-    """Weaker bound for declared keyed-aggregate broadcasts: every path
-    from the build root must hit SOME aggregate (keyed counts too)
-    before reaching a scan — a raw corpus can never be the build."""
+def _grouping_key_names(node) -> set[str] | None:
+    """Column names referenced by an aggregate's grouping expressions
+    (physical attrs print as `name#id`), or None if unreadable."""
+    try:
+        ge = node.groupingExpressions()
+        keys: set[str] = set()
+        for i in range(ge.size()):
+            keys |= set(re.findall(r"(\w+)#\d+", ge.apply(i).toString()))
+        return keys
+    except Exception:
+        return None
+
+
+def _is_agg_bounded(node, allowed_keys: set[str]) -> bool:
+    """Bound for declared keyed-aggregate broadcasts: every path from
+    the build root must hit an aggregate before reaching a scan (a raw
+    corpus can never be the build), AND that aggregate's grouping keys
+    must be drawn from the declaration's low-cardinality column set —
+    output cardinality is then #distinct(declared enum), not corpus."""
     name = node.getClass().getSimpleName()
-    if name.startswith(_BOUNDED_LEAVES) or "Aggregate" in name:
+    if name.startswith(_BOUNDED_LEAVES):
         return True
+    if "Aggregate" in name:
+        keys = _grouping_key_names(node)
+        return keys is not None and keys <= allowed_keys
     kids = _children(node)
     if (
         "Join" in name
         or name.startswith("Union")
         or name.startswith(_PASS_THROUGH_PREFIXES)
     ):
-        return bool(kids) and all(_is_agg_bounded(c) for c in kids)
+        return bool(kids) and all(_is_agg_bounded(c, allowed_keys) for c in kids)
     return False
 
 
@@ -255,14 +275,17 @@ def test_plan_has_no_scale_killers(spark, name):
         )
 
     if "BroadcastNestedLoopJoin" in plan:
-        declared = BNLJ_OK | BNLJ_AGG_OK | BNLJ_EXACT_BASELINE
+        declared = BNLJ_OK | set(BNLJ_AGG_OK) | BNLJ_EXACT_BASELINE
         assert name in declared, f"{name}: undeclared BNLJ\n{plan[:1500]}"
         if name in BNLJ_EXACT_BASELINE:
             return
         # positive assertion: EVERY BNLJ build side must be bounded by
         # construction — a declared query whose broadcast side grows
         # beyond a one-row/tiny aggregate fails here, not at 100 TB
-        check = _is_agg_bounded if name in BNLJ_AGG_OK else _is_bounded
+        if name in BNLJ_AGG_OK:
+            check = lambda b: _is_agg_bounded(b, BNLJ_AGG_OK[name])
+        else:
+            check = _is_bounded
         for nd in _walk(exec_plan):
             if "NestedLoop" not in nd.getClass().getSimpleName():
                 continue
