@@ -1761,6 +1761,26 @@ def q_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group-aware train/val/test split
+    (operators/sampling.py leakage_safe_split): near-duplicate
+    documents (same MinHash-LSH pairs as `dedup_groups`) are first
+    closed into connected components, then the salted portable-hash
+    split bucket is computed on the GROUP id — so a near-copy of a
+    test document can never sit in train.  Output: every document with
+    its group and split; the oracle recomputes the LSH pipeline, the
+    transitive closure, and the md5 bucket chain end to end."""
+    from tube_spark.operators.dedup import minhash_lsh_pairs
+    from tube_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=2, num_hashes=64,
+        bands=16, threshold=0.5, portable=True,
+    )
+    return leakage_safe_split(docs, pairs).select("doc_id", "group_id", "split")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): documents
     concatenated in doc_id order and cut into 512-token training
@@ -2409,6 +2429,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_groups": q_dedup_groups,
         "dedup_keep_best": q_dedup_keep_best,
         "dataset_splits": q_dataset_splits,
+        "leakage_safe_split": q_leakage_safe_split,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2493,6 +2514,7 @@ _EXTRA_QUERY_NAMES = (
     "stats_summary",
     "regexp_extract",
     "zorder_layout",
+    "leakage_safe_split",
     "column_profile",
     "value_histogram",
     "weighted_sample",
@@ -2609,7 +2631,7 @@ _QUERY_ORDER = (
     #   r9: cheapest_supplier, important_nation_volume, top_supplier,
     #       parts_supplier_counts, small_qty_revenue,
     #       discounted_brand_revenue, excess_quantity_suppliers,
-    #       waiting_suppliers  (+2 slots free for r8 additions)
+    #       waiting_suppliers, leakage_safe_split (+1 slot free)
     "video_frames",
     "product_quantize",
     "pq_search",
@@ -2875,6 +2897,30 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.group_id, g.group_size,
                    c.doc_id = c.group_id AS is_representative
             FROM comp c JOIN gs g USING (group_id)
+        """,
+        "leakage_safe_split": f"""
+            WITH RECURSIVE pairs AS (
+                {_minhash_oracle()}
+            ), sym AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+            ), reach(node, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT reach.node, sym.v FROM reach JOIN sym ON sym.u = reach.r
+            ), comp AS (
+                SELECT node AS doc_id, min(r) AS group_id FROM reach GROUP BY 1
+            ), b AS (
+                SELECT doc_id, group_id,
+                       ('0x' || substr(md5('split' || cast(group_id AS VARCHAR)),
+                        1, 15))::BIGINT % 10000 AS bucket
+                FROM comp
+            )
+            SELECT doc_id, group_id,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "dataset_splits": """
             WITH b AS (

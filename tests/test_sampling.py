@@ -65,3 +65,64 @@ def test_fraction_bounds_validated(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(df, "lang", {"en": 1.5})
+
+
+def test_leakage_safe_split_no_group_straddles(spark):
+    """Every duplicate group lands wholly inside one split — the
+    property doc-keyed splitting cannot give."""
+    from tube_spark.operators.dedup import minhash_lsh_pairs
+    from tube_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=64, bands=16,
+        threshold=0.5, portable=True,
+    )
+    out = leakage_safe_split(docs.select("doc_id"), pairs)
+    straddlers = (
+        out.groupBy("group_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # the corpus actually exercises the property: some non-singleton
+    # group exists and all three splits are populated
+    assert out.filter(F.col("group_id") != F.col("doc_id")).count() > 0
+    assert out.select("split").distinct().count() == 3
+
+
+def test_leakage_safe_split_degrades_to_hash_split(spark):
+    """With no duplicate pairs, assignment equals plain hash_split on
+    the doc id (same seed, same buckets) — group_id = doc_id."""
+    from tube_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    want = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert got.keys() == want.keys()
+    for d, (g, s) in got.items():
+        assert g == d and s == want[d]
+
+
+def test_leakage_safe_split_pair_moves_doc(spark):
+    """A pair linking two docs whose solo buckets differ forces both
+    into the group root's split."""
+    from tube_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    solo = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    # find two ids whose solo splits differ
+    a = next(d for d in solo if solo[d] == "train")
+    b = next(d for d in solo if solo[d] == "test")
+    pairs = spark.createDataFrame([(min(a, b), max(a, b))], "id_a long, id_b long")
+    out = {
+        r["doc_id"]: (r["group_id"], r["split"])
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    root = min(a, b)
+    assert out[a] == (root, solo[root]) and out[b] == (root, solo[root])

@@ -203,3 +203,47 @@ def weighted_sample_k(
         ranked.withColumn(rank_col, F.row_number().over(win).cast("integer"))
         .drop("__wkey")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates can never
+    straddle: documents are first grouped by connected components over
+    ``dup_pairs`` (the LSH candidate pairs a dedup pass already
+    produces), then the salted portable-hash bucket is computed on the
+    GROUP id, so every member of a duplicate cluster lands in the same
+    split.  Splitting on raw doc ids leaks evaluation data whenever a
+    near-copy of a test document sits in train — the standard
+    contamination hole that survives doc-level dedup decisions being
+    made *after* splitting.
+
+    Output: ``docs`` columns + ``group_id`` + ``out_col``.  Documents
+    with no duplicate pair are singleton groups of themselves, so for
+    a fully-deduplicated corpus this degrades exactly to ``hash_split``
+    (same seed, same buckets).
+
+    Scale shape: the CC solve is the O(log n)-round large/small-star
+    of ``dedup_groups`` (pair-set sized, not corpus sized); the only
+    corpus-wide costs are one join against the CC labels and the
+    map-only bucket assignment.  No new shuffle class beyond what the
+    dedup pass itself needs.
+    """
+    from tube_spark.operators.components import connected_components
+
+    comp = connected_components(dup_pairs, id_a, id_b).select(
+        F.col("node").alias(id_col), F.col("component").alias("group_id")
+    )
+    grouped = docs.join(comp, on=id_col, how="left").withColumn(
+        "group_id", F.coalesce(F.col("group_id"), F.col(id_col))
+    )
+    return hash_split(
+        grouped, id_col="group_id", weights=weights, seed=seed, out_col=out_col
+    )
