@@ -1781,6 +1781,29 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, pairs).select("doc_id", "group_id", "split")
 
 
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-overlap estimation WITHOUT a join (operators/overlap.py):
+    split the corpus into two halves by doc_id parity, sketch each
+    half's word-bigram set with K-Minimum-Values (k=256, md5-portable
+    hashes), and estimate per-half distinct counts, union size,
+    Jaccard, and intersection size from the sketches alone — the
+    set-INTERSECTION capability HLL union cannot give.  The oracle
+    replays shingling, the k minima, and the KMV estimator arithmetic
+    end to end."""
+    from tube_spark.functions.text import tokens, word_shingles
+    from tube_spark.operators.overlap import corpus_overlap
+
+    docs = _docs(spark, sf_dir)
+    el = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("corpus"),
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("element"),
+    )
+    out = corpus_overlap(el, "even", "odd", k=256)
+    return out.select(*[F.round(F.col(c), 4).alias(c) for c in out.columns])
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): documents
     concatenated in doc_id order and cut into 512-token training
@@ -2430,6 +2453,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_keep_best": q_dedup_keep_best,
         "dataset_splits": q_dataset_splits,
         "leakage_safe_split": q_leakage_safe_split,
+        "corpus_overlap": q_corpus_overlap,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2515,6 +2539,7 @@ _EXTRA_QUERY_NAMES = (
     "regexp_extract",
     "zorder_layout",
     "leakage_safe_split",
+    "corpus_overlap",
     "column_profile",
     "value_histogram",
     "weighted_sample",
@@ -2631,7 +2656,7 @@ _QUERY_ORDER = (
     #   r9: cheapest_supplier, important_nation_volume, top_supplier,
     #       parts_supplier_counts, small_qty_revenue,
     #       discounted_brand_revenue, excess_quantity_suppliers,
-    #       waiting_suppliers, leakage_safe_split (+1 slot free)
+    #       waiting_suppliers, leakage_safe_split, corpus_overlap
     "video_frames",
     "product_quantize",
     "pq_search",
@@ -2897,6 +2922,59 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT c.doc_id, c.group_id, g.group_size,
                    c.doc_id = c.group_id AS is_representative
             FROM comp c JOIN gs g USING (group_id)
+        """,
+        "corpus_overlap": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(t) - 1, 0)),
+                           i -> concat(t[i], ' ', t[i+1]))) AS gs
+                FROM tok
+            ), el AS (
+                SELECT CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                           AS corpus,
+                       ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS h
+                FROM grams
+            ), dist AS (
+                SELECT DISTINCT corpus, h FROM el
+            ), rk AS (
+                SELECT corpus, h,
+                       row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn
+                FROM dist
+            ), kmv AS (
+                SELECT corpus, list(h ORDER BY h) AS minima
+                FROM rk WHERE rn <= 256 GROUP BY 1
+            ), a AS (SELECT minima FROM kmv WHERE corpus = 'even'),
+            b AS (SELECT minima FROM kmv WHERE corpus = 'odd'),
+            u AS (
+                SELECT list_sort(list_distinct(
+                           flatten([a.minima, b.minima])))[1:256] AS mu,
+                       a.minima AS ma, b.minima AS mb
+                FROM a, b
+            ), est AS (
+                SELECT
+                    CASE WHEN len(ma) < 256 THEN len(ma)::DOUBLE
+                         ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                              / ma[256]::DOUBLE END AS n_a_est,
+                    CASE WHEN len(mb) < 256 THEN len(mb)::DOUBLE
+                         ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                              / mb[256]::DOUBLE END AS n_b_est,
+                    CASE WHEN len(mu) < 256 THEN len(mu)::DOUBLE
+                         ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                              / mu[256]::DOUBLE END AS n_union_est,
+                    len(list_filter(mu, x -> list_contains(ma, x)
+                        AND list_contains(mb, x)))::DOUBLE
+                        / len(mu)::DOUBLE AS jaccard_est
+                FROM u
+            )
+            SELECT round(n_a_est, 4) AS n_a_est,
+                   round(n_b_est, 4) AS n_b_est,
+                   round(n_union_est, 4) AS n_union_est,
+                   round(jaccard_est, 4) AS jaccard_est,
+                   round(jaccard_est * n_union_est, 4) AS n_intersection_est
+            FROM est
         """,
         "leakage_safe_split": f"""
             WITH RECURSIVE pairs AS (
