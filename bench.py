@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "product_quantize",
     "pq_search",
     "line_dedup",
+    # round-7 additions (group-aware splits, KMV overlap)
+    "leakage_safe_split",
+    "corpus_overlap",
 ]
 
 
