@@ -95,3 +95,23 @@ def test_stats_pure_math():
     # union minima = .01 .02 .03 .04; shared (in both sketches) = .01 .02
     assert s["jaccard_est"] == pytest.approx(0.5)
     assert s["n_a_est"] == pytest.approx((k - 1) * space / a[-1], rel=1e-12)
+
+
+def test_fast_hash_variant_accuracy(spark):
+    """The xxhash64 fast-hash path (100 TB CPU lever) keeps the same
+    estimator guarantees — accuracy envelope identical to portable."""
+    n, k = 20000, 256
+    a = [("a", f"tok{i}") for i in range(n)]
+    b = [("b", f"tok{i}") for i in range(n // 2, n + n // 2)]
+    row = corpus_overlap(
+        _elements(spark, a + b), "a", "b", k=k, fast_hash=True
+    ).collect()[0]
+    tol = 3.0 / (k ** 0.5)
+    assert row["n_a_est"] == pytest.approx(n, rel=tol)
+    assert row["n_union_est"] == pytest.approx(1.5 * n, rel=tol)
+    assert row["jaccard_est"] == pytest.approx(1 / 3, abs=3 * tol)
+    # hash space really is [0, 2^60): minima are non-negative and small
+    from tube_spark.operators.overlap import kmv_minima
+
+    m = kmv_minima(_elements(spark, a), k=16, fast_hash=True).collect()[0]
+    assert all(0 <= h < (1 << 60) for h in m["minima"])

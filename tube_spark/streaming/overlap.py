@@ -40,6 +40,7 @@ class StreamingCorpusOverlap:
         corpus_col: str = "corpus",
         element_col: str = "element",
         k: int = 256,
+        fast_hash: bool = False,
     ) -> None:
         if k <= 0:
             raise ValueError(f"k must be positive, got {k}")
@@ -48,6 +49,7 @@ class StreamingCorpusOverlap:
         self.corpus_col = corpus_col
         self.element_col = element_col
         self.k = k
+        self.fast_hash = fast_hash
 
     def _load(self) -> dict[str, list[int]]:
         if fsio.exists(self.spark, self.state_path):
@@ -65,7 +67,8 @@ class StreamingCorpusOverlap:
             return
         state = self._load()
         per_corpus = kmv_minima(
-            batch, self.corpus_col, self.element_col, self.k
+            batch, self.corpus_col, self.element_col, self.k,
+            fast_hash=self.fast_hash,
         ).collect()
         for r in per_corpus:
             c = str(r["corpus"])
@@ -100,6 +103,7 @@ def streaming_corpus_overlap(
     corpus_col: str = "corpus",
     element_col: str = "element",
     k: int = 256,
+    fast_hash: bool = False,
     schema=None,
     checkpoint_dir: str | None = None,
 ):
@@ -107,7 +111,9 @@ def streaming_corpus_overlap(
     same shape as streaming_hot_keys / streaming_dedup_groups."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
-    inc = StreamingCorpusOverlap(spark, state_path, corpus_col, element_col, k)
+    inc = StreamingCorpusOverlap(
+        spark, state_path, corpus_col, element_col, k, fast_hash
+    )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         inc.process_batch(batch)
