@@ -1,0 +1,113 @@
+"""Training-shard export: exact shard sizes, deterministic order and
+seeded shuffle, manifest integrity gate, one file per shard."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from tube_spark.sinks.shards import export_shards, read_manifest, verify_shards
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def test_exact_shard_sizes_and_addressing(spark, tmp_path):
+    """Shard k holds exactly ranks [k*R, (k+1)*R) of the global order —
+    (shard, offset) addressing without an index server."""
+    p = str(tmp_path / "out")
+    m = export_shards(_docs(spark), p, "doc_id", rows_per_shard=64)
+    n = _docs(spark).count()
+    assert m["n_rows"] == n
+    assert m["n_shards"] == -(-n // 64)
+    sizes = {int(s): v["n_rows"] for s, v in m["shards"].items()}
+    full, last = divmod(n, 64)
+    for k in range(full):
+        assert sizes[k] == 64
+    if last:
+        assert sizes[full] == last
+    # natural order (no seed): shard 0 holds the 64 smallest doc_ids
+    # (string order of the key — the documented order key)
+    got = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{p}/data")
+        .filter(F.col("shard") == 0)
+        .collect()
+    ]
+    want = sorted(
+        (r["doc_id"] for r in _docs(spark).collect()), key=str
+    )[:64]
+    assert sorted(got) == sorted(want)
+
+
+def test_one_file_per_shard(spark, tmp_path):
+    p = str(tmp_path / "out1")
+    m = export_shards(_docs(spark), p, "doc_id", rows_per_shard=100)
+    for k in range(m["n_shards"]):
+        files = glob.glob(f"{p}/data/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: {files}"
+
+
+def test_seeded_shuffle_deterministic_and_different(spark, tmp_path):
+    """Same seed => byte-stable manifest across exports; different seed
+    => different order (different shard membership)."""
+    p1, p2, p3 = (str(tmp_path / d) for d in ("a", "b", "c"))
+    m1 = export_shards(_docs(spark), p1, "doc_id", 64, shuffle_seed=7)
+    m2 = export_shards(_docs(spark), p2, "doc_id", 64, shuffle_seed=7)
+    m3 = export_shards(_docs(spark), p3, "doc_id", 64, shuffle_seed=8)
+    assert m1["shards"] == m2["shards"]  # incl. content fingerprints
+    assert m1["shards"] != m3["shards"]
+    # shuffled shard 0 differs from natural-order shard 0
+    nat = export_shards(_docs(spark), str(tmp_path / "n"), "doc_id", 64)
+    assert m1["shards"]["0"]["fp"] != nat["shards"]["0"]["fp"]
+
+
+def test_verify_shards_gate(spark, tmp_path):
+    """verify_shards passes on a clean export and flags a damaged
+    shard (count and fingerprint both checked)."""
+    import shutil
+
+    p = str(tmp_path / "v")
+    export_shards(_docs(spark), p, "doc_id", rows_per_shard=100)
+    ok = verify_shards(spark, p)
+    assert ok.filter(~F.col("ok")).count() == 0
+    # damage: drop shard 1 entirely
+    shutil.rmtree(f"{p}/data/shard=1")
+    bad = {r["shard"]: r for r in verify_shards(spark, p).collect()}
+    assert bad[1]["actual_rows"] == 0 and not bad[1]["ok"]
+    assert bad[0]["ok"]
+
+
+def test_empty_and_bad_args(spark, tmp_path):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        export_shards(empty, str(tmp_path / "e"), "doc_id", 10)
+    with pytest.raises(ValueError, match="positive"):
+        export_shards(_docs(spark), str(tmp_path / "z"), "doc_id", 0)
+
+
+def test_rank_order_within_shard_file(spark, tmp_path):
+    """Rows inside a shard file appear in global-order position — a
+    dataloader streaming the file sees the intended order."""
+    p = str(tmp_path / "ord")
+    export_shards(_docs(spark), p, "doc_id", 64, shuffle_seed=3)
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{p}/data/shard=0/").collect()
+    ]
+    h = {
+        r["doc_id"]: r["h"]
+        for r in _docs(spark)
+        .select(
+            "doc_id",
+            F.xxhash64(F.lit("3"), F.col("doc_id").cast("string")).alias("h"),
+        )
+        .collect()
+    }
+    keys = [(h[i], str(i)) for i in ids]
+    assert keys == sorted(keys)
