@@ -111,3 +111,55 @@ def test_rank_order_within_shard_file(spark, tmp_path):
     }
     keys = [(h[i], str(i)) for i in ids]
     assert keys == sorted(keys)
+
+
+def test_append_fills_boundary_and_extends(spark, tmp_path):
+    """Append under the frozen manifest contract: the ragged boundary
+    shard is filled (one-shard rewrite), new shards continue the rank
+    space, and (shard, offset) addressing stays exact — verify_shards
+    green throughout."""
+    from tube_spark.sinks.shards import append_shards
+
+    docs = _docs(spark)
+    first = docs.filter(F.col("doc_id") < 90)   # 90 rows: shard1 ragged (26)
+    later = docs.filter(F.col("doc_id") >= 90)
+    p = str(tmp_path / "app")
+    m0 = export_shards(first, p, "doc_id", rows_per_shard=64, shuffle_seed=5)
+    assert m0["shards"]["1"]["n_rows"] == 26
+    m1 = append_shards(later, p)
+    n = docs.count()
+    assert m1["n_rows"] == n
+    sizes = {int(s): v["n_rows"] for s, v in m1["shards"].items()}
+    full, last = divmod(n, 64)
+    for k in range(full):
+        assert sizes[k] == 64, f"shard {k}: {sizes[k]}"
+    if last:
+        assert sizes[full] == last
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+    # shard 0 was never rewritten: fingerprint unchanged from m0
+    assert m1["shards"]["0"] == m0["shards"]["0"]
+    # content completeness: xor of per-shard fingerprints (all rows
+    # exactly once) equals the fingerprint of the full corpus
+    fp_all = 0
+    for v in m1["shards"].values():
+        fp_all ^= v["fp"]
+    want = docs.agg(
+        F.bit_xor(F.xxhash64(F.col("doc_id").cast("string")))
+    ).collect()[0][0]
+    assert fp_all == want
+
+
+def test_append_on_exact_boundary(spark, tmp_path):
+    """No ragged shard: append only creates new directories."""
+    from tube_spark.sinks.shards import append_shards
+
+    docs = _docs(spark)
+    p = str(tmp_path / "app2")
+    m0 = export_shards(
+        docs.filter(F.col("doc_id") < 128), p, "doc_id", rows_per_shard=64
+    )
+    assert all(v["n_rows"] == 64 for v in m0["shards"].values())
+    m1 = append_shards(docs.filter(F.col("doc_id") >= 128), p)
+    assert m1["shards"]["0"] == m0["shards"]["0"]
+    assert m1["shards"]["1"] == m0["shards"]["1"]
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0

@@ -169,3 +169,100 @@ def verify_shards(spark: SparkSession, path: str) -> DataFrame:
         sorted(rows),
         "shard long, expected_rows long, actual_rows long, ok boolean",
     )
+
+
+def append_shards(
+    df: DataFrame,
+    path: str,
+) -> dict:
+    """Incremental export: rank ONLY the new rows (under the
+    manifest's frozen key/seed/shard-size contract), continue the
+    global rank after the published ``n_rows``, and write the new
+    shards.  Published shard directories are never rewritten — except
+    the boundary shard when it was ragged: the append FILLS it by
+    rewriting that one directory with old+new rows (one shard of I/O,
+    never the corpus), so ``(shard, offset)`` addressing stays exact
+    after any number of appends.
+
+    Note the order contract: the global order is
+    append-arrival-ordered — each batch's rows are ordered among
+    themselves (by the manifest's seed/key), after everything already
+    published.  A re-export from scratch with the same seed orders the
+    UNION globally instead; both are deterministic, they are just
+    different contracts (incremental vs rebuild), mirroring
+    append_vectors' frozen-centroid semantics."""
+    spark = df.sparkSession
+    m = read_manifest(spark, path)
+    key_col, rps = m["key_col"], int(m["rows_per_shard"])
+    if df.isEmpty():
+        return m
+    base = int(m["n_rows"])
+    ranked = _ranked(df, key_col, m["shuffle_seed"]).withColumn(
+        "__rank", F.col("__rank") + F.lit(base)
+    )
+    boundary = base // rps if base % rps else None
+    sharded = ranked.withColumn(
+        "shard", (F.col("__rank") / rps).cast("long")
+    )
+    n_new = sharded.count()
+    if boundary is not None:
+        # fill the ragged boundary shard: rewrite that ONE directory
+        # with published + new rows in rank order
+        # localCheckpoint materializes the published rows BEFORE the
+        # overwrite below — without it the write plan reads the very
+        # directory it replaces (Spark rejects the self-overwrite)
+        old = (
+            spark.read.parquet(fsio.join(path, "data"))
+            .filter(F.col("shard") == boundary)
+            .drop("shard")
+            .localCheckpoint()
+        )
+        # published rows of the boundary shard keep their order: they
+        # ranked [boundary*rps, base); re-derive their in-shard order
+        # from the frozen order key
+        old_ranked = _ranked(old, key_col, m["shuffle_seed"]).withColumn(
+            "__rank", F.col("__rank") + F.lit(boundary * rps)
+        )
+        fill = sharded.filter(F.col("shard") == boundary).unionByName(
+            old_ranked.withColumn("shard", F.lit(boundary).cast("long"))
+        )
+        (
+            fill.repartition(1)
+            .sortWithinPartitions("__rank")
+            .drop("__rank", "shard")
+            .write.mode("overwrite")
+            .parquet(fsio.join(path, "data", f"shard={boundary}"))
+        )
+        rest = sharded.filter(F.col("shard") != boundary)
+    else:
+        rest = sharded
+    n_shards_new = -(-(base + n_new) // rps)
+    if not rest.isEmpty():
+        (
+            rest.repartition(max(1, n_shards_new - m["n_shards"]), "shard")
+            .sortWithinPartitions("__rank")
+            .drop("__rank")
+            .write.mode("append")
+            .partitionBy("shard")
+            .parquet(fsio.join(path, "data"))
+        )
+    stats = (
+        spark.read.parquet(fsio.join(path, "data"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(F.xxhash64(F.col(key_col).cast("string"))).alias("fp"),
+        )
+        .collect()
+    )
+    manifest = {
+        **m,
+        "n_rows": base + n_new,
+        "n_shards": n_shards_new,
+        "shards": {
+            str(r["shard"]): {"n_rows": r["n_rows"], "fp": r["fp"]}
+            for r in sorted(stats, key=lambda r: r["shard"])
+        },
+    }
+    fsio.write_text(spark, fsio.join(path, _MANIFEST), json.dumps(manifest))
+    return manifest
