@@ -163,3 +163,25 @@ def test_append_on_exact_boundary(spark, tmp_path):
     assert m1["shards"]["0"] == m0["shards"]["0"]
     assert m1["shards"]["1"] == m0["shards"]["1"]
     assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+
+
+def test_streaming_shard_export(spark, tmp_path):
+    """File stream drains into the shard store; manifest and integrity
+    gate correct after the stream, checkpoint mandatory."""
+    from tube_spark.sinks.shards import append_shards, read_manifest
+    from tube_spark.streaming.shards import streaming_shard_export
+
+    docs = _docs(spark)
+    p = str(tmp_path / "stream_store")
+    export_shards(docs.filter(F.col("doc_id") < 100), p, "doc_id", 64, shuffle_seed=1)
+    src = str(tmp_path / "incoming")
+    docs.filter(F.col("doc_id") >= 100).write.parquet(src)
+    with pytest.raises(ValueError, match="checkpoint"):
+        streaming_shard_export(spark, src, p, checkpoint_dir="")
+    q = streaming_shard_export(
+        spark, src, p, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    m = read_manifest(spark, p)
+    assert m["n_rows"] == docs.count()
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
