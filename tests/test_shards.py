@@ -185,3 +185,64 @@ def test_streaming_shard_export(spark, tmp_path):
     m = read_manifest(spark, p)
     assert m["n_rows"] == docs.count()
     assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+
+
+def test_token_budget_mode(spark, tmp_path):
+    """Token mode: whole-doc shards of ~budget tokens; every shard's
+    token mass within budget ± max_doc_tokens; union complete."""
+    from tube_spark.functions.text import token_count_bpe_ish
+    from tube_spark.sinks.shards import append_shards
+
+    docs = _docs(spark).withColumn("n_tok", token_count_bpe_ish(F.col("text")))
+    p = str(tmp_path / "tok")
+    budget = 2000
+    m = export_shards(
+        docs, p, "doc_id", token_budget=budget, token_count_col="n_tok",
+        shuffle_seed=2,
+    )
+    total = docs.agg(F.sum("n_tok")).collect()[0][0]
+    assert m["n_tokens"] == total
+    assert m["n_rows"] == docs.count()
+    max_doc = docs.agg(F.max("n_tok")).collect()[0][0]
+    for v in m["shards"].values():
+        assert v["n_tokens"] <= budget + max_doc
+    # every shard except possibly the last reaches the budget window
+    sizes = [v["n_tokens"] for _, v in sorted(m["shards"].items(), key=lambda kv: int(kv[0]))]
+    for s in sizes[:-1]:
+        assert s > budget - max_doc
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+
+    # token-mode append: boundary fill + continuation stays verified
+    p2 = str(tmp_path / "tok2")
+    first = docs.filter(F.col("doc_id") < 300)
+    later = docs.filter(F.col("doc_id") >= 300)
+    export_shards(
+        first, p2, "doc_id", token_budget=budget, token_count_col="n_tok",
+        shuffle_seed=2,
+    )
+    m2 = append_shards(later, p2)
+    assert m2["n_tokens"] == total and m2["n_rows"] == docs.count()
+    for v in m2["shards"].values():
+        assert v["n_tokens"] <= budget + max_doc
+    assert verify_shards(spark, p2).filter(~F.col("ok")).count() == 0
+    fp_all = 0
+    for v in m2["shards"].values():
+        fp_all ^= v["fp"]
+    want = docs.agg(
+        F.bit_xor(F.xxhash64(F.col("doc_id").cast("string")))
+    ).collect()[0][0]
+    assert fp_all == want
+
+
+def test_mode_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="exactly one"):
+        export_shards(_docs(spark), str(tmp_path / "x"), "doc_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        export_shards(
+            _docs(spark), str(tmp_path / "y"), "doc_id",
+            rows_per_shard=10, token_budget=10, token_count_col="n",
+        )
+    with pytest.raises(ValueError, match="token_count_col"):
+        export_shards(
+            _docs(spark), str(tmp_path / "z"), "doc_id", token_budget=10
+        )

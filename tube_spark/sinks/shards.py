@@ -2,31 +2,38 @@
 
 The last mile of a training-data pipeline: packed sequences (or any
 keyed rows) leave the lakehouse as numbered shards a dataloader can
-address directly — shard k holds EXACTLY rows
+address directly — in ROW mode shard k holds EXACTLY rows
 ``rank ∈ [k*rows_per_shard, (k+1)*rows_per_shard)`` of a deterministic
-global order, so any worker can map (shard, offset) → sample without
-an index server, and a re-export of the same input is byte-stable.
+global order; in TOKEN mode a shard holds the whole documents whose
+cumulative token position starts inside its budget window (shards of
+~equal token mass — what trainers actually provision by — each within
+±max_doc_tokens of the budget, ids may skip past an over-budget doc).
+Re-exports of the same input are byte-stable.
 
 Design (Spark-first):
 
 * **Global order without a global sort bottleneck**: the order key is
   either the natural key (``shuffle_seed=None``) or
   ``xxhash64(seed, key)`` (the seeded corpus shuffle every trainer
-  wants).  Ranks come from a two-phase distributed prefix count — the
-  same range-partition + broadcast-offsets shape as
-  ``operators/packing.py`` — never a single-partition window.
+  wants).  Ranks and token prefix sums come from a two-phase
+  distributed prefix count — the same range-partition +
+  broadcast-offsets shape as ``operators/packing.py`` — never a
+  single-partition window.
 * **One file per shard**: rows are hash-partitioned BY shard id before
-  the write (``repartition(n_shards, shard)`` + ``partitionBy``), so
-  each shard directory holds one part file and writers never contend.
-  Shards are dataloader-sized (10^4-10^6 rows), so one task per shard
-  is the right granularity at any corpus size; at 100 TB you have more
-  shards, not bigger ones.
+  the write (``repartition(n, shard)`` + ``partitionBy``), so each
+  shard directory holds one part file and writers never contend.
+  Shards are dataloader-sized, so one task per shard is the right
+  granularity at any corpus size; at 100 TB you have more shards, not
+  bigger ones.
 * **Manifest + verification**: `_MANIFEST.json` (atomic
-  ``fsio.write_text`` rename-publish) records per-shard row counts and
-  an order-independent ``bit_xor(xxhash64(key))`` content fingerprint;
-  ``verify_shards`` recomputes both from the files and reports
-  per-shard ok/mismatch — the freshness/integrity gate a training job
-  runs before touching the data.
+  ``fsio.write_text`` rename-publish) records per-shard row/token
+  counts and an order-independent ``bit_xor(xxhash64(key))`` content
+  fingerprint; ``verify_shards`` recomputes everything from the files
+  and reports per-shard ok/mismatch — the freshness/integrity gate a
+  training job runs before touching the data.
+* **Incremental**: ``append_shards`` continues the rank/token space
+  after the published tail under the manifest's frozen contract,
+  filling the ragged boundary shard with a one-shard rewrite.
 
 Reference: the reference engine's terminal stage is an ES bulk load
 (tube/etl/outputs, see SURVEY §2.1 S7); this sink is the analogous
@@ -45,11 +52,21 @@ from tube_spark.functions import fsio
 _MANIFEST = "_MANIFEST.json"
 
 
-def _ranked(df: DataFrame, key_col: str, shuffle_seed: int | None) -> DataFrame:
+def _ranked(
+    df: DataFrame,
+    key_col: str,
+    shuffle_seed: int | None,
+    token_count_col: str | None = None,
+    base_rank: int = 0,
+    base_tokens: int = 0,
+) -> DataFrame:
     """Add ``__rank`` (0-based, dense, deterministic): position in the
-    global order of ``order_key`` (ties broken by the key itself).
-    Distributed prefix count — range partition on the order key, count
-    per partition, broadcast cumulative offsets, local row_number."""
+    global order of ``order_key`` (ties broken by the key itself), and
+    — when ``token_count_col`` is given — ``__tok_before``: tokens
+    preceding the row in that order.  Distributed prefix count — range
+    partition on the order key, per-partition totals (one row each),
+    broadcast cumulative offsets, local window.  ``base_rank`` /
+    ``base_tokens`` shift the space for rank-continuing appends."""
     from pyspark.sql import Window
 
     if shuffle_seed is None:
@@ -60,74 +77,124 @@ def _ranked(df: DataFrame, key_col: str, shuffle_seed: int | None) -> DataFrame:
     parts = keyed.repartitionByRange("__ok", key_col).withColumn(
         "__pid", F.spark_partition_id()
     )
-    # per-partition counts are tiny (one row per partition): broadcast
-    counts = parts.groupBy("__pid").count()
-    rows = sorted((r["__pid"], r["count"]) for r in counts.collect())
-    offsets, acc = {}, 0
-    for pid, c in rows:
-        offsets[pid] = acc
-        acc += c
-    off = F.lit(None).cast("long")
-    for pid, o in offsets.items():
-        off = F.when(F.col("__pid") == pid, F.lit(o)).otherwise(off)
-    w = Window.partitionBy("__pid").orderBy("__ok", key_col)
-    return (
-        parts.withColumn("__local", F.row_number().over(w) - 1)
-        .withColumn("__rank", (off + F.col("__local")).cast("long"))
-        .drop("__ok", "__pid", "__local")
+    aggs = [F.count(F.lit(1)).alias("c")]
+    if token_count_col is not None:
+        aggs.append(F.sum(F.col(token_count_col)).alias("t"))
+    totals = sorted(
+        (r["__pid"], r["c"], r["t"] if token_count_col else 0)
+        for r in parts.groupBy("__pid").agg(*aggs).collect()
     )
+    offsets, acc_c, acc_t = {}, base_rank, base_tokens
+    for pid, c, t in totals:
+        offsets[pid] = (acc_c, acc_t)
+        acc_c += c
+        acc_t += int(t or 0)
+    off_c = F.lit(None).cast("long")
+    off_t = F.lit(None).cast("long")
+    for pid, (oc, ot) in offsets.items():
+        off_c = F.when(F.col("__pid") == pid, F.lit(oc)).otherwise(off_c)
+        off_t = F.when(F.col("__pid") == pid, F.lit(ot)).otherwise(off_t)
+    w = Window.partitionBy("__pid").orderBy("__ok", key_col)
+    out = parts.withColumn("__local", F.row_number().over(w) - 1).withColumn(
+        "__rank", (off_c + F.col("__local")).cast("long")
+    )
+    if token_count_col is not None:
+        wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(
+            "__tok_before",
+            (
+                off_t
+                + F.sum(F.col(token_count_col)).over(wsum)
+                - F.col(token_count_col)
+            ).cast("long"),
+        )
+    return out.drop("__ok", "__pid", "__local")
+
+
+def _shard_col(m: dict):
+    if m.get("token_budget"):
+        return (F.col("__tok_before") / m["token_budget"]).cast("long")
+    return (F.col("__rank") / m["rows_per_shard"]).cast("long")
+
+
+def _rank_cols(m: dict) -> list[str]:
+    return ["__rank"] + (["__tok_before"] if m.get("token_budget") else [])
+
+
+def _shard_stats(spark: SparkSession, path: str, m: dict) -> dict:
+    """Per-shard facts recomputed FROM THE FILES (what a reader sees)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(F.xxhash64(F.col(m["key_col"]).cast("string"))).alias("fp"),
+    ]
+    if m.get("token_budget"):
+        aggs.append(F.sum(F.col(m["token_count_col"])).alias("n_tokens"))
+    stats = (
+        spark.read.parquet(fsio.join(path, "data")).groupBy("shard").agg(*aggs)
+    ).collect()
+    out = {}
+    for r in sorted(stats, key=lambda r: r["shard"]):
+        entry = {"n_rows": r["n_rows"], "fp": r["fp"]}
+        if m.get("token_budget"):
+            entry["n_tokens"] = int(r["n_tokens"])
+        out[str(r["shard"])] = entry
+    return out
 
 
 def export_shards(
     df: DataFrame,
     path: str,
     key_col: str,
-    rows_per_shard: int,
+    rows_per_shard: int | None = None,
     shuffle_seed: int | None = None,
+    token_budget: int | None = None,
+    token_count_col: str | None = None,
 ) -> dict:
-    """Write ``df`` as ``shard=K`` parquet directories of exactly
-    ``rows_per_shard`` rows each (last shard ragged) in a deterministic
-    global order, publish the manifest, and return it."""
-    if rows_per_shard <= 0:
+    """Write ``df`` as ``shard=K`` parquet directories in a
+    deterministic global order and publish the manifest.  Exactly one
+    of ``rows_per_shard`` (row mode: exact sizes, last shard ragged)
+    or ``token_budget`` + ``token_count_col`` (token mode: whole-doc
+    shards of ~budget tokens each) must be given."""
+    if (rows_per_shard is None) == (token_budget is None):
+        raise ValueError(
+            "exactly one of rows_per_shard or token_budget must be set"
+        )
+    if rows_per_shard is not None and rows_per_shard <= 0:
         raise ValueError(f"rows_per_shard must be positive, got {rows_per_shard}")
+    if token_budget is not None:
+        if token_budget <= 0:
+            raise ValueError(f"token_budget must be positive, got {token_budget}")
+        if not token_count_col:
+            raise ValueError("token mode needs token_count_col")
     spark = df.sparkSession
     if df.isEmpty():
         raise ValueError("export_shards: input frame is empty")
-    ranked = _ranked(df, key_col, shuffle_seed)
-    sharded = ranked.withColumn(
-        "shard", (F.col("__rank") / rows_per_shard).cast("long")
-    )
+    m = {
+        "key_col": key_col,
+        "rows_per_shard": rows_per_shard,
+        "token_budget": token_budget,
+        "token_count_col": token_count_col,
+        "shuffle_seed": shuffle_seed,
+    }
+    ranked = _ranked(df, key_col, shuffle_seed, token_count_col)
+    sharded = ranked.withColumn("shard", _shard_col(m))
     n_rows = sharded.count()
-    n_shards = max(1, -(-n_rows // rows_per_shard))
+    n_part = max(1, -(-n_rows // rows_per_shard) if rows_per_shard else 200)
     (
-        sharded.repartition(n_shards, "shard")
+        sharded.repartition(n_part, "shard")
         .sortWithinPartitions("__rank")
-        .drop("__rank")
+        .drop(*_rank_cols(m))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(fsio.join(path, "data"))
     )
-    # per-shard facts recomputed FROM THE FILES (what a reader sees),
-    # not from the pre-write frame
-    stats = (
-        spark.read.parquet(fsio.join(path, "data"))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.bit_xor(F.xxhash64(F.col(key_col).cast("string"))).alias("fp"),
-        )
-        .collect()
-    )
+    shards = _shard_stats(spark, path, m)
     manifest = {
-        "key_col": key_col,
-        "rows_per_shard": rows_per_shard,
-        "shuffle_seed": shuffle_seed,
+        **m,
         "n_rows": n_rows,
-        "n_shards": n_shards,
-        "shards": {
-            str(r["shard"]): {"n_rows": r["n_rows"], "fp": r["fp"]}
-            for r in sorted(stats, key=lambda r: r["shard"])
-        },
+        "n_tokens": sum(v.get("n_tokens", 0) for v in shards.values()),
+        "n_shards": len(shards),
+        "shards": shards,
     }
     fsio.write_text(spark, fsio.join(path, _MANIFEST), json.dumps(manifest))
     return manifest
@@ -138,31 +205,22 @@ def read_manifest(spark: SparkSession, path: str) -> dict:
 
 
 def verify_shards(spark: SparkSession, path: str) -> DataFrame:
-    """Integrity gate: recompute per-shard row counts and fingerprints
-    from the files and compare with the manifest.  Returns
-    ``(shard, expected_rows, actual_rows, ok)`` — ``ok`` covers both
-    the count and the content fingerprint; missing shards appear with
-    actual_rows 0."""
+    """Integrity gate: recompute per-shard facts from the files and
+    compare with the manifest.  Returns ``(shard, expected_rows,
+    actual_rows, ok)`` — ``ok`` covers the row count, the content
+    fingerprint, and (token mode) the token count; missing shards
+    appear with actual_rows 0."""
     m = read_manifest(spark, path)
-    actual = {
-        r["shard"]: (r["n_rows"], r["fp"])
-        for r in spark.read.parquet(fsio.join(path, "data"))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.bit_xor(F.xxhash64(F.col(m["key_col"]).cast("string"))).alias("fp"),
-        )
-        .collect()
-    }
+    actual = {int(s): v for s, v in _shard_stats(spark, path, m).items()}
     rows = []
     for sid, want in m["shards"].items():
-        got = actual.get(int(sid), (0, None))
+        got = actual.get(int(sid), {"n_rows": 0, "fp": None})
         rows.append(
             (
                 int(sid),
                 int(want["n_rows"]),
-                int(got[0]),
-                got[0] == want["n_rows"] and got[1] == want["fp"],
+                int(got["n_rows"]),
+                got == want,
             )
         )
     return spark.createDataFrame(
@@ -175,14 +233,14 @@ def append_shards(
     df: DataFrame,
     path: str,
 ) -> dict:
-    """Incremental export: rank ONLY the new rows (under the
-    manifest's frozen key/seed/shard-size contract), continue the
-    global rank after the published ``n_rows``, and write the new
-    shards.  Published shard directories are never rewritten — except
-    the boundary shard when it was ragged: the append FILLS it by
+    """Incremental export: rank ONLY the new rows under the manifest's
+    frozen key/seed/size contract, continue the global rank/token
+    space after the published tail, and write the new shards.
+    Published shard directories are never rewritten — except the
+    boundary shard the new rows land into, which is FILLED by
     rewriting that one directory with old+new rows (one shard of I/O,
-    never the corpus), so ``(shard, offset)`` addressing stays exact
-    after any number of appends.
+    never the corpus), so addressing stays exact after any number of
+    appends.
 
     Note the order contract: the global order is
     append-arrival-ordered — each batch's rows are ordered among
@@ -193,76 +251,77 @@ def append_shards(
     append_vectors' frozen-centroid semantics."""
     spark = df.sparkSession
     m = read_manifest(spark, path)
-    key_col, rps = m["key_col"], int(m["rows_per_shard"])
+    key_col = m["key_col"]
     if df.isEmpty():
         return m
-    base = int(m["n_rows"])
-    ranked = _ranked(df, key_col, m["shuffle_seed"]).withColumn(
-        "__rank", F.col("__rank") + F.lit(base)
+    base_rank, base_tokens = int(m["n_rows"]), int(m.get("n_tokens") or 0)
+    ranked = _ranked(
+        df, key_col, m["shuffle_seed"], m["token_count_col"],
+        base_rank, base_tokens,
     )
-    boundary = base // rps if base % rps else None
-    sharded = ranked.withColumn(
-        "shard", (F.col("__rank") / rps).cast("long")
-    )
+    sharded = ranked.withColumn("shard", _shard_col(m))
     n_new = sharded.count()
+    if m.get("token_budget"):
+        boundary = base_tokens // m["token_budget"] if base_tokens else None
+    else:
+        boundary = base_rank // m["rows_per_shard"] if base_rank % m["rows_per_shard"] else None
+    boundary_dir = (
+        fsio.join(path, "data", f"shard={boundary}") if boundary is not None else None
+    )
+    if boundary is not None and not fsio.exists(spark, boundary_dir):
+        boundary = None
     if boundary is not None:
-        # fill the ragged boundary shard: rewrite that ONE directory
-        # with published + new rows in rank order
-        # localCheckpoint materializes the published rows BEFORE the
-        # overwrite below — without it the write plan reads the very
-        # directory it replaces (Spark rejects the self-overwrite)
+        # fill the boundary shard: rewrite that ONE directory with
+        # published + new rows.  Published rows keep their relative
+        # order (re-derived from the frozen order key, generation 0);
+        # new rows follow (generation 1) — matching the arrival-order
+        # contract.  localCheckpoint materializes the published rows
+        # BEFORE the overwrite (Spark rejects reading the directory a
+        # write replaces).
         old = (
             spark.read.parquet(fsio.join(path, "data"))
             .filter(F.col("shard") == boundary)
             .drop("shard")
             .localCheckpoint()
         )
-        # published rows of the boundary shard keep their order: they
-        # ranked [boundary*rps, base); re-derive their in-shard order
-        # from the frozen order key
-        old_ranked = _ranked(old, key_col, m["shuffle_seed"]).withColumn(
-            "__rank", F.col("__rank") + F.lit(boundary * rps)
+        old_ranked = (
+            _ranked(old, key_col, m["shuffle_seed"], m["token_count_col"])
+            .withColumn("__gen", F.lit(0))
         )
-        fill = sharded.filter(F.col("shard") == boundary).unionByName(
-            old_ranked.withColumn("shard", F.lit(boundary).cast("long"))
+        new_b = sharded.filter(F.col("shard") == boundary).drop("shard").withColumn(
+            "__gen", F.lit(1)
         )
+        fill = old_ranked.unionByName(new_b)
         (
             fill.repartition(1)
-            .sortWithinPartitions("__rank")
-            .drop("__rank", "shard")
+            .sortWithinPartitions("__gen", "__rank")
+            .drop("__gen", *_rank_cols(m))
             .write.mode("overwrite")
-            .parquet(fsio.join(path, "data", f"shard={boundary}"))
+            .parquet(boundary_dir)
         )
         rest = sharded.filter(F.col("shard") != boundary)
     else:
         rest = sharded
-    n_shards_new = -(-(base + n_new) // rps)
     if not rest.isEmpty():
+        n_part = max(
+            1,
+            -(-n_new // m["rows_per_shard"]) if m.get("rows_per_shard") else 64,
+        )
         (
-            rest.repartition(max(1, n_shards_new - m["n_shards"]), "shard")
+            rest.repartition(n_part, "shard")
             .sortWithinPartitions("__rank")
-            .drop("__rank")
+            .drop(*_rank_cols(m))
             .write.mode("append")
             .partitionBy("shard")
             .parquet(fsio.join(path, "data"))
         )
-    stats = (
-        spark.read.parquet(fsio.join(path, "data"))
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.bit_xor(F.xxhash64(F.col(key_col).cast("string"))).alias("fp"),
-        )
-        .collect()
-    )
+    shards = _shard_stats(spark, path, m)
     manifest = {
         **m,
-        "n_rows": base + n_new,
-        "n_shards": n_shards_new,
-        "shards": {
-            str(r["shard"]): {"n_rows": r["n_rows"], "fp": r["fp"]}
-            for r in sorted(stats, key=lambda r: r["shard"])
-        },
+        "n_rows": base_rank + n_new,
+        "n_tokens": sum(v.get("n_tokens", 0) for v in shards.values()),
+        "n_shards": len(shards),
+        "shards": shards,
     }
     fsio.write_text(spark, fsio.join(path, _MANIFEST), json.dumps(manifest))
     return manifest
