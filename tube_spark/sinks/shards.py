@@ -84,31 +84,34 @@ def _ranked(
         (r["__pid"], r["c"], r["t"] if token_count_col else 0)
         for r in parts.groupBy("__pid").agg(*aggs).collect()
     )
-    offsets, acc_c, acc_t = {}, base_rank, base_tokens
+    offsets, acc_c, acc_t = [], base_rank, base_tokens
     for pid, c, t in totals:
-        offsets[pid] = (acc_c, acc_t)
+        offsets.append((pid, acc_c, acc_t))
         acc_c += c
         acc_t += int(t or 0)
-    off_c = F.lit(None).cast("long")
-    off_t = F.lit(None).cast("long")
-    for pid, (oc, ot) in offsets.items():
-        off_c = F.when(F.col("__pid") == pid, F.lit(oc)).otherwise(off_c)
-        off_t = F.when(F.col("__pid") == pid, F.lit(ot)).otherwise(off_t)
+    # broadcast-join the per-partition offsets (one row each) instead
+    # of a when-chain: at thousands of partitions the chain pays a py4j
+    # round-trip per arm and a deep codegen CASE — the packing.py shape
+    off = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __offc long, __offt long"
+    )
     w = Window.partitionBy("__pid").orderBy("__ok", key_col)
-    out = parts.withColumn("__local", F.row_number().over(w) - 1).withColumn(
-        "__rank", (off_c + F.col("__local")).cast("long")
+    out = (
+        parts.join(F.broadcast(off), on="__pid")
+        .withColumn("__local", F.row_number().over(w) - 1)
+        .withColumn("__rank", (F.col("__offc") + F.col("__local")).cast("long"))
     )
     if token_count_col is not None:
         wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         out = out.withColumn(
             "__tok_before",
             (
-                off_t
+                F.col("__offt")
                 + F.sum(F.col(token_count_col)).over(wsum)
                 - F.col(token_count_col)
             ).cast("long"),
         )
-    return out.drop("__ok", "__pid", "__local")
+    return out.drop("__ok", "__pid", "__local", "__offc", "__offt")
 
 
 def _shard_col(m: dict):
