@@ -181,8 +181,11 @@ def export_shards(
     }
     ranked = _ranked(df, key_col, shuffle_seed, token_count_col)
     sharded = ranked.withColumn("shard", _shard_col(m))
-    n_rows = sharded.count()
-    n_part = max(1, -(-n_rows // rows_per_shard) if rows_per_shard else 200)
+    # one job for both facts; one write task per shard directory
+    agg = sharded.agg(
+        F.count(F.lit(1)).alias("n"), F.max("shard").alias("mx")
+    ).collect()[0]
+    n_rows, n_part = agg["n"], max(1, int(agg["mx"]) + 1)
     (
         sharded.repartition(n_part, "shard")
         .sortWithinPartitions("__rank")
@@ -263,7 +266,12 @@ def append_shards(
         base_rank, base_tokens,
     )
     sharded = ranked.withColumn("shard", _shard_col(m))
-    n_new = sharded.count()
+    nagg = sharded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("shard").alias("mn"),
+        F.max("shard").alias("mx"),
+    ).collect()[0]
+    n_new = nagg["n"]
     if m.get("token_budget"):
         boundary = base_tokens // m["token_budget"] if base_tokens else None
     else:
@@ -306,10 +314,8 @@ def append_shards(
     else:
         rest = sharded
     if not rest.isEmpty():
-        n_part = max(
-            1,
-            -(-n_new // m["rows_per_shard"]) if m.get("rows_per_shard") else 64,
-        )
+        # one task per appended shard directory
+        n_part = max(1, int(nagg["mx"]) - int(nagg["mn"]) + 1)
         (
             rest.repartition(n_part, "shard")
             .sortWithinPartitions("__rank")
