@@ -115,3 +115,32 @@ def test_fast_hash_variant_accuracy(spark):
 
     m = kmv_minima(_elements(spark, a), k=16, fast_hash=True).collect()[0]
     assert all(0 <= h < (1 << 60) for h in m["minima"])
+
+
+def test_kmv_plan_shape(spark):
+    """Sketch pass stays JVM-side and reads one pruned scan: no Python
+    stages, shingle derivation fused, survivors (not the corpus) enter
+    the distinct exchange."""
+    from pyspark.sql import functions as F2
+
+    from tube_spark.functions.text import tokens, word_shingles
+    from tube_spark.operators.overlap import kmv_minima
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    el = docs.select(
+        F2.when(F2.col("doc_id") % 2 == 0, F2.lit("even"))
+        .otherwise(F2.lit("odd"))
+        .alias("corpus"),
+        F2.explode(word_shingles(tokens(F2.col("text")), 2)).alias("element"),
+    )
+    plan = kmv_minima(el, k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re
+
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    assert scans and all(
+        "doc_id" in s and "text" in s and "embedding" not in s for s in scans
+    ), scans
+    # the threshold filter sits below the distinct exchange: the Filter
+    # on h appears in the plan before (deeper than) any Exchange
+    assert plan.count("Exchange") <= 3  # distinct + window partition (+AQE read)
