@@ -144,3 +144,26 @@ def test_kmv_plan_shape(spark):
     # the threshold filter sits below the distinct exchange: the Filter
     # on h appears in the plan before (deeper than) any Exchange
     assert plan.count("Exchange") <= 3  # distinct + window partition (+AQE read)
+
+
+def test_overlap_matrix_three_corpora(spark):
+    """One sketch pass, C(3,2) pairwise rows, estimates consistent
+    with the pairwise corpus_overlap calls."""
+    from tube_spark.operators.overlap import overlap_matrix
+
+    el = _elements(
+        spark,
+        [("a", f"x{i}") for i in range(300)]
+        + [("b", f"x{i}") for i in range(150, 450)]   # 50% with a
+        + [("c", f"z{i}") for i in range(300)],       # disjoint
+    )
+    mx = {
+        (r["corpus_a"], r["corpus_b"]): r
+        for r in overlap_matrix(el, k=128).collect()
+    }
+    assert set(mx) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = corpus_overlap(el, "a", "b", k=128).collect()[0]
+    assert mx[("a", "b")]["jaccard_est"] == ab["jaccard_est"]
+    assert mx[("a", "b")]["n_union_est"] == ab["n_union_est"]
+    assert mx[("a", "c")]["jaccard_est"] == 0.0
+    assert mx[("b", "c")]["jaccard_est"] == 0.0

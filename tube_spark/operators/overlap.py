@@ -162,3 +162,40 @@ def corpus_overlap(
         "n_a_est double, n_b_est double, n_union_est double, "
         "jaccard_est double, n_intersection_est double",
     )
+
+
+def overlap_matrix(
+    elements: DataFrame,
+    corpus_col: str = "corpus",
+    element_col: str = "element",
+    k: int = 256,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """All-pairs overlap report across EVERY corpus in ``elements``:
+    one row ``(corpus_a, corpus_b, n_a_est, n_b_est, n_union_est,
+    jaccard_est, n_intersection_est)`` per unordered pair (a < b) — the
+    mixture-design view ("how redundant are my sources?").  One
+    distributed sketch pass total; the C(C,2) pairwise arithmetic runs
+    on k-sized driver state, so adding a corpus costs one more sketch,
+    never another corpus scan."""
+    spark = elements.sparkSession
+    rows = {
+        r["corpus"]: list(r["minima"])
+        for r in kmv_minima(
+            elements, corpus_col, element_col, k, fast_hash=fast_hash
+        ).collect()
+    }
+    names = sorted(rows)
+    out = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            s = kmv_overlap_stats(rows[a], rows[b], k)
+            out.append(
+                (a, b, s["n_a_est"], s["n_b_est"], s["n_union_est"],
+                 s["jaccard_est"], s["n_intersection_est"])
+            )
+    return spark.createDataFrame(
+        out,
+        "corpus_a string, corpus_b string, n_a_est double, n_b_est double, "
+        "n_union_est double, jaccard_est double, n_intersection_est double",
+    )
