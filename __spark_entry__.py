@@ -1804,6 +1804,28 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*[F.round(F.col(c), 4).alias(c) for c in out.columns])
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard LAYOUT (sinks/shards.py plan_shards): the
+    cumulative-token assignment the training-shard export sink writes,
+    as a queryable frame — documents ordered by a portable md5 shuffle
+    hash, whole docs landing in the 2000-token window their first
+    token starts in; output (shard, n_docs, n_tokens).  This gives the
+    sink's prefix-sum + assignment math a full DuckDB oracle (the
+    engine-native xxhash64 export path shares the same code — the
+    ann_lsh_topk_portable pairing)."""
+    from tube_spark.functions.text import portable_hash60, token_count_bpe_ish
+    from tube_spark.sinks.shards import plan_shards
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_bpe_ish(F.col("text")).alias("n_tok"),
+        portable_hash60(
+            F.concat(F.lit("shard"), F.col("doc_id").cast("string"))
+        ).alias("ok"),
+    )
+    return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): documents
     concatenated in doc_id order and cut into 512-token training
@@ -2511,6 +2533,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dataset_splits": q_dataset_splits,
         "leakage_safe_split": q_leakage_safe_split,
         "corpus_overlap": q_corpus_overlap,
+        "shard_plan": q_shard_plan,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2597,6 +2620,7 @@ _EXTRA_QUERY_NAMES = (
     "zorder_layout",
     "leakage_safe_split",
     "corpus_overlap",
+    "shard_plan",
     "column_profile",
     "value_histogram",
     "weighted_sample",
@@ -2714,6 +2738,7 @@ _QUERY_ORDER = (
     #       parts_supplier_counts, small_qty_revenue,
     #       discounted_brand_revenue, excess_quantity_suppliers,
     #       waiting_suppliers, leakage_safe_split, corpus_overlap
+    #       (shard_plan queues for r10 with the r8/r9 additions)
     "video_frames",
     "product_quantize",
     "pq_search",
@@ -3032,6 +3057,25 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(jaccard_est, 4) AS jaccard_est,
                    round(jaccard_est * n_union_est, 4) AS n_intersection_est
             FROM est
+        """,
+        "shard_plan": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_tok,
+                       ('0x' || substr(md5('shard' || cast(doc_id AS VARCHAR)),
+                        1, 15))::BIGINT AS ok
+                FROM documents
+            ), c AS (
+                SELECT n_tok,
+                       sum(n_tok) OVER (ORDER BY ok, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - n_tok AS tb
+                FROM d
+            )
+            SELECT (tb // 2000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS n_tokens
+            FROM c GROUP BY 1
         """,
         "leakage_safe_split": f"""
             WITH RECURSIVE pairs AS (

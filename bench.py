@@ -77,9 +77,10 @@ BENCH_QUERIES = [
     "product_quantize",
     "pq_search",
     "line_dedup",
-    # round-7 additions (group-aware splits, KMV overlap)
+    # round-7 additions (group-aware splits, KMV overlap, shard layout)
     "leakage_safe_split",
     "corpus_overlap",
+    "shard_plan",
 ]
 
 

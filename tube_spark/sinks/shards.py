@@ -59,6 +59,7 @@ def _ranked(
     token_count_col: str | None = None,
     base_rank: int = 0,
     base_tokens: int = 0,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Add ``__rank`` (0-based, dense, deterministic): position in the
     global order of ``order_key`` (ties broken by the key itself), and
@@ -69,7 +70,11 @@ def _ranked(
     ``base_tokens`` shift the space for rank-continuing appends."""
     from pyspark.sql import Window
 
-    if shuffle_seed is None:
+    if order_col is not None:
+        # caller-supplied order key (e.g. a portable md5 hash so a SQL
+        # oracle can replay the layout — see plan_shards)
+        order = F.col(order_col)
+    elif shuffle_seed is None:
         order = F.col(key_col).cast("string")
     else:
         order = F.xxhash64(F.lit(str(shuffle_seed)), F.col(key_col).cast("string"))
@@ -334,3 +339,37 @@ def append_shards(
     }
     fsio.write_text(spark, fsio.join(path, _MANIFEST), json.dumps(manifest))
     return manifest
+
+
+def plan_shards(
+    df: DataFrame,
+    key_col: str,
+    token_count_col: str,
+    token_budget: int,
+    order_col: str | None = None,
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """The token-budget shard LAYOUT as a queryable frame — the same
+    cumulative-position assignment ``export_shards`` writes, without
+    touching storage: ``(shard, n_docs, n_tokens)`` per shard.  With
+    ``order_col`` pointing at a portable (md5) hash column the whole
+    layout is SQL-replayable, giving the sink's core math a
+    differential oracle (the engine-native xxhash64 path in
+    ``export_shards`` shares this code, so the oracle exercises the
+    same prefix-sum and assignment logic — the ann_lsh_topk_portable
+    pairing)."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    ranked = _ranked(
+        df, key_col, shuffle_seed, token_count_col, order_col=order_col
+    )
+    return (
+        ranked.withColumn(
+            "shard", (F.col("__tok_before") / token_budget).cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(token_count_col)).cast("long").alias("n_tokens"),
+        )
+    )
