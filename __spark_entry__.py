@@ -2403,13 +2403,21 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = emb.filter(F.col("vec_id") < 5).collect()
     adc = None
     for r in qrows:
+        # topk=11 then drop self; if the query is NOT in its own ADC
+        # top-11 (possible under quantization) 11 rows survive, so
+        # re-order by the ADC distance before the limit — an unordered
+        # limit(10) would drop an arbitrary row and make the reported
+        # recall nondeterministic
         one = pq_search(
             codes, [float(x) for x in r["embedding"]], dim=64, m=16, k=64,
             topk=11, codebooks=books,
         ).select(
             F.lit(r["vec_id"]).alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-        ).filter(F.col("neighbor_id") != F.col("query_id")).limit(10)
+            F.col("approx_sq_dist"),
+        ).filter(F.col("neighbor_id") != F.col("query_id")).orderBy(
+            F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
+        ).limit(10).select("query_id", "neighbor_id")
         adc = one if adc is None else adc.unionByName(one)
     qq = spark.createDataFrame(
         [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],

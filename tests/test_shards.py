@@ -246,3 +246,99 @@ def test_mode_validation(spark, tmp_path):
         export_shards(
             _docs(spark), str(tmp_path / "z"), "doc_id", token_budget=10
         )
+
+
+def test_append_replay_idempotent(spark, tmp_path):
+    """Replayed foreachBatch epochs are manifest-level no-ops: a second
+    append_shards with the same (or an older) batch_id leaves the store
+    byte-identical — the at-least-once replay cannot double-append."""
+    from tube_spark.sinks.shards import append_shards
+
+    docs = _docs(spark)
+    p = str(tmp_path / "replay")
+    export_shards(docs.filter(F.col("doc_id") < 90), p, "doc_id", 64, shuffle_seed=5)
+    b1 = docs.filter((F.col("doc_id") >= 90) & (F.col("doc_id") < 200))
+    b2 = docs.filter(F.col("doc_id") >= 200)
+    m1 = append_shards(b1, p, batch_id=0)
+    assert m1["last_batch_id"] == 0
+    # exact replay of epoch 0: no-op (same manifest, same files)
+    m1r = append_shards(b1, p, batch_id=0)
+    assert m1r == m1
+    assert read_manifest(spark, p) == m1
+    m2 = append_shards(b2, p, batch_id=1)
+    assert m2["last_batch_id"] == 1 and m2["n_rows"] == docs.count()
+    # replay of an OLDER epoch after newer ones committed: also a no-op
+    m2r = append_shards(b1, p, batch_id=0)
+    assert m2r == m2 and read_manifest(spark, p) == m2
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+
+
+def test_streaming_restart_no_double_append(spark, tmp_path):
+    """Restarting the availableNow stream against the same checkpoint
+    (a full redelivery opportunity) appends nothing twice; a new source
+    file after the restart is picked up exactly once."""
+    from tube_spark.streaming.shards import streaming_shard_export
+
+    docs = _docs(spark)
+    p = str(tmp_path / "srestart")
+    export_shards(docs.filter(F.col("doc_id") < 100), p, "doc_id", 64, shuffle_seed=1)
+    src = str(tmp_path / "sincoming")
+    ckpt = str(tmp_path / "sckpt")
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300)).write.parquet(src)
+    q = streaming_shard_export(spark, src, p, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    m1 = read_manifest(spark, p)
+    assert m1["n_rows"] == 300
+    # restart with no new data: no-op
+    q = streaming_shard_export(spark, src, p, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    assert read_manifest(spark, p) == m1
+    # new file arrives; restart processes ONLY it
+    docs.filter(F.col("doc_id") >= 300).write.mode("append").parquet(src)
+    q = streaming_shard_export(spark, src, p, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    m2 = read_manifest(spark, p)
+    assert m2["n_rows"] == docs.count()
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+    fp_all = 0
+    for v in m2["shards"].values():
+        fp_all ^= v["fp"]
+    want = docs.agg(
+        F.bit_xor(F.xxhash64(F.col("doc_id").cast("string")))
+    ).collect()[0][0]
+    assert fp_all == want
+
+
+def test_second_append_preserves_generation_order(spark, tmp_path):
+    """Two successive appends into the SAME still-ragged boundary shard:
+    file order stays generation-then-key (the persisted rank), never a
+    key-interleave of already-published rows."""
+    from tube_spark.sinks.shards import append_shards
+
+    docs = _docs(spark)
+    p = str(tmp_path / "gen")
+    a = docs.filter(F.col("doc_id") < 10)
+    b = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    c = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+    export_shards(a, p, "doc_id", rows_per_shard=64, shuffle_seed=9)
+    append_shards(b, p)
+    append_shards(c, p)  # boundary shard 0 still ragged both times
+    rows = spark.read.parquet(f"{p}/data/shard=0/").collect()
+    ids_in_file_order = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    gens = [0 if i < 10 else (1 if i < 20 else 2) for i in ids_in_file_order]
+    assert gens == sorted(gens), f"generations interleaved: {ids_in_file_order}"
+    # ranks are the contiguous global address space 0..n-1
+    assert sorted(r["rank"] for r in rows) == list(range(30))
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+
+
+def test_verify_flags_orphan_shards(spark, tmp_path):
+    """A shard directory on disk but absent from the manifest (residue
+    of an append that crashed before its manifest publish) is flagged."""
+    p = str(tmp_path / "orph")
+    m = export_shards(_docs(spark), p, "doc_id", rows_per_shard=100)
+    k = m["n_shards"]
+    spark.read.parquet(f"{p}/data/shard=0/").write.parquet(f"{p}/data/shard={k}")
+    bad = {r["shard"]: r for r in verify_shards(spark, p).collect()}
+    assert not bad[k]["ok"] and bad[k]["expected_rows"] == 0
+    assert all(bad[i]["ok"] for i in range(k))

@@ -31,9 +31,15 @@ Design (Spark-first):
   fingerprint; ``verify_shards`` recomputes everything from the files
   and reports per-shard ok/mismatch — the freshness/integrity gate a
   training job runs before touching the data.
+* **Persisted rank**: every row carries its global ``rank`` in the
+  shard files — the dataloader's direct address, and the order key
+  boundary-shard fills sort by on append (never re-derived from the
+  natural key, which would interleave earlier append generations).
 * **Incremental**: ``append_shards`` continues the rank/token space
   after the published tail under the manifest's frozen contract,
   filling the ragged boundary shard with a one-shard rewrite.
+  ``batch_id`` + the manifest's ``last_batch_id`` watermark make the
+  append idempotent per streaming epoch.
 
 Reference: the reference engine's terminal stage is an ES bulk load
 (tube/etl/outputs, see SURVEY §2.1 S7); this sink is the analogous
@@ -79,8 +85,16 @@ def _ranked(
     else:
         order = F.xxhash64(F.lit(str(shuffle_seed)), F.col(key_col).cast("string"))
     keyed = df.withColumn("__ok", order)
-    parts = keyed.repartitionByRange("__ok", key_col).withColumn(
-        "__pid", F.spark_partition_id()
+    # Pin the sampled range-partition layout: boundaries are sampled per
+    # execution, and the pid->offset map collected below is only valid
+    # for THIS layout — the totals collect and the downstream write must
+    # see the same partitioning.  localCheckpoint (not cache) pins it
+    # and releases blocks on GC (same hazard + fix as operators/
+    # packing.py:59-71).
+    parts = (
+        keyed.repartitionByRange("__ok", key_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     aggs = [F.count(F.lit(1)).alias("c")]
     if token_count_col is not None:
@@ -125,8 +139,10 @@ def _shard_col(m: dict):
     return (F.col("__rank") / m["rows_per_shard"]).cast("long")
 
 
-def _rank_cols(m: dict) -> list[str]:
-    return ["__rank"] + (["__tok_before"] if m.get("token_budget") else [])
+def _drop_cols(m: dict) -> list[str]:
+    # __rank is RENAMED to a persisted ``rank`` column before the write
+    # (see export_shards); only the token prefix sum is transient.
+    return ["__tok_before"] if m.get("token_budget") else []
 
 
 def _shard_stats(spark: SparkSession, path: str, m: dict) -> dict:
@@ -185,16 +201,23 @@ def export_shards(
         "shuffle_seed": shuffle_seed,
     }
     ranked = _ranked(df, key_col, shuffle_seed, token_count_col)
-    sharded = ranked.withColumn("shard", _shard_col(m))
+    sharded = ranked.withColumn("shard", _shard_col(m)).withColumnRenamed(
+        "__rank", "rank"
+    )
     # one job for both facts; one write task per shard directory
     agg = sharded.agg(
         F.count(F.lit(1)).alias("n"), F.max("shard").alias("mx")
     ).collect()[0]
     n_rows, n_part = agg["n"], max(1, int(agg["mx"]) + 1)
+    # The global ``rank`` is PERSISTED in the shard files: it is the
+    # dataloader's direct address, and it is what boundary-shard fills
+    # sort already-published rows by on append — re-deriving order from
+    # the key would interleave earlier append batches (the arrival-order
+    # contract orders rows by generation first, key second).
     (
         sharded.repartition(n_part, "shard")
-        .sortWithinPartitions("__rank")
-        .drop(*_rank_cols(m))
+        .sortWithinPartitions("rank")
+        .drop(*_drop_cols(m))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(fsio.join(path, "data"))
@@ -220,12 +243,14 @@ def verify_shards(spark: SparkSession, path: str) -> DataFrame:
     compare with the manifest.  Returns ``(shard, expected_rows,
     actual_rows, ok)`` — ``ok`` covers the row count, the content
     fingerprint, and (token mode) the token count; missing shards
-    appear with actual_rows 0."""
+    appear with actual_rows 0, and ORPHAN shards (on disk but absent
+    from the manifest — the residue of an append that crashed before
+    its manifest publish) appear with expected_rows 0 and ok=false."""
     m = read_manifest(spark, path)
     actual = {int(s): v for s, v in _shard_stats(spark, path, m).items()}
     rows = []
     for sid, want in m["shards"].items():
-        got = actual.get(int(sid), {"n_rows": 0, "fp": None})
+        got = actual.pop(int(sid), {"n_rows": 0, "fp": None})
         rows.append(
             (
                 int(sid),
@@ -234,6 +259,8 @@ def verify_shards(spark: SparkSession, path: str) -> DataFrame:
                 got == want,
             )
         )
+    for sid, got in actual.items():  # orphans: never ok
+        rows.append((int(sid), 0, int(got["n_rows"]), False))
     return spark.createDataFrame(
         sorted(rows),
         "shard long, expected_rows long, actual_rows long, ok boolean",
@@ -243,6 +270,7 @@ def verify_shards(spark: SparkSession, path: str) -> DataFrame:
 def append_shards(
     df: DataFrame,
     path: str,
+    batch_id: int | None = None,
 ) -> dict:
     """Incremental export: rank ONLY the new rows under the manifest's
     frozen key/seed/size contract, continue the global rank/token
@@ -251,7 +279,16 @@ def append_shards(
     boundary shard the new rows land into, which is FILLED by
     rewriting that one directory with old+new rows (one shard of I/O,
     never the corpus), so addressing stays exact after any number of
-    appends.
+    appends.  Published rows keep their PERSISTED ``rank`` (written by
+    the original export) — the fill never re-derives order from the
+    key, so earlier append generations are never interleaved.
+
+    ``batch_id`` (optional) makes the append idempotent per epoch for
+    streaming callers: the id of the last applied batch is recorded in
+    the manifest, and a call whose ``batch_id`` is <= that watermark is
+    a no-op returning the current manifest — a replayed foreachBatch
+    epoch (Structured Streaming is at-least-once for side effects)
+    does not double-append.
 
     Note the order contract: the global order is
     append-arrival-ordered — each batch's rows are ordered among
@@ -263,6 +300,10 @@ def append_shards(
     spark = df.sparkSession
     m = read_manifest(spark, path)
     key_col = m["key_col"]
+    if batch_id is not None:
+        last = m.get("last_batch_id")
+        if last is not None and batch_id <= int(last):
+            return m
     if df.isEmpty():
         return m
     base_rank, base_tokens = int(m["n_rows"]), int(m.get("n_tokens") or 0)
@@ -270,7 +311,9 @@ def append_shards(
         df, key_col, m["shuffle_seed"], m["token_count_col"],
         base_rank, base_tokens,
     )
-    sharded = ranked.withColumn("shard", _shard_col(m))
+    sharded = ranked.withColumn("shard", _shard_col(m)).withColumnRenamed(
+        "__rank", "rank"
+    )
     nagg = sharded.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("shard").alias("mn"),
@@ -288,30 +331,24 @@ def append_shards(
         boundary = None
     if boundary is not None:
         # fill the boundary shard: rewrite that ONE directory with
-        # published + new rows.  Published rows keep their relative
-        # order (re-derived from the frozen order key, generation 0);
-        # new rows follow (generation 1) — matching the arrival-order
-        # contract.  localCheckpoint materializes the published rows
-        # BEFORE the overwrite (Spark rejects reading the directory a
-        # write replaces).
+        # published + new rows, ordered by the persisted global rank
+        # (old ranks all precede the continuation ranks by
+        # construction).  localCheckpoint materializes the published
+        # rows BEFORE the overwrite (Spark rejects reading the
+        # directory a write replaces).
         old = (
             spark.read.parquet(fsio.join(path, "data"))
             .filter(F.col("shard") == boundary)
             .drop("shard")
             .localCheckpoint()
         )
-        old_ranked = (
-            _ranked(old, key_col, m["shuffle_seed"], m["token_count_col"])
-            .withColumn("__gen", F.lit(0))
+        new_b = sharded.filter(F.col("shard") == boundary).drop(
+            "shard", *_drop_cols(m)
         )
-        new_b = sharded.filter(F.col("shard") == boundary).drop("shard").withColumn(
-            "__gen", F.lit(1)
-        )
-        fill = old_ranked.unionByName(new_b)
+        fill = old.unionByName(new_b)
         (
             fill.repartition(1)
-            .sortWithinPartitions("__gen", "__rank")
-            .drop("__gen", *_rank_cols(m))
+            .sortWithinPartitions("rank")
             .write.mode("overwrite")
             .parquet(boundary_dir)
         )
@@ -323,8 +360,8 @@ def append_shards(
         n_part = max(1, int(nagg["mx"]) - int(nagg["mn"]) + 1)
         (
             rest.repartition(n_part, "shard")
-            .sortWithinPartitions("__rank")
-            .drop(*_rank_cols(m))
+            .sortWithinPartitions("rank")
+            .drop(*_drop_cols(m))
             .write.mode("append")
             .partitionBy("shard")
             .parquet(fsio.join(path, "data"))
@@ -337,6 +374,8 @@ def append_shards(
         "n_shards": len(shards),
         "shards": shards,
     }
+    if batch_id is not None:
+        manifest["last_batch_id"] = int(batch_id)
     fsio.write_text(spark, fsio.join(path, _MANIFEST), json.dumps(manifest))
     return manifest
 

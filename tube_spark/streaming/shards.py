@@ -7,11 +7,21 @@ fixed-size shards with a manifest that is correct after every batch —
 the terminal stage of a continuously-refreshed training corpus.
 
 Note the idempotency boundary: unlike the KMV/vector-store ingests,
-shard append is NOT replay-idempotent (re-appending a batch would rank
-its rows again after the published tail).  The Structured Streaming
-checkpoint is therefore REQUIRED here — foreachBatch's epoch tracking
-is what guarantees each batch lands exactly once; this mirrors how the
-versioned-sink foreachBatch handles non-idempotent publishes.
+shard append is NOT naturally replay-idempotent (re-appending a batch
+would rank its rows again after the published tail), and foreachBatch
+is only AT-LEAST-ONCE for external side effects — a crash after the
+append completes but before the checkpoint epoch commits replays the
+batch.  Idempotence is therefore enforced at the sink: ``handle``
+passes its ``batch_id`` to ``append_shards``, which records the last
+applied id in the manifest and no-ops any batch at or below that
+watermark, so a replayed epoch cannot double-append.  The remaining
+window — a crash in the middle of ``append_shards`` itself, after
+some data files land but before the manifest publish — leaves the OLD
+manifest in place, so ``verify_shards`` flags the affected shards
+(count/fingerprint mismatch on a filled boundary, orphan directories
+for new shards) before any training job reads it; recovery is to
+delete the flagged directories' excess files and replay.  The streaming checkpoint is still REQUIRED: it is what
+scopes each source file to exactly one batch_id.
 """
 
 from __future__ import annotations
@@ -33,9 +43,10 @@ def streaming_shard_export(
     mandatory (see module docstring)."""
     if not checkpoint_dir:
         raise ValueError(
-            "streaming_shard_export requires a checkpoint_dir: shard "
-            "append is not replay-idempotent, the streaming checkpoint "
-            "is what makes delivery exactly-once"
+            "streaming_shard_export requires a checkpoint_dir: it is "
+            "what scopes each source file to exactly one batch_id, "
+            "which the manifest's last_batch_id watermark then makes "
+            "replay-idempotent"
         )
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
@@ -43,7 +54,10 @@ def streaming_shard_export(
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        append_shards(batch, store_path)
+        # batch_id makes the append idempotent per epoch: a replayed
+        # batch (foreachBatch is at-least-once) is a manifest-level
+        # no-op — see append_shards.
+        append_shards(batch, store_path, batch_id=batch_id)
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     return (
