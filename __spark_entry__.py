@@ -2625,15 +2625,31 @@ _EXTRA_QUERY_NAMES = (
     "filter_like",
     "stats_summary",
     "regexp_extract",
-    "zorder_layout",
-    "leakage_safe_split",
-    "corpus_overlap",
     "shard_plan",
-    "column_profile",
-    "value_histogram",
-    "weighted_sample",
-    "class_balanced",
-    "outlier_flags",
+    # -- round-8 rotation: the round-7 batch (green CORRECTNESS_r07
+    # driver rows) and the analytics-extensions block (green since r4)
+    # demoted to the extras tier (pytest-verified) to make room for the
+    # 20-slot backlog drain --
+    "video_frames",
+    "product_quantize",
+    "pq_search",
+    "line_dedup",
+    "quality_checks",
+    "repetition_stats",
+    "grouped_topk",
+    "snapshot_diff",
+    "stratified_fixed_k",
+    "ann_lsh_topk_portable",
+    "pricing_summary",
+    "returnflag_priority",
+    "top_revenue_nations",
+    "merge_upsert",
+    "scd2_history",
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "sketch_report",
+    "rollup_pricing",
     # -- round-7 rotation: the round-6 batch, each with a green
     # CORRECTNESS_r06 driver row, demoted to the extras tier
     # (pytest-verified) --
@@ -2671,20 +2687,6 @@ _EXTRA_QUERY_NAMES = (
     "anti_join",
     "global_topk",
     "events_json_extract",
-    # TPC-H shape completion (all 22 shapes now covered across the
-    # windowed + extras tiers)
-    "forecast_revenue",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "cheapest_supplier",
-    "important_nation_volume",
-    "top_supplier",
-    "parts_supplier_counts",
-    "small_qty_revenue",
-    "discounted_brand_revenue",
-    "excess_quantity_suppliers",
-    "waiting_suppliers",
 )
 
 _QUERY_ORDER = (
@@ -2720,43 +2722,37 @@ _QUERY_ORDER = (
     "embedding_near_dup_exact",
     "corpus_curation",
     "multimodal_decode",
-    # -- analytics extensions (one representative per plan shape) --
-    "pricing_summary",
-    "returnflag_priority",
-    "top_revenue_nations",
-    "merge_upsert",
-    "scd2_history",
-    "asof_join",
-    "range_join",
-    "time_rollup",
-    "sketch_report",
-    "rollup_pricing",
-    # -- round-7 rotation: never-driver-checked extras promoted into
-    # the 10 rotation slots (the round-6 batch each carries a green
-    # CORRECTNESS_r06 driver row and moves to the extras tier, still
-    # differentially verified by pytest).
-    # Backlog after this rotation: 18 never-driver-checked extras.
-    # Rotation schedule (mechanical — promote into slots 41-50, demote
-    # the sitting batch to _EXTRA_QUERY_NAMES):
-    #   r8: column_profile, value_histogram, weighted_sample,
-    #       class_balanced, outlier_flags, zorder_layout,
-    #       forecast_revenue, volume_shipping, market_share,
-    #       product_profit
-    #   r9: cheapest_supplier, important_nation_volume, top_supplier,
-    #       parts_supplier_counts, small_qty_revenue,
-    #       discounted_brand_revenue, excess_quantity_suppliers,
-    #       waiting_suppliers, leakage_safe_split, corpus_overlap
-    #       (shard_plan queues for r10 with the r8/r9 additions)
-    "video_frames",
-    "product_quantize",
-    "pq_search",
-    "line_dedup",
-    "quality_checks",
-    "repetition_stats",
-    "grouped_topk",
-    "snapshot_diff",
-    "stratified_fixed_k",
-    "ann_lsh_topk_portable",
+    # -- round-8 rotation: slots 31-50 drain BOTH scheduled batches
+    # (the r8 batch and the r9 batch from the r7 schedule) in one
+    # round, per the r7 verdict's "drain the r9 rotation" directive.
+    # To make room, the analytics-extensions block (pricing_summary
+    # ... rollup_pricing, green driver rows since r4) joins the
+    # sitting r7 batch in the demotion to _EXTRA_QUERY_NAMES — all 20
+    # demotions stay differentially verified by pytest
+    # (tests/test_extra_queries.py).
+    # Backlog after this rotation: 2 never-driver-checked extras
+    # (shard_plan, overlap_matrix) — queue them for r9 plus any r8
+    # additions; the analytics block can then rotate back in.
+    "column_profile",
+    "value_histogram",
+    "weighted_sample",
+    "class_balanced",
+    "outlier_flags",
+    "zorder_layout",
+    "forecast_revenue",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "cheapest_supplier",
+    "important_nation_volume",
+    "top_supplier",
+    "parts_supplier_counts",
+    "small_qty_revenue",
+    "discounted_brand_revenue",
+    "excess_quantity_suppliers",
+    "waiting_suppliers",
+    "leakage_safe_split",
+    "corpus_overlap",
     # -- positions 51+: permanently rows-only (len(_ROWS_ONLY) entries) --
 ) + _ROWS_ONLY
 
