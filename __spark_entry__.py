@@ -1804,6 +1804,31 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*[F.round(F.col(c), 4).alias(c) for c in out.columns])
 
 
+def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs corpus overlap (operators/overlap.py overlap_matrix):
+    split the corpus into four sources by doc_id mod 4, sketch each
+    source's word-bigram set ONCE with K-Minimum-Values (k=256,
+    md5-portable hashes), and report every unordered pair's distinct /
+    union / Jaccard / intersection estimates — the mixture-design
+    "how redundant are my sources?" view from one sketch pass.  The
+    oracle replays the per-corpus sketches and the C(4,2) pairwise
+    estimator arithmetic via a self-join over the sketch CTE."""
+    from tube_spark.functions.text import tokens, word_shingles
+    from tube_spark.operators.overlap import overlap_matrix
+
+    docs = _docs(spark, sf_dir)
+    el = docs.select(
+        F.concat(F.lit("c"), (F.col("doc_id") % 4).cast("string")).alias("corpus"),
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("element"),
+    )
+    out = overlap_matrix(el, k=256)
+    num = [c for c in out.columns if c not in ("corpus_a", "corpus_b")]
+    return out.select(
+        "corpus_a", "corpus_b",
+        *[F.round(F.col(c), 4).alias(c) for c in num],
+    )
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard LAYOUT (sinks/shards.py plan_shards): the
     cumulative-token assignment the training-shard export sink writes,
@@ -2541,6 +2566,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dataset_splits": q_dataset_splits,
         "leakage_safe_split": q_leakage_safe_split,
         "corpus_overlap": q_corpus_overlap,
+        "overlap_matrix": q_overlap_matrix,
         "shard_plan": q_shard_plan,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
@@ -2626,6 +2652,10 @@ _EXTRA_QUERY_NAMES = (
     "stats_summary",
     "regexp_extract",
     "shard_plan",
+    # round-8 addition: all-pairs KMV overlap (the one r7 surface that
+    # had no differential oracle) — queued for the r9 driver window
+    # with shard_plan
+    "overlap_matrix",
     # -- round-8 rotation: the round-7 batch (green CORRECTNESS_r07
     # driver rows) and the analytics-extensions block (green since r4)
     # demoted to the extras tier (pytest-verified) to make room for the
@@ -3056,6 +3086,58 @@ def _all_oracle_sql() -> dict[str, str]:
                 FROM u
             )
             SELECT round(n_a_est, 4) AS n_a_est,
+                   round(n_b_est, 4) AS n_b_est,
+                   round(n_union_est, 4) AS n_union_est,
+                   round(jaccard_est, 4) AS jaccard_est,
+                   round(jaccard_est * n_union_est, 4) AS n_intersection_est
+            FROM est
+        """,
+        "overlap_matrix": f"""
+            WITH tok AS (
+                SELECT doc_id, {_TOK} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(t) - 1, 0)),
+                           i -> concat(t[i], ' ', t[i+1]))) AS gs
+                FROM tok
+            ), el AS (
+                SELECT 'c' || cast(doc_id % 4 AS VARCHAR) AS corpus,
+                       ('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT AS h
+                FROM grams
+            ), dist AS (
+                SELECT DISTINCT corpus, h FROM el
+            ), rk AS (
+                SELECT corpus, h,
+                       row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn
+                FROM dist
+            ), kmv AS (
+                SELECT corpus, list(h ORDER BY h) AS minima
+                FROM rk WHERE rn <= 256 GROUP BY 1
+            ), pairs AS (
+                SELECT a.corpus AS corpus_a, b.corpus AS corpus_b,
+                       a.minima AS ma, b.minima AS mb,
+                       list_sort(list_distinct(
+                           flatten([a.minima, b.minima])))[1:256] AS mu
+                FROM kmv a JOIN kmv b ON a.corpus < b.corpus
+            ), est AS (
+                SELECT corpus_a, corpus_b,
+                    CASE WHEN len(ma) < 256 THEN len(ma)::DOUBLE
+                         ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                              / ma[256]::DOUBLE END AS n_a_est,
+                    CASE WHEN len(mb) < 256 THEN len(mb)::DOUBLE
+                         ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                              / mb[256]::DOUBLE END AS n_b_est,
+                    CASE WHEN len(mu) < 256 THEN len(mu)::DOUBLE
+                         ELSE (255::DOUBLE * 1152921504606846976::DOUBLE)
+                              / mu[256]::DOUBLE END AS n_union_est,
+                    len(list_filter(mu, x -> list_contains(ma, x)
+                        AND list_contains(mb, x)))::DOUBLE
+                        / len(mu)::DOUBLE AS jaccard_est
+                FROM pairs
+            )
+            SELECT corpus_a, corpus_b,
+                   round(n_a_est, 4) AS n_a_est,
                    round(n_b_est, 4) AS n_b_est,
                    round(n_union_est, 4) AS n_union_est,
                    round(jaccard_est, 4) AS jaccard_est,
