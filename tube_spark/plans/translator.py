@@ -82,14 +82,32 @@ class Collector:
     with ancestor props injected along the graph (reference
     ``injection/new_translator.py:81-213``)."""
 
-    def __init__(self, source: GraphSource, mapping: Mapping, dedup_doc_ids: bool = True):
+    def __init__(
+        self,
+        source: GraphSource,
+        mapping: Mapping,
+        dedup_doc_ids: bool = True,
+        dedup_scope: str = "global",
+    ):
         assert mapping.type == "collector"
+        assert dedup_scope in ("leaf", "global")
         self.source = source
         self.mapping = mapping
         # node ids are unique per leaf and leaves are distinct node types,
         # so doc ids are structurally unique — dedup_doc_ids=False skips
-        # the defensive full-shuffle distinct (the reference always paid it)
+        # the defensive full-shuffle distinct (the reference always paid
+        # it).  That skip is the real 100 TB lever: the distinct is 2/3
+        # of collector wall-time at sf1 (5.5 s vs 15.3 s, BENCH_NOTES
+        # round-8 experiment) and is a semantic no-op whenever leaf id
+        # spaces are known disjoint.
         self.dedup_doc_ids = dedup_doc_ids
+        # "global" (default): one distinct over the unioned frame.
+        # "leaf": dedup each leaf BEFORE the union (narrower pre-padding
+        # rows per exchange) — measured SLOWER at sf1 on the 3-column
+        # collector shape (16.6 s vs 15.3 s: nothing to narrow, and the
+        # extra exchange costs more than the padding saves); kept as an
+        # option for wide-schema collectors where the padding dominates.
+        self.dedup_scope = dedup_scope
 
     def translate(self) -> DataFrame:
         m, src = self.mapping, self.source
@@ -98,11 +116,15 @@ class Collector:
             raise ValueError(f"no nodes in category {m.category!r}")
 
         frames = [self._collect_leaf(leaf) for leaf in leaves]
+        if self.dedup_doc_ids and self.dedup_scope == "leaf":
+            frames = [f.dropDuplicates(["_doc_id"]) for f in frames]
         frames = _harmonize_array_columns(frames)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
-        return out.dropDuplicates(["_doc_id"]) if self.dedup_doc_ids else out
+        if self.dedup_doc_ids and self.dedup_scope == "global":
+            return out.dropDuplicates(["_doc_id"])
+        return out
 
     def _collect_leaf(self, leaf: str) -> DataFrame:
         m, src = self.mapping, self.source
