@@ -342,3 +342,53 @@ def test_verify_flags_orphan_shards(spark, tmp_path):
     bad = {r["shard"]: r for r in verify_shards(spark, p).collect()}
     assert not bad[k]["ok"] and bad[k]["expected_rows"] == 0
     assert all(bad[i]["ok"] for i in range(k))
+
+
+def test_repair_after_mid_append_crash(spark, tmp_path):
+    """Crash simulation for the one uncovered at-least-once window: an
+    append's data files land but its manifest publish never happens.
+    repair_shards rolls the store back to the published rank space
+    (orphan dirs deleted, half-filled boundary rewritten), after which
+    the replayed batch lands exactly once — end state identical to a
+    crash-free run."""
+    import json
+
+    from tube_spark.sinks.shards import append_shards, repair_shards
+
+    docs = _docs(spark)
+    seed = docs.filter(F.col("doc_id") < 90)     # shard 1 ragged (26)
+    batch = docs.filter(F.col("doc_id") >= 90)
+    p, ctrl = str(tmp_path / "crash"), str(tmp_path / "ctrl")
+
+    m0 = export_shards(seed, p, "doc_id", rows_per_shard=64, shuffle_seed=5)
+    export_shards(seed, ctrl, "doc_id", rows_per_shard=64, shuffle_seed=5)
+
+    # crash: run the append fully, then restore the OLD manifest —
+    # exactly the on-disk state of dying before the manifest publish
+    # (via fsio so the local FS checksum shadow file stays consistent)
+    from tube_spark.functions import fsio
+
+    append_shards(batch, p, batch_id=0)
+    fsio.write_text(spark, f"{p}/_MANIFEST.json", json.dumps(m0))
+
+    bad = verify_shards(spark, p).filter(~F.col("ok"))
+    assert bad.count() > 0  # the damage is visible to the gate
+    fixed = repair_shards(spark, p)
+    assert fixed.filter(~F.col("ok")).count() == 0
+    assert read_manifest(spark, p)["n_rows"] == 90
+
+    # replay the "lost" epoch; compare against a crash-free control
+    m1 = append_shards(batch, p, batch_id=0)
+    m2 = append_shards(batch, ctrl, batch_id=0)
+    assert m1["shards"] == m2["shards"] and m1["n_rows"] == m2["n_rows"]
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+
+
+def test_repair_is_noop_on_clean_store(spark, tmp_path):
+    from tube_spark.sinks.shards import repair_shards
+
+    p = str(tmp_path / "clean")
+    m = export_shards(_docs(spark), p, "doc_id", rows_per_shard=100)
+    fixed = repair_shards(spark, p)
+    assert fixed.filter(~F.col("ok")).count() == 0
+    assert read_manifest(spark, p) == m

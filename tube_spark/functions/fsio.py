@@ -58,6 +58,14 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(p)
 
 
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree; False when it didn't exist."""
+    fs, p, _ = _fs(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     fs, p, jvm = _fs(spark, path)
     stream = fs.open(p)

@@ -380,6 +380,52 @@ def append_shards(
     return manifest
 
 
+def repair_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Roll the store back to its last published manifest — the
+    recovery step after an append crashed between its data writes and
+    its manifest publish (the one at-least-once window the streaming
+    export's batch_id watermark cannot cover, because the watermark
+    only commits WITH the manifest).
+
+    The persisted ``rank`` makes this exact: every published row has
+    ``rank < manifest.n_rows``, every row from the crashed append has
+    ``rank >= n_rows`` — so repair rewrites each damaged shard keeping
+    only published ranks and deletes orphan directories wholesale.
+    After repair, ``verify_shards`` is all-ok and replaying the crashed
+    batch (same batch_id > last_batch_id) lands it exactly once.
+
+    Returns the post-repair ``verify_shards`` frame (callers gate on
+    ``ok``)."""
+    m = read_manifest(spark, path)
+    n_rows = int(m["n_rows"])
+    status = verify_shards(spark, path).collect()
+    for r in status:
+        if r["ok"]:
+            continue
+        sdir = fsio.join(path, "data", f"shard={r['shard']}")
+        if r["expected_rows"] == 0:
+            # orphan directory: entirely from the crashed append
+            fsio.delete(spark, sdir)
+        elif r["actual_rows"] > r["expected_rows"]:
+            # boundary shard half-filled by the crashed append: keep
+            # only the published rank space (one-shard rewrite, the
+            # same I/O unit as the fill itself)
+            kept = (
+                spark.read.parquet(sdir)
+                .filter(F.col("rank") < n_rows)
+                .localCheckpoint()
+            )
+            (
+                kept.repartition(1)
+                .sortWithinPartitions("rank")
+                .write.mode("overwrite")
+                .parquet(sdir)
+            )
+        # actual < expected (lost files) is NOT repairable from the
+        # store itself — leave the row flagged for the caller
+    return verify_shards(spark, path)
+
+
 def plan_shards(
     df: DataFrame,
     key_col: str,

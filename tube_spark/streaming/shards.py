@@ -19,8 +19,9 @@ window — a crash in the middle of ``append_shards`` itself, after
 some data files land but before the manifest publish — leaves the OLD
 manifest in place, so ``verify_shards`` flags the affected shards
 (count/fingerprint mismatch on a filled boundary, orphan directories
-for new shards) before any training job reads it; recovery is to
-delete the flagged directories' excess files and replay.  The streaming checkpoint is still REQUIRED: it is what
+for new shards) before any training job reads it; ``repair_shards``
+rolls the store back to the published rank space, after which the
+replayed epoch lands exactly once.  The streaming checkpoint is still REQUIRED: it is what
 scopes each source file to exactly one batch_id.
 """
 
