@@ -1829,6 +1829,23 @@ def q_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA's moment pass (operators/pca.py gram_matrix):
+    the 64x64 upper-triangle second-moment sums of the embedding
+    corpus, computed as ONE Arrow pass of bounded per-batch output
+    (a BLAS Gram partial per batch, dim*(dim+1)/2 rows reduced by a
+    tiny groupBy — never an exploded self-join).  Elements are
+    quantized to int64 (round-half-up at scale 1e4) so the sums are
+    exact integers any SQL engine reproduces regardless of summation
+    order; pca_fit consumes the full-precision float twin of this
+    pass.  The oracle materializes the same entries via an exploded
+    per-row self-join — the O(n*dim^2) shape this operator exists to
+    avoid."""
+    from tube_spark.operators.pca import gram_matrix
+
+    return gram_matrix(_emb(spark, sf_dir), dim=64).orderBy("i", "j")
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard LAYOUT (sinks/shards.py plan_shards): the
     cumulative-token assignment the training-shard export sink writes,
@@ -2567,6 +2584,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "leakage_safe_split": q_leakage_safe_split,
         "corpus_overlap": q_corpus_overlap,
         "overlap_matrix": q_overlap_matrix,
+        "embedding_covariance": q_embedding_covariance,
         "shard_plan": q_shard_plan,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
@@ -2652,10 +2670,11 @@ _EXTRA_QUERY_NAMES = (
     "stats_summary",
     "regexp_extract",
     "shard_plan",
-    # round-8 addition: all-pairs KMV overlap (the one r7 surface that
-    # had no differential oracle) — queued for the r9 driver window
-    # with shard_plan
+    # round-8 additions: all-pairs KMV overlap (the one r7 surface that
+    # had no differential oracle) and the PCA moment pass — queued for
+    # the r9 driver window with shard_plan
     "overlap_matrix",
+    "embedding_covariance",
     # -- round-8 rotation: the round-7 batch (green CORRECTNESS_r07
     # driver rows) and the analytics-extensions block (green since r4)
     # demoted to the extras tier (pytest-verified) to make room for the
@@ -3143,6 +3162,19 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(jaccard_est, 4) AS jaccard_est,
                    round(jaccard_est * n_union_est, 4) AS n_intersection_est
             FROM est
+        """,
+        "embedding_covariance": """
+            WITH x AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS i,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * 10000.0 + 0.5) AS BIGINT) AS q
+                FROM embeddings
+            )
+            SELECT a.i::INT AS i, b.i::INT AS j, sum(a.q * b.q)::BIGINT AS s_q
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "shard_plan": """
             WITH d AS (

@@ -55,6 +55,7 @@ ARROW_OK = {
     "heavy_hitters": 1,  # Misra-Gries summaries run as MapInPandas
     "ann_lsh_topk_portable": 3,  # Arrow signature kernel, like ann_lsh_topk
     "hard_negatives": 0,  # rides cosine_topk's Arrow cosine kernel
+    "embedding_covariance": 1,  # the PCA moment pass: one Gram-partial mapInPandas
 }
 
 # queries where a BroadcastNestedLoopJoin is the intended plan AND every
