@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "corpus_overlap",
     "shard_plan",
+    # round-8 additions (all-pairs overlap, PCA moment pass)
+    "overlap_matrix",
+    "embedding_covariance",
 ]
 
 
