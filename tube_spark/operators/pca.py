@@ -128,28 +128,42 @@ class PCAModel:
     _total: float = 0.0
 
 
-def pca_fit(
-    df: DataFrame, vec_col: str = "embedding", dim: int = 64, k: int = 16,
+def collect_moments(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> tuple[int, list[float], list[float]]:
+    """The distributed half of a PCA fit, as plain driver state:
+    ``(n, column_sums[dim], gram_upper[dim*(dim+1)/2])`` — the exactly
+    the numbers a streaming twin accumulates per batch (sums are
+    mergeable by addition)."""
+    import numpy as np
+
+    got = {(r["i"], r["j"]): r["s"] for r in _moment_pass(df, vec_col, dim, None).collect()}
+    n = int(got.pop((-1, -1), 0))
+    s = [float(got.get((i, -1), 0.0)) for i in range(dim)]
+    iu = np.triu_indices(dim)
+    g = [float(got.get((int(i), int(j)), 0.0)) for i, j in zip(*iu)]
+    return n, s, g
+
+
+def model_from_moments(
+    n: int, s: list[float], g: list[float], dim: int, k: int
 ) -> PCAModel:
-    """Fit PCA on one distributed pass: collect the dim x dim moment
-    partials (bounded driver state), form the sample covariance
-    ``(X^T X - n mu mu^T) / (n - 1)`` and eigendecompose driver-side.
-    Components are sign-normalized (largest-|coefficient| entry
-    positive) so fits are deterministic across partitionings."""
+    """Driver-side finish of a fit: sample covariance
+    ``(X^T X - n mu mu^T) / (n - 1)`` from the moment sums, then
+    eigendecompose.  Components are sign-normalized
+    (largest-|coefficient| entry positive) so fits are deterministic
+    across partitionings and batch schedules."""
     import numpy as np
 
     if not 1 <= k <= dim:
         raise ValueError(f"k must be in [1, {dim}], got {k}")
-    got = {(r["i"], r["j"]): r["s"] for r in _moment_pass(df, vec_col, dim, None).collect()}
-    n = int(got.pop((-1, -1), 0))
     if n < 2:
-        raise ValueError(f"pca_fit needs at least 2 vectors, got {n}")
-    s = np.array([got[(i, -1)] for i in range(dim)])
+        raise ValueError(f"PCA needs at least 2 vectors, got {n}")
+    mu = np.array(s) / n
     G = np.zeros((dim, dim))
-    for i in range(dim):
-        for j in range(i, dim):
-            G[i, j] = G[j, i] = got[(i, j)]
-    mu = s / n
+    iu = np.triu_indices(dim)
+    G[iu] = g
+    G = G + np.triu(G, 1).T
     cov = (G - n * np.outer(mu, mu)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)      # ascending
     order = np.argsort(evals)[::-1][:k]
@@ -167,6 +181,18 @@ def pca_fit(
     )
     model._total = float(evals.sum())
     return model
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64, k: int = 16,
+) -> PCAModel:
+    """Fit PCA on one distributed pass: collect the dim x dim moment
+    partials (bounded driver state) and finish driver-side
+    (``model_from_moments``)."""
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    n, s, g = collect_moments(df, vec_col, dim)
+    return model_from_moments(n, s, g, dim, k)
 
 
 def _lit_arr(vals) -> str:
