@@ -1707,10 +1707,18 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-Jaccard pairs via PPJoin-style prefix filtering
+    (operators/dedup.py _jaccard_pairs_prefix): LOSSLESS for the
+    threshold, so the oracle is the same exact-pair SQL as the full
+    inverted-index path — but only each document's rarest
+    sz - ceil(t*sz) + 1 shingles enter the self-join (5.3x at sf0.1:
+    158.8 -> 30.0 s, identical 2.97M pairs; the full path is the
+    pytest-pinned equivalence twin)."""
     from tube_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=1, threshold=0.8
+        _docs(spark, sf_dir), "doc_id", "text", n=1, threshold=0.8,
+        prefix_filter=True,
     )
 
 

@@ -281,3 +281,39 @@ def test_winnowing_guarantee(spark):
     short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     out = winnowing_fingerprints(short, "doc_id", "text", k=3, window=4).collect()
     assert out[0]["fingerprints"] == []
+
+
+def test_ngram_jaccard_prefix_filter_lossless(spark):
+    """Prefix filtering is exact: identical (pair, jaccard) output to
+    the full inverted-index path at several thresholds on real docs,
+    while strictly fewer rows enter the candidate self-join."""
+    from pyspark.sql import functions as F
+
+    from tube_spark.operators.dedup import _shingle_hashes, ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for t in (0.25, 0.5, 0.8):
+        full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=t
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert pref == full, f"t={t}: prefix-filtered output diverged"
+        assert full, f"t={t}: degenerate test (no pairs at all)"
+    # the reduction that pays at scale: prefix rows << index rows
+    inv = _shingle_hashes(docs, "doc_id", "text", 2)
+    n_inv = inv.count()
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    n_prefix = sizes.agg(
+        F.sum(F.col("sz") - F.ceil(F.lit(0.8) * F.col("sz")) + 1)
+    ).collect()[0][0]
+    assert n_prefix < 0.3 * n_inv

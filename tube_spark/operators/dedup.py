@@ -102,18 +102,37 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets, via a shingle inverted index.
 
     |A∩B| comes from the self-join on shingle hash; |A∪B| = |A|+|B|−|A∩B|.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
-    """
+
+    ``prefix_filter=True`` switches candidate generation to PPJoin-style
+    prefix filtering (Bayardo et al., WWW 2007; Xiao et al., WWW 2008):
+    index only each document's first ``sz - ceil(t*sz) + 1`` shingles in
+    a global rarest-first order instead of all of them.  LOSSLESS for
+    the threshold: order shingles globally and let w be the smallest
+    shingle of A∩B — if w were outside A's prefix then ALL of A∩B would
+    be (a prefix is downward-closed in the order), leaving
+    |A∩B| <= ceil(t|A|) - 1 < t|A| <= t|A∪B|, contradicting J >= t; so
+    w sits in BOTH prefixes and the prefix self-join finds every true
+    pair.  Candidate volume drops from sum(df^2) over all shingles to
+    sum over prefix shingles only (at t=0.8, ~20% of rows enter the
+    join, ~4% of the pair volume); rarest-first ordering makes the
+    surviving df's the small ones.  Unlike ``max_shingle_df`` this
+    prunes NOTHING true — it is the exact-join scale path; the df cap
+    remains the lossy emergency brake for adversarial skew."""
     inv = _shingle_hashes(df, id_col, text_col, n)
     if max_shingle_df is not None:
         keep = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_")).filter(
             F.col("df_") <= max_shingle_df
         )
         inv = inv.join(keep.select("sh"), on="sh", how="inner")
+
+    if prefix_filter:
+        return _jaccard_pairs_prefix(inv, id_col, threshold)
 
     sizes = inv.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = inv.select(F.col(id_col).alias("id_a"), "sh")
@@ -256,6 +275,75 @@ def minhash_lsh_pairs(
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def _jaccard_pairs_prefix(
+    inv: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard (see ngram_jaccard_pairs): join
+    only prefix rows, then verify candidates against the FULL shingle
+    sets (array_intersect over per-doc arrays — the prefix join
+    undercounts intersections by design, so verification re-derives
+    |A∩B| exactly)."""
+    from pyspark.sql import Window
+
+    t = float(threshold)
+    # inv feeds three branches (ranking, both verification sides);
+    # prefix feeds both sides of the candidate self-join; sets feeds
+    # both verification sides.  Pin each once (localCheckpoint,
+    # lazily) — left as one lazy mega-plan the duplicated
+    # explode/distinct/window subtrees cost ~28 s of replanning and
+    # recompute at ANY sf (measured; pinned: 1.7 s at sf0.01)
+    inv = inv.localCheckpoint(eager=False)
+    # global rarest-first order: (document frequency, hash) — any total
+    # order is correct; rarest-first minimizes candidates
+    dfreq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df_").asc(), F.col("sh").asc())
+    ranked = (
+        inv.join(dfreq, on="sh")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).localCheckpoint(eager=False)
+    a = prefix.select(F.col(id_col).alias("id_a"), "sh", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "sh", F.col("sz").alias("sz_b"))
+    cands = (
+        a.join(b, on="sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter (lossless, epsilon-guarded): J >= t forces
+        # min(|A|,|B|) >= |A∩B| >= t * max(|A|,|B|)
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.lit(t) * F.greatest("sz_a", "sz_b") - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = inv.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("sh")).alias("arr"),
+        F.count(F.lit(1)).alias("sz"),
+    ).localCheckpoint(eager=False)
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("arr").alias("arr_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("arr").alias("arr_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
