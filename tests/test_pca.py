@@ -114,3 +114,22 @@ def test_fit_validation(emb, spark):
     one = spark.createDataFrame([(1, [0.0] * DIM)], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="at least 2"):
         pca_fit(one, dim=DIM, k=2)
+
+
+def test_full_rank_transform_is_isometry(emb, X):
+    """k=dim PCA is an orthogonal rotation: pairwise L2 distances are
+    preserved, so any distance-based downstream (PQ, ANN, near-dup)
+    composed on rotated vectors searches the SAME neighbor structure.
+    (On these isotropic synthetic embeddings rotation does not improve
+    PQ recall — measured 0.52 vs 0.54 plain, BENCH_NOTES r8 — the
+    invariant worth pinning is that it cannot CHANGE the answers.)"""
+    model = pca_fit(emb, dim=DIM, k=DIM)
+    out = {
+        r["vec_id"]: np.array(r["pca"])
+        for r in pca_transform(emb, model).collect()
+    }
+    Y = np.array([out[i] for i in sorted(out)])
+    for a, b in [(0, 1), (3, 400), (17, 171)]:
+        da = np.linalg.norm(X[a] - X[b])
+        db = np.linalg.norm(Y[a] - Y[b])
+        assert abs(da - db) < 1e-9
