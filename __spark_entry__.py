@@ -2787,9 +2787,11 @@ _QUERY_ORDER = (
     # sitting r7 batch in the demotion to _EXTRA_QUERY_NAMES — all 20
     # demotions stay differentially verified by pytest
     # (tests/test_extra_queries.py).
-    # Backlog after this rotation: 2 never-driver-checked extras
-    # (shard_plan, overlap_matrix) — queue them for r9 plus any r8
-    # additions; the analytics block can then rotate back in.
+    # Backlog after this rotation: 3 never-driver-checked extras —
+    # shard_plan plus the two r8 additions (overlap_matrix,
+    # embedding_covariance).  r9 schedule: promote those 3 into slots
+    # 48-50 and rotate 7 of the demoted analytics block back into
+    # 41-47; demote 10 sitting r8 entries.
     "column_profile",
     "value_histogram",
     "weighted_sample",
