@@ -1854,6 +1854,31 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(_emb(spark, sf_dir), dim=64).orderBy("i", "j")
 
 
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (operators/mixture.py
+    mixture_weights): per-source token mass -> sampling weight
+    w_i = n_i^0.5 / sum_j n_j^0.5 (the multilingual upsampling recipe)
+    and the token allocation under a 1M budget — the step that
+    COMPUTES the weights data_mixture then samples under.  alpha=0.5
+    keeps the oracle exact: sqrt is correctly rounded IEEE in both
+    engines, so only the 3-addend normalization sum can differ (last
+    bit, absorbed by the 6 dp rounding)."""
+    from tube_spark.functions.text import token_count_bpe_ish
+    from tube_spark.operators.mixture import mixture_weights
+
+    src = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("web"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    d = _docs(spark, sf_dir).select(
+        src.alias("source"), token_count_bpe_ish(F.col("text")).alias("n_tok")
+    )
+    return mixture_weights(
+        d, "source", "n_tok", alpha=0.5, total_budget=1_000_000
+    ).orderBy("source")
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard LAYOUT (sinks/shards.py plan_shards): the
     cumulative-token assignment the training-shard export sink writes,
@@ -2593,6 +2618,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_overlap": q_corpus_overlap,
         "overlap_matrix": q_overlap_matrix,
         "embedding_covariance": q_embedding_covariance,
+        "mixture_plan": q_mixture_plan,
         "shard_plan": q_shard_plan,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
@@ -2679,10 +2705,12 @@ _EXTRA_QUERY_NAMES = (
     "regexp_extract",
     "shard_plan",
     # round-8 additions: all-pairs KMV overlap (the one r7 surface that
-    # had no differential oracle) and the PCA moment pass — queued for
-    # the r9 driver window with shard_plan
+    # had no differential oracle), the PCA moment pass, and the
+    # temperature mixture-weight plan — queued for the r9 driver
+    # window with shard_plan
     "overlap_matrix",
     "embedding_covariance",
+    "mixture_plan",
     # -- round-8 rotation: the round-7 batch (green CORRECTNESS_r07
     # driver rows) and the analytics-extensions block (green since r4)
     # demoted to the extras tier (pytest-verified) to make room for the
@@ -3185,6 +3213,26 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "mixture_plan": """
+            WITH d AS (
+                SELECT CASE WHEN doc_id % 10 < 6 THEN 'web'
+                            WHEN doc_id % 10 < 9 THEN 'books'
+                            ELSE 'code' END AS source,
+                       len(regexp_extract_all(text,
+                           '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS n_tok
+                FROM documents
+            ), per AS (
+                SELECT source, count(*)::BIGINT AS n_docs,
+                       sum(n_tok)::BIGINT AS n_tokens
+                FROM d GROUP BY 1
+            ), s AS (
+                SELECT *, pow(n_tokens::DOUBLE, 0.5) AS pw FROM per
+            ), t AS (SELECT sum(pw) AS tot FROM s)
+            SELECT source, n_docs, n_tokens,
+                   round(pw / tot, 6) AS weight,
+                   floor(pw / tot * 1000000)::BIGINT AS alloc_tokens
+            FROM s, t ORDER BY source
         """,
         "shard_plan": """
             WITH d AS (

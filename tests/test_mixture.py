@@ -62,3 +62,32 @@ def test_bad_inputs(spark):
         mixture_sample(d, {}, 10)
     with pytest.raises(ValueError):
         mixture_sample(d, {"web": -1.0}, 10)
+
+
+def test_mixture_weights_temperature_semantics(spark):
+    """alpha=1 -> proportional to token mass; alpha=0 -> uniform;
+    0<alpha<1 upsamples the small source (weight above proportional,
+    below uniform); allocations sum to <= budget with floor rounding."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tube_spark.operators.mixture import mixture_weights
+
+    rows = [("web", 100) for _ in range(90)] + [("code", 100) for _ in range(10)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+
+    prop = {r["source"]: r["weight"] for r in mixture_weights(df, "source", "n_tok", alpha=1.0).collect()}
+    assert prop["web"] == pytest.approx(0.9, abs=1e-6)
+    uni = {r["source"]: r["weight"] for r in mixture_weights(df, "source", "n_tok", alpha=0.0).collect()}
+    assert uni["web"] == pytest.approx(0.5, abs=1e-6)
+    half = {r["source"]: r["weight"] for r in mixture_weights(df, "source", "n_tok", alpha=0.5).collect()}
+    assert prop["code"] < half["code"] < uni["code"]
+
+    out = mixture_weights(df, "source", "n_tok", alpha=0.5, total_budget=1000).collect()
+    allocs = {r["source"]: r["alloc_tokens"] for r in out}
+    assert sum(allocs.values()) <= 1000
+    assert all(r["alloc_tokens"] is not None for r in out)
+    no_budget = mixture_weights(df, "source", "n_tok", alpha=0.5).collect()
+    assert all(r["alloc_tokens"] is None for r in no_budget)
+    with pytest.raises(ValueError, match="alpha"):
+        mixture_weights(df, "source", "n_tok", alpha=-1)

@@ -31,6 +31,48 @@ from pyspark.sql import functions as F
 from tube_spark.functions.text import portable_hash
 
 
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: str,
+    alpha: float = 0.5,
+    total_budget: int | None = None,
+) -> DataFrame:
+    """Compute the per-source sampling weights a pretraining mixture
+    actually uses: temperature-scaled by available token mass,
+    ``w_i = n_i^alpha / sum_j n_j^alpha`` (alpha=1 proportional,
+    alpha=0 uniform; 0<alpha<1 upsamples small/rare sources — the
+    multilingual-pretraining recipe).  Returns one row per source:
+    ``(source, n_docs, n_tokens, weight, alloc_tokens)`` —
+    ``alloc_tokens = floor(weight * total_budget)`` when a budget is
+    given (feed straight into ``mixture_sample``), else null.
+
+    Scale shape: ONE groupBy over the corpus (map-side combinable
+    count/sum); the temperature arithmetic runs on the #sources-sized
+    aggregate, so this is a corpus scan plus driver-free tiny math.
+    Weight floats are rounded (6 dp) AFTER the full-precision
+    normalization so the SQL oracle reproduces them."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_count_col)).cast("long").alias("n_tokens"),
+    )
+    scaled = per.withColumn(
+        "pw", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    tot = scaled.agg(F.sum("pw")).collect()[0][0]
+    out = scaled.withColumn("weight", F.round(F.col("pw") / F.lit(float(tot)), 6))
+    if total_budget is not None:
+        out = out.withColumn(
+            "alloc_tokens",
+            F.floor(F.col("pw") / F.lit(float(tot)) * F.lit(int(total_budget))).cast("long"),
+        )
+    else:
+        out = out.withColumn("alloc_tokens", F.lit(None).cast("long"))
+    return out.select("source", "n_docs", "n_tokens", "weight", "alloc_tokens")
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],
