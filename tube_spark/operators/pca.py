@@ -123,6 +123,8 @@ class PCAModel:
 
     def explained_variance_ratio(self, total_variance: float | None = None):
         tot = total_variance if total_variance is not None else self._total
+        if tot == 0:  # zero-variance corpus: nothing to explain
+            return [0.0] * len(self.eigenvalues)
         return [ev / tot for ev in self.eigenvalues]
 
     _total: float = 0.0
