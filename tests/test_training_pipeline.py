@@ -85,3 +85,67 @@ def test_corpus_to_training_shards(spark, tmp_path):
     assert leaked == 0
     # manifest is re-readable and consistent
     assert read_manifest(spark, p)["n_rows"] == n_train
+
+
+def test_jsonl_ingest_to_mixture_to_shards(spark, tmp_path):
+    """The round-8 front/middle stages compose with the sink: raw JSONL
+    (with corrupt lines) -> schema-contract ingest + quarantine ->
+    temperature mixture weights -> per-source token-budget sampling ->
+    shard export, with accounting invariants at every joint."""
+    import json
+
+    from tube_spark.operators.mixture import mixture_sample, mixture_weights
+    from tube_spark.sources.jsonl import read_jsonl
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    rows = docs.collect()
+    lines = [
+        json.dumps({
+            "doc_id": r["doc_id"],
+            "text": r["text"],
+            "source": "web" if r["doc_id"] % 10 < 7 else "books",
+        })
+        for r in rows
+    ] + ['{"doc_id": broken', "garbage line"]
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    clean, quar = read_jsonl(
+        spark, str(src), "doc_id long, text string, source string",
+        required=["doc_id", "text"],
+    )
+    assert clean.count() == len(rows) and quar.count() == 2
+
+    toks = clean.withColumn("n_tok", token_count_bpe_ish(F.col("text")))
+    plan = {
+        r["source"]: r
+        for r in mixture_weights(
+            toks, "source", "n_tok", alpha=0.5, total_budget=20_000
+        ).collect()
+    }
+    assert set(plan) == {"web", "books"}
+    # fractional temperature upsamples the smaller source
+    w_prop = plan["web"]["n_tokens"] / (plan["web"]["n_tokens"] + plan["books"]["n_tokens"])
+    assert plan["web"]["weight"] < w_prop
+
+    weights = {s: r["weight"] for s, r in plan.items()}
+    sampled = mixture_sample(
+        toks, weights, token_budget=20_000, id_col="doc_id",
+        source_col="source", token_count_col="n_tok",
+    )
+    got_tokens = sampled.agg(F.sum("n_tok")).collect()[0][0]
+    assert got_tokens >= 20_000 * 0.9  # boundary-doc inclusion, near-budget
+
+    p = str(tmp_path / "mixshards")
+    m = export_shards(
+        sampled.select("doc_id", "text", "source", "n_tok"),
+        p, "doc_id", token_budget=4096, token_count_col="n_tok",
+        shuffle_seed=3,
+    )
+    assert m["n_rows"] == sampled.count()
+    assert m["n_tokens"] == got_tokens
+    assert verify_shards(spark, p).filter(~F.col("ok")).count() == 0
+    # per-source presence survives the shard write
+    back = spark.read.parquet(f"{p}/data")
+    assert back.select("source").distinct().count() == 2
