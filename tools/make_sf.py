@@ -121,11 +121,20 @@ def main() -> int:
         )
         print(f"copied {t}")
     for t in _FACTS:
-        replicate(spark, src, t, factor, strides).write.mode("overwrite").parquet(
-            f"{dst}/{t}.parquet"
-        )
+        # write factor*4 part files (min 8): the broadcast cross-join
+        # preserves the source's file count, so a 1-file source used to
+        # yield a 1-file replica — every scan-bound sf1 bench then ran
+        # its heavy stage on maxPartitionBytes splits of ONE file (2
+        # tasks for documents), an artifact no production corpus has.
+        # File count must scale with data or the harness measures the
+        # artifact, not the plan.
+        key = _FACTS[t][0]
+        n_files = max(8, 4 * factor)
+        replicate(spark, src, t, factor, strides).repartition(
+            n_files, key
+        ).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         n = spark.read.parquet(f"{dst}/{t}.parquet").count()
-        print(f"replicated {t} x{factor}: {n} rows")
+        print(f"replicated {t} x{factor}: {n} rows, {n_files} files")
     return 0
 
 
