@@ -80,3 +80,44 @@ def test_one_scan_no_python_stages(spark, tmp_path):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "FileScan json" not in plan  # reads the pinned checkpoint
         assert "Scan ExistingRDD" in plan
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    """Streamed clean/quarantine equals the batch read_jsonl split;
+    restart against the same checkpoint appends nothing twice; a late
+    file is picked up exactly once."""
+    from tube_spark.streaming.jsonl import streaming_jsonl_ingest
+
+    src = _write(tmp_path, GOOD + BROKEN + MISSING)
+    clean_d, quar_d = str(tmp_path / "clean"), str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ck")
+    q = streaming_jsonl_ingest(
+        spark, src, SCHEMA, clean_d, quar_d,
+        required=["doc_id", "text"], checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    got_clean = spark.read.parquet(clean_d).drop("batch")
+    got_quar = spark.read.parquet(quar_d).drop("batch")
+    want_clean, want_quar = read_jsonl(spark, src, SCHEMA, required=["doc_id", "text"])
+    assert sorted(r["doc_id"] for r in got_clean.collect()) == sorted(
+        r["doc_id"] for r in want_clean.collect()
+    )
+    assert sorted((r["reason"], r["raw"]) for r in got_quar.collect()) == sorted(
+        (r["reason"], r["raw"]) for r in want_quar.collect()
+    )
+    # restart: redelivery opportunity, nothing doubles
+    q = streaming_jsonl_ingest(
+        spark, src, SCHEMA, clean_d, quar_d,
+        required=["doc_id", "text"], checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(clean_d).count() == 8
+    # late file arrives
+    more = [__import__("json").dumps({"doc_id": 100 + i, "text": "late", "lang": "en"}) for i in range(3)]
+    _write(tmp_path, more, name="part-1.jsonl")
+    q = streaming_jsonl_ingest(
+        spark, src, SCHEMA, clean_d, quar_d,
+        required=["doc_id", "text"], checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(clean_d).count() == 11
