@@ -2815,11 +2815,11 @@ _QUERY_ORDER = (
     # sitting r7 batch in the demotion to _EXTRA_QUERY_NAMES — all 20
     # demotions stay differentially verified by pytest
     # (tests/test_extra_queries.py).
-    # Backlog after this rotation: 3 never-driver-checked extras —
-    # shard_plan plus the two r8 additions (overlap_matrix,
-    # embedding_covariance).  r9 schedule: promote those 3 into slots
-    # 48-50 and rotate 7 of the demoted analytics block back into
-    # 41-47; demote 10 sitting r8 entries.
+    # Backlog after this rotation: 4 never-driver-checked extras —
+    # shard_plan plus the three r8 additions (overlap_matrix,
+    # embedding_covariance, mixture_plan).  r9 schedule: promote those
+    # 4 into slots 47-50 and rotate 6 of the demoted analytics block
+    # back into 41-46; demote 10 sitting r8 entries.
     "column_profile",
     "value_histogram",
     "weighted_sample",
