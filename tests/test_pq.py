@@ -137,3 +137,46 @@ def test_pq_train_monotone_improvement(spark):
     e3 = err(pq_train(emb, dim=64, m=8, k=16, iters=3))
     # Lloyd iterations never increase total quantization error
     assert e3 <= e1 + 1e-9
+
+
+def test_pq_search_many_equals_per_query(spark):
+    """Batched ADC == per-query pq_search for every query and rank."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tube_spark.operators.quantize import (
+        pq_encode, pq_search, pq_search_many, pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    books = pq_train(emb, dim=64, m=8, k=16, iters=1)
+    codes = pq_encode(emb, dim=64, m=8, k=16, codebooks=books).select(
+        "vec_id", "codes"
+    ).localCheckpoint()
+    qs = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    many = pq_search_many(codes, qs, dim=64, m=8, k=16, topk=7, codebooks=books)
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["approx_sq_dist"])
+        for r in many.collect()
+    }
+    assert len(got) == 4 * 7
+    for qid, qv in qs:
+        one = pq_search(codes, qv, dim=64, m=8, k=16, topk=7, codebooks=books).collect()
+        for rank, r in enumerate(one, start=1):
+            vid, dist = got[(qid, rank)]
+            assert vid == r["vec_id"]
+            assert dist == pytest.approx(r["approx_sq_dist"], rel=1e-12)
+    # ONE plan for all queries: no per-query Union fan-out (the
+    # pq_search loop shape), scoring expression shared; grouped_topk's
+    # two phases may rescan the pinned relations, which is independent
+    # of B
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    with pytest.raises(ValueError, match="at least one"):
+        pq_search_many(codes, [], dim=64, m=8, k=16)

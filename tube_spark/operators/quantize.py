@@ -267,6 +267,72 @@ def pq_search(
     )
 
 
+def pq_search_many(
+    codes_df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Batched ADC search: ALL queries against the code table in ONE
+    plan — the retrieval-serving shape (``pq_search`` compiles a fresh
+    literal expression per query; B queries = B plans and B scans).
+
+    Each query's m x k lookup table is a ROW of a broadcast frame
+    (flattened to m*k doubles), joined to the codes by a
+    declared-bounded broadcast nested loop (B tiny rows x the scan);
+    scoring indexes the LUT with a higher-order ``aggregate`` over the
+    m code positions, so the expression TEXT is shared by every query
+    — one codegen compile, one scan of the codes column, regardless of
+    B.  Per-query top-k goes through ``grouped_topk`` (two-phase, no
+    one-task-per-query window funnel).
+
+    Returns ``(query_id, vec_id, approx_sq_dist, rank)``, rank 1-based
+    ascending by distance (ties broken by id).  Exactly equal to
+    per-query ``pq_search`` calls (pytest-pinned)."""
+    from tube_spark.operators.ranking import grouped_topk
+
+    if not queries:
+        raise ValueError("pq_search_many needs at least one query")
+    sub_dim = dim // m
+    books = codebooks if codebooks is not None else lattice_codebooks(m, sub_dim, k)
+    spark = codes_df.sparkSession
+    rows = []
+    for qid, qv in queries:
+        if len(qv) != dim:
+            raise ValueError(f"query {qid}: dim {len(qv)} != {dim}")
+        flat = [
+            sum(
+                (qv[s * sub_dim + i] - c[i]) * (qv[s * sub_dim + i] - c[i])
+                for i in range(sub_dim)
+            )
+            for s in range(m)
+            for c in books[s]
+        ]
+        rows.append((int(qid), flat))
+    q = F.broadcast(
+        spark.createDataFrame(rows, "query_id long, lut array<double>")
+    )
+    score = F.expr(
+        f"aggregate(sequence(1, {m}), CAST(0.0 AS DOUBLE), "
+        f"(acc, s) -> acc + element_at(lut, (s-1)*{k} + "
+        f"element_at({codes_col}, s) + 1))"
+    )
+    scored = (
+        codes_df.select(F.col(id_col), F.col(codes_col))
+        .join(q)  # BNLJ: B broadcast rows x the codes scan
+        .select("query_id", F.col(id_col), score.alias("approx_sq_dist"))
+    )
+    return grouped_topk(
+        scored, ["query_id"], "approx_sq_dist", topk,
+        descending=False, tiebreak_col=id_col,
+    ).select("query_id", id_col, "approx_sq_dist", "rank")
+
+
 def pq_train(
     df: DataFrame,
     dim: int,
