@@ -2460,40 +2460,44 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximates; labeled exact baseline — broadcast query set)
     from pyspark.sql import Window as _W
 
-    from tube_spark.operators.quantize import pq_encode, pq_search, pq_train
+    from tube_spark.operators.quantize import pq_encode, pq_train
 
     # iters=1: the deterministic seeded init + one Lloyd round already
     # clears the floor (measured 0.620 at sf0.01); each extra iteration
     # and each per-query LUT is a fresh literal expression compile, so
     # the report pays codegen, not scan (SCALE.md iterative rules)
+    from pyspark.sql import Window as _W2
+
+    from tube_spark.operators.quantize import pq_search_many
+
     books = pq_train(emb, dim=64, m=16, k=64, iters=1)
-    # localCheckpoint: the 5 per-query ADC branches below union into
-    # ONE plan — without it each branch re-runs the (large) encode
-    # expression, 5x the dominant cost
+    # localCheckpoint: the batched search's two top-k phases rescan the
+    # codes — without it each rescan re-runs the (large) encode
+    # expression
     codes = (
         pq_encode(emb, dim=64, m=16, k=64, codebooks=books)
         .select("vec_id", "codes")
         .localCheckpoint()
     )
     qrows = emb.filter(F.col("vec_id") < 5).collect()
-    adc = None
-    for r in qrows:
-        # topk=11 then drop self; if the query is NOT in its own ADC
-        # top-11 (possible under quantization) 11 rows survive, so
-        # re-order by the ADC distance before the limit — an unordered
-        # limit(10) would drop an arbitrary row and make the reported
-        # recall nondeterministic
-        one = pq_search(
-            codes, [float(x) for x in r["embedding"]], dim=64, m=16, k=64,
-            topk=11, codebooks=books,
-        ).select(
-            F.lit(r["vec_id"]).alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("approx_sq_dist"),
-        ).filter(F.col("neighbor_id") != F.col("query_id")).orderBy(
-            F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
-        ).limit(10).select("query_id", "neighbor_id")
-        adc = one if adc is None else adc.unionByName(one)
+    # ONE plan for all 5 queries (pq_search_many: shared scoring
+    # expression, LUTs as broadcast rows — replaces the old per-query
+    # union, which paid a codegen compile and a scan per query).
+    # topk=11 then drop self and re-rank by the ADC order: if the
+    # query is NOT in its own ADC top-11 (possible under quantization)
+    # 11 rows survive, and an unranked cut would be nondeterministic.
+    qs = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows]
+    w_adc = _W2.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()
+    )
+    adc = (
+        pq_search_many(codes, qs, dim=64, m=16, k=64, topk=11, codebooks=books)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "approx_sq_dist")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "neighbor_id")
+    )
     qq = spark.createDataFrame(
         [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows],
         "query_id long, q_vec array<double>",
