@@ -2707,14 +2707,22 @@ _EXTRA_QUERY_NAMES = (
     "filter_like",
     "stats_summary",
     "regexp_extract",
-    "shard_plan",
-    # round-8 additions: all-pairs KMV overlap (the one r7 surface that
-    # had no differential oracle), the PCA moment pass, and the
-    # temperature mixture-weight plan — queued for the r9 driver
-    # window with shard_plan
-    "overlap_matrix",
-    "embedding_covariance",
-    "mixture_plan",
+    # -- round-9 rotation: the 8 TPC-H re-shapes plus
+    # forecast_revenue/zorder_layout (green r8 window rows) demoted to
+    # the extras tier (pytest-verified) to make room for the backlog
+    # promotion (shard_plan/overlap_matrix/embedding_covariance/
+    # mixture_plan) and the analytics returns (merge_upsert ...
+    # sketch_report) --
+    "cheapest_supplier",
+    "important_nation_volume",
+    "top_supplier",
+    "parts_supplier_counts",
+    "small_qty_revenue",
+    "discounted_brand_revenue",
+    "excess_quantity_suppliers",
+    "waiting_suppliers",
+    "forecast_revenue",
+    "zorder_layout",
     # -- round-8 rotation: the round-7 batch (green CORRECTNESS_r07
     # driver rows) and the analytics-extensions block (green since r4)
     # demoted to the extras tier (pytest-verified) to make room for the
@@ -2732,12 +2740,6 @@ _EXTRA_QUERY_NAMES = (
     "pricing_summary",
     "returnflag_priority",
     "top_revenue_nations",
-    "merge_upsert",
-    "scd2_history",
-    "asof_join",
-    "range_join",
-    "time_rollup",
-    "sketch_report",
     "rollup_pricing",
     # -- round-7 rotation: the round-6 batch, each with a green
     # CORRECTNESS_r06 driver row, demoted to the extras tier
@@ -2811,39 +2813,39 @@ _QUERY_ORDER = (
     "embedding_near_dup_exact",
     "corpus_curation",
     "multimodal_decode",
-    # -- round-8 rotation: slots 31-50 drain BOTH scheduled batches
-    # (the r8 batch and the r9 batch from the r7 schedule) in one
-    # round, per the r7 verdict's "drain the r9 rotation" directive.
-    # To make room, the analytics-extensions block (pricing_summary
-    # ... rollup_pricing, green driver rows since r4) joins the
-    # sitting r7 batch in the demotion to _EXTRA_QUERY_NAMES — all 20
-    # demotions stay differentially verified by pytest
+    # -- round-9 rotation (executes the r8 schedule comment): the 4
+    # never-driver-checked backlog extras (shard_plan + the three r8
+    # additions) take slots 47-50; 6 operator-shaped analytics queries
+    # (merge_upsert ... sketch_report, demoted in r8) rotate back into
+    # 41-46; the 8 TPC-H re-shapes plus forecast_revenue/zorder_layout
+    # (all green in the r8 window run) demote to _EXTRA_QUERY_NAMES,
+    # staying differentially verified by pytest
     # (tests/test_extra_queries.py).
-    # Backlog after this rotation: 4 never-driver-checked extras —
-    # shard_plan plus the three r8 additions (overlap_matrix,
-    # embedding_covariance, mixture_plan).  r9 schedule: promote those
-    # 4 into slots 47-50 and rotate 6 of the demoted analytics block
-    # back into 41-46; demote 10 sitting r8 entries.
+    # Backlog after this rotation: the round-9 additions (see the
+    # _EXTRA_QUERY_NAMES head).  r10 schedule: promote those into the
+    # tail slots and rotate the longest-demoted analytics entries
+    # (pricing_summary block) back in; demote an equal count of sitting
+    # r9 entries.
     "column_profile",
     "value_histogram",
     "weighted_sample",
     "class_balanced",
     "outlier_flags",
-    "zorder_layout",
-    "forecast_revenue",
     "volume_shipping",
     "market_share",
     "product_profit",
-    "cheapest_supplier",
-    "important_nation_volume",
-    "top_supplier",
-    "parts_supplier_counts",
-    "small_qty_revenue",
-    "discounted_brand_revenue",
-    "excess_quantity_suppliers",
-    "waiting_suppliers",
     "leakage_safe_split",
     "corpus_overlap",
+    "merge_upsert",
+    "scd2_history",
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "sketch_report",
+    "shard_plan",
+    "overlap_matrix",
+    "embedding_covariance",
+    "mixture_plan",
     # -- positions 51+: permanently rows-only (len(_ROWS_ONLY) entries) --
 ) + _ROWS_ONLY
 
