@@ -2308,6 +2308,30 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_score(_docs(spark, sf_dir))
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram LM perplexity (operators/lm.py): add-k
+    smoothed bigram model self-trained on the corpus under a 20-token
+    vocabulary cap (rare tokens -> <unk>), scored per document.
+    Map-only bigram construction, broadcast keep-list/context joins,
+    model bounded by the vocab cap."""
+    from tube_spark.operators.lm import bigram_lm_perplexity
+
+    return bigram_lm_perplexity(_docs(spark, sf_dir), vocab_size=20, add_k=0.5)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py): hashed unigram+
+    bigram bag models over 512 portable-hash buckets; target = the
+    English subset, raw = the full corpus.  Model tables bounded by
+    dim; scoring is one broadcast join + per-doc aggregation."""
+    from tube_spark.operators.dsir import dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), dim=512, add_k=0.5
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real multimodal decode: deterministic MJPEG AVIs (doc_id%4==0),
     BMP images (other even doc_ids) and PCM WAVs (odd doc_ids) are
@@ -2610,6 +2634,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "curation_report": q_curation_report,
         "embedding_quantize": q_embedding_quantize,
         "lm_score": q_lm_score,
+        "bigram_perplexity": q_bigram_perplexity,
+        "dsir_weights": q_dsir_weights,
         "sessionization": q_sessionization,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -2693,6 +2719,10 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
+    # round-9 additions (queued for the r10 driver window): CCNet-style
+    # bigram LM perplexity and DSIR importance weights
+    "bigram_perplexity",
+    "dsir_weights",
     "shipping_priority",
     "local_supplier_volume",
     "late_shipment_orders",
@@ -4585,6 +4615,88 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(exp(avg(-ln((c.cnt + 1.0) / (tt.total + tt.vocab)))), 4)
                        AS ppl
             FROM tok t JOIN counts c USING (term) CROSS JOIN totals tt
+            GROUP BY 1
+        """,
+        "bigram_perplexity": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(t) AS term,
+                       generate_subscripts(t, 1) AS pos
+                FROM (SELECT doc_id, {_TOK} AS t FROM documents)
+            ),
+            vc AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+            keep AS (
+                SELECT term FROM (
+                    SELECT term,
+                           row_number() OVER (ORDER BY cnt DESC, term) AS rn
+                    FROM vc
+                ) WHERE rn <= 20
+            ),
+            m AS (
+                SELECT t.doc_id, t.pos,
+                       CASE WHEN k.term IS NULL THEN '<unk>' ELSE t.term END
+                           AS term
+                FROM tok t LEFT JOIN keep k USING (term)
+            ),
+            big AS (
+                SELECT doc_id, w1, w2 FROM (
+                    SELECT doc_id, term AS w1,
+                           lead(term) OVER (PARTITION BY doc_id ORDER BY pos)
+                               AS w2
+                    FROM m
+                ) WHERE w2 IS NOT NULL
+            ),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+            vev AS (SELECT count(DISTINCT w2) AS vev FROM big)
+            SELECT b.doc_id,
+                   count(*)::BIGINT AS n_bigrams,
+                   round(avg(-ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vev.vev))), 6)
+                       AS avg_nll,
+                   round(exp(avg(-ln((c12.c12 + 0.5)
+                                     / (c1.c1 + 0.5 * vev.vev)))), 4) AS ppl
+            FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            CROSS JOIN vev
+            GROUP BY 1
+        """,
+        "dsir_weights": f"""
+            WITH d AS (SELECT doc_id, {_TOK} AS t FROM documents),
+            g AS (
+                SELECT doc_id, unnest(list_concat(
+                    t,
+                    list_transform(
+                        generate_series(1, greatest(len(t) - 1, 0)),
+                        i -> array_to_string(t[i:i+1], ' '))
+                )) AS gram
+                FROM d
+            ),
+            b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('dsir' || gram), 1, 15))::BIGINT
+                           % 512 AS bucket
+                FROM g
+            ),
+            tb AS (
+                SELECT b.bucket FROM b
+                JOIN documents USING (doc_id) WHERE lang = 'en'
+            ),
+            rc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY 1),
+            tc AS (SELECT bucket, count(*) AS tc FROM tb GROUP BY 1),
+            model AS (
+                SELECT bucket, coalesce(rc, 0) AS rc, coalesce(tc, 0) AS tc
+                FROM rc FULL JOIN tc USING (bucket)
+            ),
+            tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM model),
+            lr AS (
+                SELECT bucket,
+                       ln((tc + 0.5) / (tt + 0.5 * 512))
+                       - ln((rc + 0.5) / (rt + 0.5 * 512)) AS lr
+                FROM model CROSS JOIN tot
+            )
+            SELECT b.doc_id,
+                   count(*)::BIGINT AS n_feats,
+                   round(sum(lr.lr), 6) AS log_weight,
+                   round(avg(lr.lr), 6) AS avg_log_weight
+            FROM b JOIN lr USING (bucket)
             GROUP BY 1
         """,
         "events_json_extract": """
