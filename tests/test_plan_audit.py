@@ -93,6 +93,8 @@ BNLJ_OK = {
     "psi_drift",  # one-row histogram-totals broadcast
     "kmeans_clusters",  # one-row centers broadcast (codegen-cache shape)
     "semantic_dedup",  # one-row centroids broadcast (codegen-cache shape)
+    "bigram_perplexity",  # one-row event-vocab (V_ev) broadcast
+    "dsir_weights",  # one-row corpus-totals broadcast for the log-ratios
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key
