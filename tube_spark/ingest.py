@@ -35,7 +35,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--src", required=True, help="JSONL directory or glob")
+    ap.add_argument("--src", required=True, help="landing directory or glob")
+    ap.add_argument("--format", default="jsonl", choices=["jsonl", "csv"],
+                    help="landing format (csv is batch-only)")
+    ap.add_argument("--sep", default=",", help="csv delimiter")
+    ap.add_argument("--no-header", action="store_true",
+                    help="csv files carry no header row")
     ap.add_argument("--schema", required=True, help="DDL schema string")
     ap.add_argument("--out", required=True, help="output root")
     ap.add_argument("--required", default="", help="comma-separated required columns")
@@ -57,6 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     quar_dir = f"{args.out}/quarantine"
 
     if args.streaming:
+        if args.format != "jsonl":
+            ap.error("--streaming currently supports --format jsonl only")
         from tube_spark.streaming.jsonl import streaming_jsonl_ingest
 
         q = streaming_jsonl_ingest(
@@ -71,9 +78,15 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:  # no quarantined batches were written at all
             quar = spark.createDataFrame([], "raw string, reason string")
     else:
-        from tube_spark.sources.jsonl import read_jsonl
+        from tube_spark.sources.jsonl import read_csv_landing, read_jsonl
 
-        clean, quar = read_jsonl(spark, args.src, args.schema, required=required)
+        if args.format == "csv":
+            clean, quar = read_csv_landing(
+                spark, args.src, args.schema, required=required,
+                header=not args.no_header, sep=args.sep,
+            )
+        else:
+            clean, quar = read_jsonl(spark, args.src, args.schema, required=required)
         clean.write.mode("overwrite").parquet(clean_dir)
         quar.write.mode("overwrite").parquet(quar_dir)
         clean = spark.read.parquet(clean_dir)

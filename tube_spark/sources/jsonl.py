@@ -1,4 +1,5 @@
-"""JSONL ingestion with a schema contract and corrupt-record quarantine.
+"""JSONL / CSV landing ingestion with a schema contract and
+corrupt-record quarantine.
 
 Crawl pipelines land documents as (often gzipped) JSON-lines; the
 ingestion step must (a) parse at scale without a Python worker, (b)
@@ -59,6 +60,15 @@ def read_jsonl(
         .json(path)
         .localCheckpoint(eager=False)
     )
+    return _quarantine_split(raw, required)
+
+
+def _quarantine_split(
+    raw: DataFrame, required: list[str] | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared clean/quarantine split over a PERMISSIVE-parsed frame
+    carrying ``_corrupt_record`` — used by the JSONL and CSV landing
+    readers (same contract, different parser)."""
     data_cols = [c for c in raw.columns if c != _CORRUPT]
     parsed = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     malformed = raw.filter(F.col(_CORRUPT).isNotNull()).select(
@@ -83,6 +93,43 @@ def read_jsonl(
     else:
         clean, quarantine = parsed, malformed
     return clean, quarantine
+
+
+def read_csv_landing(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    required: list[str] | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of ``read_jsonl``: same declared-schema PERMISSIVE
+    parse, same ``(clean, quarantine)`` contract.  A line whose fields
+    fail to parse under the declared types (or that is structurally
+    malformed) lands in quarantine with the raw line preserved in the
+    corrupt column; parseable rows missing a ``required`` column
+    quarantine with reason ``missing:<col>`` (raw reassembled via
+    ``to_json`` — the reassembled form is canonical, not the original
+    byte sequence, same as the JSONL reader's missing-column path).
+
+    Spark-first: one JVM-side scan with the declared schema — no
+    inference pass — and the codec layer handles .gz transparently.
+    Note Spark's CSV semantics: a row with FEWER columns than the
+    schema yields nulls (caught by ``required``), not a corrupt record;
+    type mismatches and extra columns do mark the record corrupt."""
+    if _CORRUPT in schema:
+        raise ValueError(f"schema must not declare {_CORRUPT} itself")
+    full_schema = f"{schema}, {_CORRUPT} string"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .csv(path)
+        .localCheckpoint(eager=False)
+    )
+    return _quarantine_split(raw, required)
 
 
 def jsonl_ingest_report(clean: DataFrame, quarantine: DataFrame) -> DataFrame:
