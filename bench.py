@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     # round-8 additions (all-pairs overlap, PCA moment pass)
     "overlap_matrix",
     "embedding_covariance",
+    # round-9 additions (bigram LM perplexity, DSIR importance weights)
+    "bigram_perplexity",
+    "dsir_weights",
 ]
 
 
