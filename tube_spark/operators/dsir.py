@@ -86,9 +86,22 @@ def dsir_log_weights(
         F.coalesce("rc", F.lit(0)).alias("rc"),
         F.coalesce("tc", F.lit(0)).alias("tc"),
     )
-    totals = model.agg(
-        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
-    )
+    return score_against_model(raw_b, model, dim, add_k, id_col)
+
+
+def score_against_model(
+    doc_buckets: DataFrame,
+    model: DataFrame,
+    dim: int,
+    add_k: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score (id, bucket) feature rows against a ``(bucket, rc, tc)``
+    model frame.  Shared by the batch fit and the streaming twin
+    (whose model rows come from accumulated JSON state) so both paths
+    run the IDENTICAL float expression — equivalence is bit-exact, not
+    approximate."""
+    totals = model.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
     lr = (
         model.crossJoin(F.broadcast(totals))
         .select(
@@ -100,7 +113,7 @@ def dsir_log_weights(
         )
     )
     return (
-        raw_b.join(F.broadcast(lr), "bucket")
+        doc_buckets.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
