@@ -1535,6 +1535,27 @@ def q_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle count (operators/triangles.py) on the
+    part co-occurrence graph: parts are adjacent when they appear in
+    the same order (a deterministic 25% order sample — l_orderkey%4=0 —
+    of the lineitem projection; hot groups capped at 10 members before
+    the pair join).  Exact triangle work is inherently Sum(outdeg^2)
+    wedges, so the census runs on a fixed sample fraction; the operator
+    itself is general.  Parts and orders both scale
+    linearly, so the graph's density is sf-INVARIANT (~25 avg degree)
+    — unlike the supplier projection, which densifies toward a clique
+    as orders outgrow the supplier pool.  Orientation bounds the wedge
+    join's fan-out by O(sqrt(m)) per vertex regardless of hub degree."""
+    from tube_spark.operators.triangles import cooccurrence_edges, triangle_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return triangle_stats(edges)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (operators/pagerank.py) on the supplier-part
     bipartite graph from lineitem (parts offset by 1e6 to keep node ids
@@ -2619,6 +2640,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hard_negatives": q_hard_negatives,
         "class_balanced": q_class_balanced,
         "pagerank": q_pagerank,
+        "triangle_stats": q_triangle_stats,
         "entity_resolution": q_entity_resolution,
         "ngram_containment": q_ngram_containment,
         "psi_drift": q_psi_drift,
@@ -2720,9 +2742,11 @@ _ROWS_ONLY = (
 
 _EXTRA_QUERY_NAMES = (
     # round-9 additions (queued for the r10 driver window): CCNet-style
-    # bigram LM perplexity and DSIR importance weights
+    # bigram LM perplexity, DSIR importance weights, degree-ordered
+    # triangle counting
     "bigram_perplexity",
     "dsir_weights",
+    "triangle_stats",
     "shipping_priority",
     "local_supplier_volume",
     "late_shipment_orders",
@@ -4616,6 +4640,59 @@ def _all_oracle_sql() -> dict[str, str]:
                        AS ppl
             FROM tok t JOIN counts c USING (term) CROSS JOIN totals tt
             GROUP BY 1
+        """,
+        "triangle_stats": """
+            WITH mem AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem WHERE l_orderkey % 4 = 0
+            ),
+            memc AS (
+                SELECT g, n FROM mem
+                QUALIFY count(*) OVER (PARTITION BY g) <= 10
+            ),
+            e AS (
+                SELECT DISTINCT x.n AS a, y.n AS b
+                FROM memc x JOIN memc y USING (g)
+                WHERE x.n < y.n
+            ),
+            deg AS (
+                SELECT n, count(*) AS d FROM (
+                    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+                ) GROUP BY 1
+            ),
+            ed AS (
+                SELECT a, b, da.d AS da, db.d AS db
+                FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+            ),
+            dir AS (
+                SELECT CASE WHEN da < db OR (da = db AND a < b)
+                            THEN a ELSE b END AS src,
+                       CASE WHEN da < db OR (da = db AND a < b)
+                            THEN b ELSE a END AS dst,
+                       CASE WHEN da < db OR (da = db AND a < b)
+                            THEN db ELSE da END AS dst_d
+                FROM ed
+            ),
+            wed AS (
+                SELECT e1.dst AS v, e2.dst AS w
+                FROM dir e1 JOIN dir e2 ON e1.src = e2.src
+                WHERE e1.dst_d < e2.dst_d
+                   OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst)
+            ),
+            tri AS (
+                SELECT count(*) AS n_triangles FROM wed
+                WHERE EXISTS (
+                    SELECT 1 FROM dir WHERE dir.src = wed.v AND dir.dst = wed.w
+                )
+            )
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges,
+                   n_triangles,
+                   CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+                        THEN round(3.0 * n_triangles /
+                             (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+                        ELSE 0.0 END AS global_clustering
+            FROM tri
         """,
         "bigram_perplexity": f"""
             WITH tok AS (

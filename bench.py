@@ -84,9 +84,11 @@ BENCH_QUERIES = [
     # round-8 additions (all-pairs overlap, PCA moment pass)
     "overlap_matrix",
     "embedding_covariance",
-    # round-9 additions (bigram LM perplexity, DSIR importance weights)
+    # round-9 additions (bigram LM perplexity, DSIR importance weights,
+    # degree-ordered triangle counting)
     "bigram_perplexity",
     "dsir_weights",
+    "triangle_stats",
 ]
 
 

@@ -95,6 +95,7 @@ BNLJ_OK = {
     "semantic_dedup",  # one-row centroids broadcast (codegen-cache shape)
     "bigram_perplexity",  # one-row event-vocab (V_ev) broadcast
     "dsir_weights",  # one-row corpus-totals broadcast for the log-ratios
+    "triangle_stats",  # three one-row stat aggregates cross-joined
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key
