@@ -74,12 +74,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Degree-ordered orientation bounds the wedge join's fan-out by
     O(sqrt(m)) per vertex; each triangle is counted once at its
     lowest-(degree, id) corner."""
-    e = edges.select("a", "b").distinct()
+    # e / deg / directed each feed MULTIPLE downstream branches —
+    # unpinned, Catalyst replans the whole upstream per consumer
+    # (measured: 72 scans / 143 exchanges in the unpinned plan).
+    # localCheckpoint pins each to one computation (the packing.py
+    # reused-subtree rule).
+    e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
     # attach both endpoint degrees, then orient low-(d, id) -> high
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
@@ -92,7 +98,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
-    )
+    ).localCheckpoint(eager=False)
     # wedges at src: unordered pairs of out-neighbours, ordered by the
     # SAME (degree, id) rank so the closing edge (v, w) is guaranteed
     # to be oriented v -> w
