@@ -1556,6 +1556,23 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def q_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION edge-sparsified triangle estimate (p=0.7) over the same
+    part co-occurrence graph as triangle_stats — the census scale dial:
+    wedge work shrinks ~1/p^3 while the estimate stays unbiased.
+    Deterministic salted-hash sparsification, fully SQL-replayed."""
+    from tube_spark.operators.triangles import (
+        cooccurrence_edges,
+        triangle_stats_sampled,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return triangle_stats_sampled(edges, p=0.7)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (operators/pagerank.py) on the supplier-part
     bipartite graph from lineitem (parts offset by 1e6 to keep node ids
@@ -2641,6 +2658,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "class_balanced": q_class_balanced,
         "pagerank": q_pagerank,
         "triangle_stats": q_triangle_stats,
+        "triangle_sample": q_triangle_sample,
         "entity_resolution": q_entity_resolution,
         "ngram_containment": q_ngram_containment,
         "psi_drift": q_psi_drift,
@@ -2747,6 +2765,7 @@ _EXTRA_QUERY_NAMES = (
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
+    "triangle_sample",
     "shipping_priority",
     "local_supplier_volume",
     "late_shipment_orders",
@@ -3072,6 +3091,83 @@ def _logreg_oracle_sql(iters: int = 10, lr: float = 1.0) -> str:
                y::INTEGER AS label
         FROM z"""
     )
+
+
+
+def _tri_oracle_sql(sampled: bool) -> str:
+    """Triangle-census DuckDB oracle; the sampled (DOULION) variant
+    shares the exact construction with an edge-hash filter + 1/p^3
+    scaling so the two can never diverge."""
+    edge_filter = ""
+    if sampled:
+        edge_filter = (
+            "AND ('0x' || substr(md5('tri' || '|' || x.n::VARCHAR || '|' "
+            "|| y.n::VARCHAR), 1, 15))::BIGINT % 1000000 < 700000"
+        )
+    core = f"""
+            WITH mem AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem
+                WHERE l_orderkey % 4 = 0
+            ),
+            memc AS (
+                SELECT g, n FROM mem
+                QUALIFY count(*) OVER (PARTITION BY g) <= 10
+            ),
+            e AS (
+                SELECT DISTINCT x.n AS a, y.n AS b
+                FROM memc x JOIN memc y USING (g)
+                WHERE x.n < y.n {edge_filter}
+            ),
+            deg AS (
+                SELECT n, count(*) AS d FROM (
+                    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+                ) GROUP BY 1
+            ),
+            ed AS (
+                SELECT a, b, da.d AS da, db.d AS db
+                FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
+            ),
+            dir AS (
+                SELECT CASE WHEN da < db OR (da = db AND a < b)
+                            THEN a ELSE b END AS src,
+                       CASE WHEN da < db OR (da = db AND a < b)
+                            THEN b ELSE a END AS dst,
+                       CASE WHEN da < db OR (da = db AND a < b)
+                            THEN db ELSE da END AS dst_d
+                FROM ed
+            ),
+            wed AS (
+                SELECT e1.dst AS v, e2.dst AS w
+                FROM dir e1 JOIN dir e2 ON e1.src = e2.src
+                WHERE e1.dst_d < e2.dst_d
+                   OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst)
+            ),
+            tri AS (
+                SELECT count(*) AS n_triangles FROM wed
+                WHERE EXISTS (
+                    SELECT 1 FROM dir WHERE dir.src = wed.v AND dir.dst = wed.w
+                )
+            )"""
+    if sampled:
+        return core + """
+            SELECT 0.7::DOUBLE AS p,
+                   (SELECT count(*) FROM e) AS n_edges_sampled,
+                   n_triangles AS n_triangles_sampled,
+                   round(n_triangles / (0.7::DOUBLE * 0.7::DOUBLE
+                                        * 0.7::DOUBLE), 2) AS n_triangles_est
+            FROM tri
+        """
+    return core + """
+            SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                   (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges,
+                   n_triangles,
+                   CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+                        THEN round(3.0 * n_triangles /
+                             (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+                        ELSE 0.0 END AS global_clustering
+            FROM tri
+        """
 
 
 def _all_oracle_sql() -> dict[str, str]:
@@ -4641,59 +4737,8 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM tok t JOIN counts c USING (term) CROSS JOIN totals tt
             GROUP BY 1
         """,
-        "triangle_stats": """
-            WITH mem AS (
-                SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem WHERE l_orderkey % 4 = 0
-            ),
-            memc AS (
-                SELECT g, n FROM mem
-                QUALIFY count(*) OVER (PARTITION BY g) <= 10
-            ),
-            e AS (
-                SELECT DISTINCT x.n AS a, y.n AS b
-                FROM memc x JOIN memc y USING (g)
-                WHERE x.n < y.n
-            ),
-            deg AS (
-                SELECT n, count(*) AS d FROM (
-                    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
-                ) GROUP BY 1
-            ),
-            ed AS (
-                SELECT a, b, da.d AS da, db.d AS db
-                FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b
-            ),
-            dir AS (
-                SELECT CASE WHEN da < db OR (da = db AND a < b)
-                            THEN a ELSE b END AS src,
-                       CASE WHEN da < db OR (da = db AND a < b)
-                            THEN b ELSE a END AS dst,
-                       CASE WHEN da < db OR (da = db AND a < b)
-                            THEN db ELSE da END AS dst_d
-                FROM ed
-            ),
-            wed AS (
-                SELECT e1.dst AS v, e2.dst AS w
-                FROM dir e1 JOIN dir e2 ON e1.src = e2.src
-                WHERE e1.dst_d < e2.dst_d
-                   OR (e1.dst_d = e2.dst_d AND e1.dst < e2.dst)
-            ),
-            tri AS (
-                SELECT count(*) AS n_triangles FROM wed
-                WHERE EXISTS (
-                    SELECT 1 FROM dir WHERE dir.src = wed.v AND dir.dst = wed.w
-                )
-            )
-            SELECT (SELECT count(*) FROM deg) AS n_nodes,
-                   (SELECT count(*) FROM e) AS n_edges,
-                   (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges,
-                   n_triangles,
-                   CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
-                        THEN round(3.0 * n_triangles /
-                             (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
-                        ELSE 0.0 END AS global_clustering
-            FROM tri
-        """,
+        "triangle_stats": _tri_oracle_sql(False),
+        "triangle_sample": _tri_oracle_sql(True),
         "bigram_perplexity": f"""
             WITH tok AS (
                 SELECT doc_id, unnest(t) AS term,

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
+    "triangle_sample",
 ]
 
 

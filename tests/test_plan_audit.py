@@ -96,6 +96,7 @@ BNLJ_OK = {
     "bigram_perplexity",  # one-row event-vocab (V_ev) broadcast
     "dsir_weights",  # one-row corpus-totals broadcast for the log-ratios
     "triangle_stats",  # three one-row stat aggregates cross-joined
+    "triangle_sample",  # same shape on the sparsified graph
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key

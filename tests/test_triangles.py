@@ -77,3 +77,26 @@ def test_cooccurrence_projection_and_cap(spark):
     assert full.count() == 4 + 10  # hot group contributes C(5,2)
     st = triangle_stats(capped).collect()[0]
     assert st["n_triangles"] == 1
+
+
+def test_doulion_sampled_estimate(spark):
+    from tube_spark.operators.triangles import triangle_stats_sampled
+
+    rng = random.Random(11)
+    pairs = {
+        tuple(sorted(rng.sample(range(40), 2))) for _ in range(400)
+    }
+    exact = _py_triangles(pairs)
+    # p=1 degenerates to the exact count
+    full = triangle_stats_sampled(_edges(spark, pairs), p=1.0).collect()[0]
+    assert full["n_triangles_sampled"] == exact
+    assert full["n_triangles_est"] == float(exact)
+    # p=0.7: unbiased estimator lands near the truth on a graph this
+    # dense (fixed hash seed -> deterministic, so the bound is stable)
+    est = triangle_stats_sampled(_edges(spark, pairs), p=0.7).collect()[0]
+    assert est["n_edges_sampled"] < len(pairs)
+    assert abs(est["n_triangles_est"] - exact) / exact < 0.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="p must be"):
+        triangle_stats_sampled(_edges(spark, pairs), p=0.0)

@@ -65,6 +65,43 @@ def cooccurrence_edges(
     )
 
 
+def triangle_stats_sampled(
+    edges: DataFrame, p: float = 0.5, seed: str = "tri"
+) -> DataFrame:
+    """DOULION edge-sparsified triangle estimate (Tsourakakis et al.,
+    KDD 2009): keep each edge independently with probability ``p``
+    (deterministic salted portable hash, so the estimate is replayable
+    in SQL), count triangles EXACTLY on the sparsified graph, scale by
+    ``1/p^3`` — an unbiased estimator whose cost shrinks cubically in
+    the wedge volume while the graph shrinks linearly.  The scale dial
+    for census-sized graphs where the exact wedge join (inherently
+    Sum(outdeg^2)) is the bottleneck: p=0.1 cuts wedge work ~100x.
+
+    Output row: (p, n_edges_sampled, n_triangles_sampled,
+    n_triangles_est) — ``n_triangles_est`` = sampled count / p^3,
+    rounded to 2.  ``p=1`` degenerates to the exact count."""
+    from tube_spark.functions.text import portable_hash60
+
+    if not 0 < p <= 1:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    h = portable_hash60(
+        F.concat_ws("|", F.lit(seed), F.col("a").cast("string"), F.col("b").cast("string"))
+    )
+    # round, not int(): int(0.7 * 1e6) truncates to 699999 under float
+    kept = edges.filter(
+        (h % F.lit(1_000_000)) < F.lit(int(round(p * 1_000_000)))
+    )
+    t = triangle_stats(kept)
+    # p*p*p (not pow): matches the SQL oracle's multiply shape ulp-for-ulp
+    p3 = F.lit(float(p)) * F.lit(float(p)) * F.lit(float(p))
+    return t.select(
+        F.lit(float(p)).alias("p"),
+        F.col("n_edges").alias("n_edges_sampled"),
+        F.col("n_triangles").alias("n_triangles_sampled"),
+        F.round(F.col("n_triangles") / p3, 2).alias("n_triangles_est"),
+    )
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One-row graph summary from distinct undirected ``(a, b)`` edges:
     (n_nodes, n_edges, n_wedges, n_triangles, global_clustering) —
