@@ -136,10 +136,25 @@ def bigram_lm_perplexity(
     )
     train_big = _doc_bigrams(train_docs, id_col, text_col, vocab)
     c12 = train_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    score_big = _doc_bigrams(docs, id_col, text_col, vocab)
+    return score_with_bigram_counts(score_big, c12, add_k, id_col)
+
+
+def score_with_bigram_counts(
+    score_big: DataFrame,
+    c12: DataFrame,
+    add_k: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score (id, w1, w2) bigram rows against a ``(w1, w2, c12)`` count
+    frame.  Context counts and the event-vocabulary size derive from
+    the count frame itself (so the conditional sums to 1 over seen
+    events).  Shared by the batch fit and the streaming twin (whose
+    counts come from accumulated JSON state) — both paths run the
+    IDENTICAL float expression, so equivalence under equal counts is
+    bit-exact."""
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vev = c12.agg(F.count_distinct("w2").alias("vev"))
-
-    score_big = _doc_bigrams(docs, id_col, text_col, vocab)
     p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k)) / (
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("vev")
     )
