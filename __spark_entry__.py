@@ -1573,6 +1573,21 @@ def q_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats_sampled(edges, p=0.7)
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/
+    communities.py), 3 rounds over the same part co-occurrence graph
+    as triangle_stats — per-node community labels, trajectory replayed
+    exactly by the unrolled SQL oracle."""
+    from tube_spark.operators.communities import label_propagation
+    from tube_spark.operators.triangles import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return label_propagation(edges, iters=3)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (operators/pagerank.py) on the supplier-part
     bipartite graph from lineitem (parts offset by 1e6 to keep node ids
@@ -2659,6 +2674,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pagerank": q_pagerank,
         "triangle_stats": q_triangle_stats,
         "triangle_sample": q_triangle_sample,
+        "lpa_communities": q_lpa_communities,
         "entity_resolution": q_entity_resolution,
         "ngram_containment": q_ngram_containment,
         "psi_drift": q_psi_drift,
@@ -2766,6 +2782,7 @@ _EXTRA_QUERY_NAMES = (
     "dsir_weights",
     "triangle_stats",
     "triangle_sample",
+    "lpa_communities",
     "shipping_priority",
     "local_supplier_volume",
     "late_shipment_orders",
@@ -3094,17 +3111,12 @@ def _logreg_oracle_sql(iters: int = 10, lr: float = 1.0) -> str:
 
 
 
-def _tri_oracle_sql(sampled: bool) -> str:
-    """Triangle-census DuckDB oracle; the sampled (DOULION) variant
-    shares the exact construction with an edge-hash filter + 1/p^3
-    scaling so the two can never diverge."""
-    edge_filter = ""
-    if sampled:
-        edge_filter = (
-            "AND ('0x' || substr(md5('tri' || '|' || x.n::VARCHAR || '|' "
-            "|| y.n::VARCHAR), 1, 15))::BIGINT % 1000000 < 700000"
-        )
-    core = f"""
+def _part_graph_cte(edge_filter: str = "") -> str:
+    """Shared part co-occurrence edge construction (deterministic 25%
+    order sample, hot-group cap 10) — ONE text used by the triangle
+    census, the DOULION sample, and the LPA oracle so the graphs can
+    never diverge."""
+    return f"""
             WITH mem AS (
                 SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem
                 WHERE l_orderkey % 4 = 0
@@ -3117,7 +3129,20 @@ def _tri_oracle_sql(sampled: bool) -> str:
                 SELECT DISTINCT x.n AS a, y.n AS b
                 FROM memc x JOIN memc y USING (g)
                 WHERE x.n < y.n {edge_filter}
-            ),
+            )"""
+
+
+def _tri_oracle_sql(sampled: bool) -> str:
+    """Triangle-census DuckDB oracle; the sampled (DOULION) variant
+    shares the exact construction with an edge-hash filter + 1/p^3
+    scaling so the two can never diverge."""
+    edge_filter = ""
+    if sampled:
+        edge_filter = (
+            "AND ('0x' || substr(md5('tri' || '|' || x.n::VARCHAR || '|' "
+            "|| y.n::VARCHAR), 1, 15))::BIGINT % 1000000 < 700000"
+        )
+    core = _part_graph_cte(edge_filter) + f""",
             deg AS (
                 SELECT n, count(*) AS d FROM (
                     SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
@@ -3168,6 +3193,47 @@ def _tri_oracle_sql(sampled: bool) -> str:
                         ELSE 0.0 END AS global_clustering
             FROM tri
         """
+
+
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    """Unrolled synchronous LPA trajectory over the shared part graph:
+    per round, each node adopts the most frequent neighbor label (ties
+    to the smallest) — replayed as count + row_number CTE pairs, the
+    pagerank/kmeans unrolled-trajectory pattern."""
+    ctes = [
+        """dir2 AS (
+                SELECT a AS src, b AS dst FROM e
+                UNION ALL
+                SELECT b AS src, a AS dst FROM e
+            )""",
+        """l0 AS (
+                SELECT n, n AS community FROM (
+                    SELECT DISTINCT a AS n FROM e
+                    UNION
+                    SELECT DISTINCT b AS n FROM e
+                )
+            )""",
+    ]
+    for i in range(iters):
+        ctes.append(f"""c{i} AS (
+                SELECT d.src AS n, l.community, count(*) AS c
+                FROM dir2 d JOIN l{i} l ON l.n = d.dst
+                GROUP BY 1, 2
+            )""")
+        ctes.append(f"""l{i + 1} AS (
+                SELECT n, community FROM (
+                    SELECT n, community,
+                           row_number() OVER (PARTITION BY n
+                               ORDER BY c DESC, community ASC) AS rn
+                    FROM c{i}
+                ) WHERE rn = 1
+            )""")
+    return (
+        _part_graph_cte()
+        + ",\n            "
+        + ",\n            ".join(ctes)
+        + f"\n            SELECT n, community FROM l{iters}"
+    )
 
 
 def _all_oracle_sql() -> dict[str, str]:
@@ -4739,6 +4805,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "triangle_stats": _tri_oracle_sql(False),
         "triangle_sample": _tri_oracle_sql(True),
+        "lpa_communities": _lpa_oracle_sql(3),
         "bigram_perplexity": f"""
             WITH tok AS (
                 SELECT doc_id, unnest(t) AS term,

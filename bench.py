@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "triangle_stats",
     "triangle_sample",
+    "lpa_communities",
 ]
 
 

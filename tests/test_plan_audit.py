@@ -127,6 +127,7 @@ SKIP = {
     "bpe_tokenize",
     "pagerank",  # iterative: building the frame runs the training loop
     "entity_resolution",  # iterative: CC convergence loop runs on build
+    "lpa_communities",  # iterative: rounds run (and checkpoint) on build
 }
 
 
