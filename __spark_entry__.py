@@ -2776,8 +2776,8 @@ _ROWS_ONLY = (
 
 _EXTRA_QUERY_NAMES = (
     # round-9 additions (queued for the r10 driver window): CCNet-style
-    # bigram LM perplexity, DSIR importance weights, degree-ordered
-    # triangle counting
+    # bigram LM perplexity, DSIR importance weights, the triangle
+    # census + DOULION sample, and LPA communities
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
