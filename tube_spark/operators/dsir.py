@@ -74,7 +74,11 @@ def dsir_log_weights(
     Buckets unseen in either corpus contribute the smoothed floor on
     that side — add-k over ``dim`` buckets keeps every ratio finite.
     """
-    raw_b = _doc_buckets(raw, id_col, text_col, dim, seed)
+    # raw_b feeds BOTH the model count and the scoring join — pinned so
+    # the hash/explode pass runs once (reused-subtree rule)
+    raw_b = _doc_buckets(raw, id_col, text_col, dim, seed).localCheckpoint(
+        eager=False
+    )
     tgt_b = _doc_buckets(target, id_col, text_col, dim, seed)
 
     rc = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))

@@ -127,7 +127,8 @@ def bigram_lm_perplexity(
     scores ``k / (c(w1) + k*V_ev)``; an unseen context scores the
     uniform ``1 / V_ev``.
     """
-    if train_docs is None:
+    self_trained = train_docs is None
+    if self_trained:
         train_docs = docs
     vocab = (
         top_vocab(train_docs, text_col, vocab_size)
@@ -135,8 +136,17 @@ def bigram_lm_perplexity(
         else None
     )
     train_big = _doc_bigrams(train_docs, id_col, text_col, vocab)
+    # NOT pinned when self-trained: the bigram frame is map-only
+    # (explode + two broadcast joins), and materializing every bigram
+    # row costs more than recomputing the pass (measured: pinning was
+    # 1.7 -> 2.3 s at sf0.1, flat at sf1 — the reused-subtree rule
+    # pays only when the subtree contains a shuffle or Python stage)
+    score_big = (
+        train_big
+        if self_trained
+        else _doc_bigrams(docs, id_col, text_col, vocab)
+    )
     c12 = train_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    score_big = _doc_bigrams(docs, id_col, text_col, vocab)
     return score_with_bigram_counts(score_big, c12, add_k, id_col)
 
 
