@@ -65,3 +65,28 @@ def test_delta_gate_blocks_mass_removal(tmp_path, capsys):
 def test_bad_split_spec(capsys):
     rc = main(["--docs", "x", "--out", "y", "--splits", "oops"])
     assert rc == 2
+
+
+def test_perplexity_gate(spark, tmp_path, capsys):
+    """--max-ppl drops the high-perplexity tail before curation, keeps
+    short unscorable docs, and reports the removal in the gates."""
+    from tube_spark.operators.lm import bigram_lm_perplexity
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    scores = bigram_lm_perplexity(docs, vocab_size=10000)
+    # pick a threshold that bites but keeps most of the corpus
+    cut = scores.approxQuantile("ppl", [0.9], 0.0)[0]
+    n_over = scores.filter(scores.ppl > cut).count()
+    assert n_over > 0
+
+    out = str(tmp_path / "corpus")
+    rc, rep = _run(
+        capsys,
+        "--docs", f"{SF}/documents.parquet",
+        "--out", out,
+        "--max-ppl", str(cut),
+        "--min-quality", "0.0",
+        "--jaccard", "1.01",  # disable near-dup so the gate is isolated
+    )
+    assert rc == 0
+    assert rep["gates"]["perplexity"]["removed"] == n_over

@@ -8,12 +8,15 @@ training corpus:
         --docs /data/documents.parquet \
         --out  /data/curated \
         [--embeddings /data/embeddings.parquet] \
-        [--min-quality 0.5] [--ngram 1] [--jaccard 0.8] \
+        [--min-quality 0.5] [--max-ppl 500] [--ngram 1] [--jaccard 0.8] \
         [--splits train=0.9,val=0.05,test=0.05] \
         [--quality-gate] [--max-removed-frac 0.5] \
         [--master local[8]]
 
 Stages (each an operator documented in COVERAGE.md):
+  0. ``bigram_lm_perplexity`` (opt-in ``--max-ppl``) — CCNet-style
+                              fluency gate: drop high-perplexity docs
+                              under a self-trained capped bigram LM
   1. ``curate_corpus``      — quality gate, exact dedup, near-dup drop
   2. ``quality_checks``     — publish gate: id uniqueness + completeness
                               (refuses to publish a broken corpus)
@@ -52,6 +55,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument(
+        "--max-ppl", type=float, default=None,
+        help="CCNet-style gate: drop documents whose self-trained "
+        "bigram-LM perplexity exceeds this (operators/lm.py); "
+        "documents too short to score (<2 tokens) pass through to "
+        "the quality gate",
+    )
+    ap.add_argument(
+        "--ppl-vocab", type=int, default=10000,
+        help="vocabulary cap for the --max-ppl model (<unk> beyond)",
+    )
     ap.add_argument("--ngram", type=int, default=1)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
@@ -89,6 +103,23 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.docs)
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
 
+    gates: dict[str, object] = {}
+    if args.max_ppl is not None:
+        from tube_spark.operators.lm import bigram_lm_perplexity
+
+        scores = bigram_lm_perplexity(
+            docs, id_col=args.id_col, text_col=args.text_col,
+            vocab_size=args.ppl_vocab,
+        ).select(args.id_col, "ppl")
+        before = docs.count()
+        docs = (
+            docs.join(scores, args.id_col, "left")
+            .filter(F.col("ppl").isNull() | (F.col("ppl") <= args.max_ppl))
+            .drop("ppl")
+        )
+        after = docs.count()
+        gates["perplexity"] = {"max_ppl": args.max_ppl, "removed": before - after}
+
     curated = curate_corpus(
         docs,
         emb,
@@ -100,7 +131,6 @@ def main(argv: list[str] | None = None) -> int:
     )
     curated = hash_split(curated, id_col=args.id_col, weights=splits)
 
-    gates: dict[str, object] = {}
     if args.quality_gate:
         suite = validate(
             curated, [uniqueness(args.id_col), completeness(args.id_col)]
