@@ -90,3 +90,32 @@ def test_perplexity_gate(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert rep["gates"]["perplexity"]["removed"] == n_over
+
+
+def test_dsir_selection_gate(spark, tmp_path, capsys):
+    """--dsir-target keeps the target-like fraction: with an English
+    target, the surviving corpus is enriched in English docs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tgt_path = str(tmp_path / "target")
+    docs.filter(docs.lang == "en").select("doc_id", "text").write.parquet(tgt_path)
+    base_en = docs.filter(docs.lang == "en").count() / docs.count()
+
+    out = str(tmp_path / "corpus")
+    rc, rep = _run(
+        capsys,
+        "--docs", f"{SF}/documents.parquet",
+        "--out", out,
+        "--dsir-target", tgt_path,
+        "--dsir-keep-frac", "0.4",
+        "--min-quality", "0.0",
+        "--jaccard", "1.01",
+    )
+    assert rc == 0
+    g = rep["gates"]["dsir"]
+    total = docs.count()
+    kept = total - g["removed"]
+    assert 0.3 * total <= kept <= 0.5 * total  # ~keep_frac of the corpus
+    v1 = spark.read.parquet(rep["version"]).select("doc_id")
+    survivors = v1.join(docs.select("doc_id", "lang"), "doc_id")
+    en_frac = survivors.filter(survivors.lang == "en").count() / survivors.count()
+    assert en_frac > base_en  # selection moved toward the target

@@ -17,6 +17,11 @@ Stages (each an operator documented in COVERAGE.md):
   0. ``bigram_lm_perplexity`` (opt-in ``--max-ppl``) — CCNet-style
                               fluency gate: drop high-perplexity docs
                               under a self-trained capped bigram LM
+  0b. ``dsir_log_weights``   (opt-in ``--dsir-target``) — keep the
+                              top ``--dsir-keep-frac`` of documents by
+                              hashed-n-gram importance to the target
+                              distribution (threshold via GK sketch,
+                              no global sort)
   1. ``curate_corpus``      — quality gate, exact dedup, near-dup drop
   2. ``quality_checks``     — publish gate: id uniqueness + completeness
                               (refuses to publish a broken corpus)
@@ -66,6 +71,18 @@ def main(argv: list[str] | None = None) -> int:
         "--ppl-vocab", type=int, default=10000,
         help="vocabulary cap for the --max-ppl model (<unk> beyond)",
     )
+    ap.add_argument(
+        "--dsir-target", default=None,
+        help="DSIR selection: parquet of target-distribution documents "
+        "(same id/text columns); raw docs are ranked by hashed-n-gram "
+        "importance weight (operators/dsir.py)",
+    )
+    ap.add_argument(
+        "--dsir-keep-frac", type=float, default=0.5,
+        help="fraction of documents to keep under --dsir-target "
+        "(top avg log-weight; threshold via quantile sketch)",
+    )
+    ap.add_argument("--dsir-dim", type=int, default=1024)
     ap.add_argument("--ngram", type=int, default=1)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
@@ -119,6 +136,36 @@ def main(argv: list[str] | None = None) -> int:
         )
         after = docs.count()
         gates["perplexity"] = {"max_ppl": args.max_ppl, "removed": before - after}
+
+    if args.dsir_target is not None:
+        if not 0 < args.dsir_keep_frac <= 1:
+            print("--dsir-keep-frac must be in (0, 1]", file=sys.stderr)
+            return 2
+        from tube_spark.operators.dsir import dsir_log_weights
+
+        target = spark.read.parquet(args.dsir_target)
+        w = dsir_log_weights(
+            docs, target, id_col=args.id_col, text_col=args.text_col,
+            dim=args.dsir_dim,
+        ).select(args.id_col, "avg_log_weight")
+        # global threshold from the weight distribution (bounded GK
+        # sketch — no single-partition global sort); docs without
+        # features (no tokens) carry no weight and are dropped here,
+        # matching the filter's intent
+        thr = w.approxQuantile(
+            "avg_log_weight", [1.0 - args.dsir_keep_frac], 0.0001
+        )[0]
+        before = docs.count()
+        docs = (
+            docs.join(w, args.id_col)
+            .filter(F.col("avg_log_weight") >= thr)
+            .drop("avg_log_weight")
+        )
+        gates["dsir"] = {
+            "keep_frac": args.dsir_keep_frac,
+            "threshold": round(thr, 6),
+            "removed": before - docs.count(),
+        }
 
     curated = curate_corpus(
         docs,
