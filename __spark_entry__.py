@@ -1588,6 +1588,23 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, iters=3)
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (operators/kcore.py), k=16, 3 fixed synchronous
+    rounds over the same part co-occurrence graph as triangle_stats —
+    the dense-backbone extractor completing the graph family.  Fixed
+    rounds = portable trajectory: the oracle unrolls the identical
+    peel rounds, and rounds past the fixpoint are provably no-ops, so
+    the contract holds at any scale factor regardless of convergence."""
+    from tube_spark.operators.kcore import k_core
+    from tube_spark.operators.triangles import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return k_core(edges, k=16, rounds=3)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (operators/pagerank.py) on the supplier-part
     bipartite graph from lineitem (parts offset by 1e6 to keep node ids
@@ -2675,6 +2692,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "triangle_stats": q_triangle_stats,
         "triangle_sample": q_triangle_sample,
         "lpa_communities": q_lpa_communities,
+        "k_core": q_k_core,
         "entity_resolution": q_entity_resolution,
         "ngram_containment": q_ngram_containment,
         "psi_drift": q_psi_drift,
@@ -2777,7 +2795,8 @@ _ROWS_ONLY = (
 _EXTRA_QUERY_NAMES = (
     # round-9 additions (queued for the r10 driver window): CCNet-style
     # bigram LM perplexity, DSIR importance weights, the triangle
-    # census + DOULION sample, and LPA communities
+    # census + DOULION sample, LPA communities, and k-core peeling
+    "k_core",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3233,6 +3252,37 @@ def _lpa_oracle_sql(iters: int = 3) -> str:
         + ",\n            "
         + ",\n            ".join(ctes)
         + f"\n            SELECT n, community FROM l{iters}"
+    )
+
+
+def _kcore_oracle_sql(k: int = 16, rounds: int = 3) -> str:
+    """Unrolled k-core peel trajectory over the shared part graph:
+    per round, degrees on the residual edge set -> keep nodes with
+    d >= k -> induce the surviving subgraph; output = residual degrees
+    after the last round — the identical fixed-round contract to
+    operators/kcore.py ``k_core(edges, k, rounds)``."""
+    ctes = ["e0 AS (SELECT a, b FROM e)"]
+    for i in range(rounds):
+        ctes.append(f"""d{i} AS (
+                SELECT n, count(*) AS d FROM (
+                    SELECT a AS n FROM e{i} UNION ALL SELECT b AS n FROM e{i}
+                ) GROUP BY 1
+            )""")
+        ctes.append(f"""k{i} AS (SELECT n FROM d{i} WHERE d >= {k})""")
+        ctes.append(f"""e{i + 1} AS (
+                SELECT a, b FROM e{i}
+                WHERE a IN (SELECT n FROM k{i})
+                  AND b IN (SELECT n FROM k{i})
+            )""")
+    return (
+        _part_graph_cte()
+        + ",\n            "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT n, count(*) AS core_deg FROM (
+                SELECT a AS n FROM e{rounds}
+                UNION ALL SELECT b AS n FROM e{rounds}
+            ) GROUP BY 1"""
     )
 
 
@@ -4806,6 +4856,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "triangle_stats": _tri_oracle_sql(False),
         "triangle_sample": _tri_oracle_sql(True),
         "lpa_communities": _lpa_oracle_sql(3),
+        "k_core": _kcore_oracle_sql(16, 3),
         "bigram_perplexity": f"""
             WITH tok AS (
                 SELECT doc_id, unnest(t) AS term,

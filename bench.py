@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "triangle_stats",
     "triangle_sample",
     "lpa_communities",
+    "k_core",
 ]
 
 

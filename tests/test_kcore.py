@@ -1,0 +1,99 @@
+"""k-core peeling: known-graph cores, python-reference equality on
+random graphs, fixed-round trajectory prefix, coreness ladder."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from collections import defaultdict
+
+from tube_spark.operators.kcore import coreness, k_core
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in pairs}), "a long, b long"
+    )
+
+
+def _py_peel(pairs, k, rounds=None):
+    """Reference peeling; returns {node: residual_degree}."""
+    edges = {tuple(sorted(p)) for p in pairs}
+    i = 0
+    while edges and (rounds is None or i < rounds):
+        deg = defaultdict(int)
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        i += 1
+        if rounds is None and nxt == edges:
+            edges = nxt
+            break
+        edges = nxt
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    return dict(deg)
+
+
+def _run(spark, pairs, k, rounds=None):
+    return {
+        r["n"]: r["core_deg"]
+        for r in k_core(_edges(spark, pairs), k, rounds=rounds).collect()
+    }
+
+
+def test_clique_plus_tail(spark):
+    # 5-clique (every degree 4) with a pendant chain hanging off it
+    clique = list(itertools.combinations([1, 2, 3, 4, 5], 2))
+    tail = [(5, 6), (6, 7), (7, 8)]
+    pairs = clique + tail
+    # 3-core = the clique alone; the chain peels away over cascading
+    # rounds (8 first, then 7, then 6)
+    got = _run(spark, pairs, k=3)
+    assert got == {n: 4 for n in (1, 2, 3, 4, 5)}
+    # 2-core also drops the chain (pendant degree 1 cascades)
+    assert set(_run(spark, pairs, k=2)) == {1, 2, 3, 4, 5}
+    # 5-core is empty (max degree in the 4-regular clique is 4)
+    assert _run(spark, pairs, k=5) == {}
+
+
+def test_cascade_needs_multiple_rounds(spark):
+    # path graph: each k=2 peel round only removes the current
+    # endpoints, so the trajectory prefix is visibly round-dependent
+    pairs = [(i, i + 1) for i in range(6)]
+    assert _run(spark, pairs, k=2, rounds=0) == _py_peel(pairs, 2, 0)
+    r1 = _run(spark, pairs, k=2, rounds=1)
+    assert r1 == _py_peel(pairs, 2, 1)
+    assert 0 not in r1 and 6 not in r1 and 1 in r1  # endpoints peeled
+    # fixpoint: a path has no 2-core
+    assert _run(spark, pairs, k=2) == {}
+
+
+def test_random_graphs_match_reference(spark):
+    rng = random.Random(29)
+    pairs = {tuple(sorted(rng.sample(range(24), 2))) for _ in range(70)}
+    for k in (2, 3, 4, 5):
+        assert _run(spark, pairs, k) == _py_peel(pairs, k)
+    for rounds in (1, 2, 3):
+        assert _run(spark, pairs, 4, rounds) == _py_peel(pairs, 4, rounds)
+
+
+def test_fixed_rounds_noop_past_fixpoint(spark):
+    # once converged, extra unrolled rounds change nothing — the
+    # property that lets a fixed-round SQL oracle equal the fixpoint
+    clique = list(itertools.combinations(range(6), 2))
+    assert _run(spark, clique, k=3, rounds=7) == _run(spark, clique, k=3)
+
+
+def test_coreness_ladder(spark):
+    clique = list(itertools.combinations([1, 2, 3, 4, 5], 2))
+    pairs = clique + [(5, 6), (6, 7)]
+    got = {
+        r["n"]: r["coreness"]
+        for r in coreness(_edges(spark, pairs), k_max=6).collect()
+    }
+    assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 6: 1, 7: 1}
