@@ -1971,6 +1971,22 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch dataloader permutation (sinks/shards.py epoch_order):
+    every document's 0-based position in epoch 3's deterministic
+    global shuffle — rank over md5(seed|epoch|key) via the distributed
+    prefix count (range partition + broadcast offsets, never a
+    single-task global window).  Re-shuffling per epoch WITHOUT
+    rewriting the shard store; the oracle replays the permutation
+    bit-for-bit as one row_number."""
+    from tube_spark.sinks.shards import epoch_order
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return epoch_order(docs, "doc_id", epoch=3).select(
+        "doc_id", F.col("__epoch_pos").alias("epoch_pos")
+    )
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): documents
     concatenated in doc_id order and cut into 512-token training
@@ -2724,6 +2740,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "embedding_covariance": q_embedding_covariance,
         "mixture_plan": q_mixture_plan,
         "shard_plan": q_shard_plan,
+        "epoch_shuffle": q_epoch_shuffle,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2795,8 +2812,10 @@ _ROWS_ONLY = (
 _EXTRA_QUERY_NAMES = (
     # round-9 additions (queued for the r10 driver window): CCNet-style
     # bigram LM perplexity, DSIR importance weights, the triangle
-    # census + DOULION sample, LPA communities, and k-core peeling
+    # census + DOULION sample, LPA communities, k-core peeling, and
+    # the per-epoch dataloader permutation
     "k_core",
+    "epoch_shuffle",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3524,6 +3543,14 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT (tb // 2000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
                    sum(n_tok)::BIGINT AS n_tokens
             FROM c GROUP BY 1
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY
+                        ('0x' || substr(md5('epoch' || '|' || '3' || '|'
+                            || cast(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                        doc_id) - 1)::BIGINT AS epoch_pos
+            FROM documents
         """,
         "leakage_safe_split": f"""
             WITH RECURSIVE pairs AS (

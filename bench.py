@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "triangle_sample",
     "lpa_communities",
     "k_core",
+    "epoch_shuffle",
 ]
 
 

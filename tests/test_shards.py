@@ -392,3 +392,39 @@ def test_repair_is_noop_on_clean_store(spark, tmp_path):
     fixed = repair_shards(spark, p)
     assert fixed.filter(~F.col("ok")).count() == 0
     assert read_manifest(spark, p) == m
+
+
+def test_epoch_order_is_portable_permutation(spark):
+    """Every epoch is an exact permutation of [0, N), bit-identical to
+    the md5-sorted python reference, repartition-invariant, and
+    distinct across epochs."""
+    import hashlib
+
+    from tube_spark.sinks.shards import epoch_order
+
+    docs = _docs(spark)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    n = len(ids)
+
+    def ref(epoch):
+        def key(i):
+            h = hashlib.md5(f"epoch|{epoch}|{i}".encode()).hexdigest()
+            return (int(h[:15], 16), i)
+
+        return {i: pos for pos, i in enumerate(sorted(ids, key=key))}
+
+    for epoch in (0, 3):
+        got = {
+            r["doc_id"]: r["__epoch_pos"]
+            for r in epoch_order(docs, "doc_id", epoch).collect()
+        }
+        assert sorted(got.values()) == list(range(n))
+        assert got == ref(epoch)
+    # repartition invariance: the permutation is a pure function of
+    # the key, not the layout
+    skewed = {
+        r["doc_id"]: r["__epoch_pos"]
+        for r in epoch_order(docs.repartition(17), "doc_id", 3).collect()
+    }
+    assert skewed == ref(3)
+    assert ref(0) != ref(3)

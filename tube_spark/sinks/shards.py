@@ -133,6 +133,47 @@ def _ranked(
     return out.drop("__ok", "__pid", "__local", "__offc", "__offt")
 
 
+def epoch_order(
+    df: DataFrame, key_col: str, epoch: int, seed: str = "epoch"
+) -> DataFrame:
+    """Deterministic per-epoch dataloader permutation WITHOUT rewriting
+    the store: adds ``__epoch_pos`` — the row's 0-based position in
+    epoch ``epoch``'s global shuffle order.  Dataloaders re-shuffle the
+    corpus every epoch; materializing a re-shuffled copy per epoch is
+    O(corpus) writes, but the permutation itself is just a rank over a
+    salted portable hash of the stable key — one distributed prefix
+    count (the ``_ranked`` machinery: range partition + broadcast
+    offsets, never a single-task global window), zero data movement of
+    the payload beyond the rank shuffle.
+
+    The order key is ``md5(seed|epoch|key)`` (``portable_hash60``), so
+    a SQL oracle replays the full permutation bit-for-bit and any two
+    engines agree on every epoch's layout; ties (60-bit collisions)
+    break deterministically by the key.  Different epochs yield
+    independent permutations under the same contract.
+    """
+    from tube_spark.functions.text import portable_hash60
+
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    keyed = df.withColumn(
+        "__eok",
+        portable_hash60(
+            F.concat_ws(
+                "|",
+                F.lit(seed),
+                F.lit(str(epoch)),
+                F.col(key_col).cast("string"),
+            )
+        ),
+    )
+    return (
+        _ranked(keyed, key_col, None, order_col="__eok")
+        .withColumnRenamed("__rank", "__epoch_pos")
+        .drop("__eok")
+    )
+
+
 def _shard_col(m: dict):
     if m.get("token_budget"):
         return (F.col("__tok_before") / m["token_budget"]).cast("long")
