@@ -1971,6 +1971,29 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter blocklist gate (operators/bloomgate.py):
+    every-7th document's text builds a 2016-bit / 3-hash filter; the
+    corpus scan then probes it as a MAP-ONLY expression (the filter is
+    a plan literal — no join, no broadcast of raw values).  Guaranteed
+    no false negatives; the oracle replays every word and every probe
+    bit-for-bit.  ``in_blocklist`` is the exact truth column so the
+    comparison itself witnesses the guarantee."""
+    from tube_spark.operators.bloomgate import bloom_build, bloom_gate
+
+    docs = _docs(spark, sf_dir)
+    words = bloom_build(
+        docs.filter(F.col("doc_id") % 7 == 0), "text", m_bits=2016, n_hashes=3
+    )
+    return bloom_gate(docs, "text", words, m_bits=2016, n_hashes=3).select(
+        "doc_id",
+        ((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull()).alias(
+            "in_blocklist"
+        ),
+        "maybe_blocked",
+    )
+
+
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-epoch dataloader permutation (sinks/shards.py epoch_order):
     every document's 0-based position in epoch 3's deterministic
@@ -2741,6 +2764,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mixture_plan": q_mixture_plan,
         "shard_plan": q_shard_plan,
         "epoch_shuffle": q_epoch_shuffle,
+        "bloom_gate": q_bloom_gate,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2816,6 +2840,7 @@ _EXTRA_QUERY_NAMES = (
     # the per-epoch dataloader permutation
     "k_core",
     "epoch_shuffle",
+    "bloom_gate",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3543,6 +3568,35 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT (tb // 2000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
                    sum(n_tok)::BIGINT AS n_tokens
             FROM c GROUP BY 1
+        """,
+        "bloom_gate": """
+            WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+            blp AS (
+                SELECT ('0x' || substr(md5('bloomgate' || '|'
+                           || j::VARCHAR || '|' || text), 1, 15))::BIGINT
+                       % 2016 AS h
+                FROM documents CROSS JOIN js
+                WHERE doc_id % 7 = 0 AND text IS NOT NULL
+            ),
+            words AS (
+                SELECT h // 63 AS w,
+                       bit_or(1::BIGINT << (h % 63)::INT) AS bits
+                FROM blp GROUP BY 1
+            ),
+            cp AS (
+                SELECT d.doc_id,
+                       (d.doc_id % 7 = 0 AND d.text IS NOT NULL)
+                           AS in_blocklist,
+                       ('0x' || substr(md5('bloomgate' || '|'
+                           || j::VARCHAR || '|' || d.text), 1, 15))::BIGINT
+                       % 2016 AS h
+                FROM documents d CROSS JOIN js
+            )
+            SELECT cp.doc_id, any_value(cp.in_blocklist) AS in_blocklist,
+                   bool_and(coalesce((words.bits >> (cp.h % 63)::INT)
+                       & 1, 0) = 1) AS maybe_blocked
+            FROM cp LEFT JOIN words ON words.w = cp.h // 63
+            GROUP BY cp.doc_id
         """,
         "epoch_shuffle": """
             SELECT doc_id,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "lpa_communities",
     "k_core",
     "epoch_shuffle",
+    "bloom_gate",
 ]
 
 
