@@ -1971,6 +1971,38 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-page boilerplate stripping (operators/text_extract.py):
+    documents wrapped in a synthetic page (head with style+script —
+    the script body contains raw '<' and '&amp;' — a nav anchor and a
+    comment) and extracted back: script/style/comment elements
+    dropped, tags to spaces, single-pass entity decode, whitespace
+    collapse, plus anchor count and link density.  Map-only JVM regex
+    kernel on the Java/RE2 common subset; the oracle replays it
+    character-for-character."""
+    from tube_spark.operators.text_extract import html_extract
+
+    docs = _docs(spark, sf_dir)
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                "<html><head><style>p{margin:0}</style>"
+                "<script>if(a<b){go('&amp;')}</script></head><body><h1>Doc "
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit('</p><a href="/doc?id='),
+            F.col("doc_id").cast("string"),
+            F.lit('">more &amp; related</a><!-- generated --></body></html>'),
+        ).alias("html"),
+    )
+    return html_extract(html, "html").select(
+        "doc_id", "text_extracted", "n_links", "link_density"
+    )
+
+
 def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom-filter blocklist gate (operators/bloomgate.py):
     every-7th document's text builds a 2016-bit / 3-hash filter; the
@@ -2765,6 +2797,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "shard_plan": q_shard_plan,
         "epoch_shuffle": q_epoch_shuffle,
         "bloom_gate": q_bloom_gate,
+        "html_extract": q_html_extract,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2841,6 +2874,7 @@ _EXTRA_QUERY_NAMES = (
     "k_core",
     "epoch_shuffle",
     "bloom_gate",
+    "html_extract",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3568,6 +3602,52 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT (tb // 2000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
                    sum(n_tok)::BIGINT AS n_tokens
             FROM c GROUP BY 1
+        """,
+        "html_extract": """
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><head><style>p{margin:0}</style>'
+                       || '<script>if(a<b){go(''&amp;'')}</script>'
+                       || '</head><body><h1>Doc '
+                       || cast(doc_id AS VARCHAR) || '</h1><p>'
+                       || coalesce(text, '') || '</p><a href="/doc?id='
+                       || cast(doc_id AS VARCHAR)
+                       || '">more &amp; related</a>'
+                       || '<!-- generated --></body></html>' AS html
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                               '<[^>]+>', ' ', 'g') AS t1,
+                       regexp_replace(array_to_string(regexp_extract_all(
+                           html, '(?is)<a\\b[^>]*>(.*?)</a>', 1), ' '),
+                           '<[^>]+>', ' ', 'g') AS a1,
+                       len(regexp_extract_all(html,
+                           '(?is)<a\\b[^>]*>(.*?)</a>', 1)) AS n_links
+                FROM h
+            ), d AS (
+                SELECT doc_id, n_links,
+                       trim(regexp_replace(replace(replace(replace(replace(
+                           replace(replace(t1, '&nbsp;', ' '), '&lt;', '<'),
+                           '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                           '&amp;', '&'), '\\s+', ' ', 'g'))
+                           AS text_extracted,
+                       trim(regexp_replace(replace(replace(replace(replace(
+                           replace(replace(a1, '&nbsp;', ' '), '&lt;', '<'),
+                           '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                           '&amp;', '&'), '\\s+', ' ', 'g')) AS atext
+                FROM s
+            )
+            SELECT doc_id, text_extracted, n_links,
+                   CASE WHEN len(text_extracted) > 0
+                        THEN round(len(atext)::DOUBLE
+                             / len(text_extracted), 6)
+                        ELSE 0.0 END AS link_density
+            FROM d
         """,
         "bloom_gate": """
             WITH js AS (SELECT unnest([0, 1, 2]) AS j),

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "k_core",
     "epoch_shuffle",
     "bloom_gate",
+    "html_extract",
 ]
 
 
