@@ -1971,6 +1971,34 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (operators/cms.py): 3x512 counter grid over
+    the corpus token stream, probed at the 50 most frequent tokens —
+    output carries the exact count, the sketch estimate, and the
+    overcount so the never-undercount guarantee is visible in the
+    diff.  The oracle replays every counter and every probe (the grid
+    is d*w rows regardless of corpus size; the probe join broadcasts)."""
+    from tube_spark.functions.text import tokens
+    from tube_spark.operators.cms import cms_build, cms_estimate
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    grid = cms_build(toks, "token", width=512, depth=3)
+    probes = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("token"))
+        .limit(50)
+    )
+    return cms_estimate(probes, "token", grid, width=512, depth=3).select(
+        "token",
+        "exact",
+        "est",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+    )
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-page boilerplate stripping (operators/text_extract.py):
     documents wrapped in a synthetic page (head with style+script —
@@ -2798,6 +2826,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "epoch_shuffle": q_epoch_shuffle,
         "bloom_gate": q_bloom_gate,
         "html_extract": q_html_extract,
+        "cms_counts": q_cms_counts,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2875,6 +2904,7 @@ _EXTRA_QUERY_NAMES = (
     "epoch_shuffle",
     "bloom_gate",
     "html_extract",
+    "cms_counts",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3602,6 +3632,31 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT (tb // 2000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
                    sum(n_tok)::BIGINT AS n_tokens
             FROM c GROUP BY 1
+        """,
+        "cms_counts": f"""
+            WITH tok AS (
+                SELECT unnest({_TOK}) AS token FROM documents
+            ), rs AS (SELECT unnest([0, 1, 2]) AS r),
+            grid AS (
+                SELECT rs.r,
+                       ('0x' || substr(md5('cms' || '|' || rs.r::VARCHAR
+                           || '|' || token), 1, 15))::BIGINT % 512 AS b,
+                       count(*)::BIGINT AS c
+                FROM tok CROSS JOIN rs GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT token, count(*)::BIGINT AS exact FROM tok
+                GROUP BY 1 ORDER BY exact DESC, token LIMIT 50
+            ),
+            pe AS (
+                SELECT p.token, p.exact, min(coalesce(g.c, 0)) AS est
+                FROM probes p CROSS JOIN rs
+                LEFT JOIN grid g ON g.r = rs.r AND g.b =
+                    ('0x' || substr(md5('cms' || '|' || rs.r::VARCHAR
+                        || '|' || p.token), 1, 15))::BIGINT % 512
+                GROUP BY 1, 2
+            )
+            SELECT token, exact, est, est - exact AS overcount FROM pe
         """,
         "html_extract": """
             WITH h AS (

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "epoch_shuffle",
     "bloom_gate",
     "html_extract",
+    "cms_counts",
 ]
 
 
