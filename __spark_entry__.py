@@ -1971,6 +1971,33 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain scene-cut detection over real MJPEG-AVI
+    containers (operators/multimodal.py detect_scene_cuts): doc_ids
+    divisible by 4 carry a synthesized AVI (id%5+2 frames, frame
+    bodies repeating in scenes of 2); the kernel demuxes the RIFF
+    container, takes a 256-bin byte histogram per frame body, and cuts
+    where the normalized L1 jump crosses the threshold.  The oracle
+    replays the scene arithmetic from doc_id alone — sound because
+    within a scene the frame bytes are IDENTICAL (distance exactly 0)
+    and across a boundary the synthesized filler multiset shifts by
+    31 mod 256, which cannot fix a 16-element multiset (orbit size 256
+    > 16), so the distance is >= 2/122 > the 0.01 threshold — the cut
+    set provably equals the scene boundaries at any scale factor."""
+    from tube_spark.operators.multimodal import (
+        detect_scene_cuts,
+        synthesize_video_col,
+    )
+
+    vids = synthesize_video_col(
+        _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") % 4 == 0),
+        scene_len=2,
+    )
+    return detect_scene_cuts(vids, threshold=0.01).select(
+        "doc_id", "frame_idx", "ts_ms", "is_cut", "scene_id"
+    )
+
+
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (operators/cms.py): 3x512 counter grid over
     the corpus token stream, probed at the 50 most frequent tokens —
@@ -2827,6 +2854,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "bloom_gate": q_bloom_gate,
         "html_extract": q_html_extract,
         "cms_counts": q_cms_counts,
+        "scene_cuts": q_scene_cuts,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2905,6 +2933,7 @@ _EXTRA_QUERY_NAMES = (
     "bloom_gate",
     "html_extract",
     "cms_counts",
+    "scene_cuts",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3632,6 +3661,16 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT (tb // 2000)::BIGINT AS shard, count(*)::BIGINT AS n_docs,
                    sum(n_tok)::BIGINT AS n_tokens
             FROM c GROUP BY 1
+        """,
+        "scene_cuts": """
+            SELECT doc_id,
+                   cast(i AS INTEGER) AS frame_idx,
+                   cast(i * 100 AS BIGINT) AS ts_ms,
+                   (i > 0 AND i % 2 = 0) AS is_cut,
+                   cast(i // 2 AS INTEGER) AS scene_id
+            FROM (SELECT doc_id, doc_id % 5 + 2 AS n_frames
+                  FROM documents WHERE doc_id % 4 = 0),
+                 unnest(range(0, n_frames)) AS u(i)
         """,
         "cms_counts": f"""
             WITH tok AS (

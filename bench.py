@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "bloom_gate",
     "html_extract",
     "cms_counts",
+    "scene_cuts",
 ]
 
 

@@ -474,11 +474,20 @@ def synthesize_jpeg(seed: int, width: int, height: int) -> bytes:
 
 
 def synthesize_avi(
-    seed: int, n_frames: int, width: int = 32, height: int = 24, fps: int = 10
+    seed: int,
+    n_frames: int,
+    width: int = 32,
+    height: int = 24,
+    fps: int = 10,
+    scene_len: int = 1,
 ) -> bytes:
     """A valid MJPEG-in-AVI container: RIFF(AVI ) → LIST(hdrl){avih,
     LIST(strl){strh,strf}} → LIST(movi){00dc×n}.  Every frame is a
-    ``synthesize_jpeg`` whose bytes vary by (seed, frame index)."""
+    ``synthesize_jpeg`` whose bytes vary by (seed, frame index //
+    ``scene_len``) — ``scene_len`` > 1 repeats each frame body for a
+    run of that length, giving the video a deterministic scene
+    structure (used by ``detect_scene_cuts`` tests/oracles; the
+    default 1 keeps every frame distinct, the original behavior)."""
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -510,7 +519,7 @@ def synthesize_avi(
     movi = lst(
         b"movi",
         b"".join(
-            chunk(b"00dc", synthesize_jpeg(seed + i, width, height))
+            chunk(b"00dc", synthesize_jpeg(seed + i // scene_len, width, height))
             for i in range(n_frames)
         ),
     )
@@ -782,3 +791,104 @@ def audio_spectral_features(
             yield pd.DataFrame(rows, columns=[id_col, "sample_rate", "n_frames", "dominant_hz", "spectral_centroid_hz", "rms"])
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, schema=schema)
+
+
+_SCENE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("dist_norm", T.DoubleType()),
+        T.StructField("is_cut", T.BooleanType()),
+        T.StructField("scene_id", T.IntegerType()),
+    ]
+)
+
+
+def detect_scene_cuts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "media",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Coarse scene-cut detection over MJPEG-in-AVI payloads WITHOUT
+    pixel decode: per frame a 256-bin byte histogram of the compressed
+    frame body, per consecutive pair the normalized L1 distance
+    ``sum|h_i - h_{i-1}| / (bytes_i + bytes_{i-1})`` in [0, 1] — the
+    classic cheap pre-filter (compressed-domain shot detection): a cut
+    re-keys the entropy stream, so the byte distribution jumps, while
+    within-shot frames stay near.  ``is_cut`` marks frames opening a
+    new scene (frame 0 never does); ``scene_id`` is the running cut
+    count, segmenting the video for per-scene sampling / dedup.
+
+    Explode-shaped Arrow ``mapInPandas`` like ``sample_video_frames``:
+    frames of one video live in one payload, so distances and the
+    scene counter are computed IN the kernel — no window, no shuffle;
+    pixel-accurate detection would plug ``decode_jpeg_pixels`` into
+    the same loop.  Non-AVI payloads emit no rows."""
+    if not 0 <= threshold <= 1:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else None
+                avi = parse_avi(raw)
+                if avi is None or not avi["frames"]:
+                    continue
+                usec = avi["usec_per_frame"]
+                prev_hist = None
+                prev_size = 0
+                scene = 0
+                for i, (off, size) in enumerate(avi["frames"]):
+                    body = np.frombuffer(raw, dtype=np.uint8, count=size, offset=off)
+                    hist = np.bincount(body, minlength=256)
+                    if prev_hist is None:
+                        dist, cut = 0.0, False
+                    else:
+                        l1 = int(np.abs(hist - prev_hist).sum())
+                        dist = l1 / float(size + prev_size)
+                        cut = dist >= threshold
+                    if cut:
+                        scene += 1
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_idx": i,
+                            "ts_ms": i * usec // 1000,
+                            "dist_norm": round(dist, 6),
+                            "is_cut": cut,
+                            "scene_id": scene,
+                        }
+                    )
+                    prev_hist, prev_size = hist, size
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _SCENE_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_SCENE_SCHEMA
+    )
+
+
+def synthesize_video_col(
+    df: DataFrame, id_col: str = "doc_id", scene_len: int = 1
+) -> DataFrame:
+    """Attach a deterministic MJPEG-AVI ``media`` column to EVERY row
+    (``id%5+2`` frames at 10 fps, 32x24, frame bodies repeating in
+    runs of ``scene_len``) — the video-only twin of
+    ``synthesize_media_col``, for exercising frame-level operators
+    over a corpus with a known scene structure."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synthesize_avi(int(i), int(i) % 5 + 2, scene_len=scene_len)
+                for i in ids
+            ]
+        )
+
+    return df.withColumn("media", synth(F.col(id_col)))
