@@ -119,3 +119,35 @@ def test_dsir_selection_gate(spark, tmp_path, capsys):
     survivors = v1.join(docs.select("doc_id", "lang"), "doc_id")
     en_frac = survivors.filter(survivors.lang == "en").count() / survivors.count()
     assert en_frac > base_en  # selection moved toward the target
+
+
+def test_blocklist_gate(spark, tmp_path, capsys):
+    """--blocklist drops exactly the blocked documents (no false
+    negatives; FPR-sized filter keeps collateral ~0 at this scale)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    blocked = docs.filter(docs.doc_id % 9 == 0).filter(docs.text.isNotNull())
+    bl_path = str(tmp_path / "blocklist")
+    blocked.select("text").write.parquet(bl_path)
+    n_blocked_ids = {r["doc_id"] for r in blocked.select("doc_id").collect()}
+
+    out = str(tmp_path / "corpus")
+    rc, rep = _run(
+        capsys,
+        "--docs", f"{SF}/documents.parquet",
+        "--out", out,
+        "--blocklist", bl_path,
+        "--min-quality", "0.0",
+        "--jaccard", "1.01",
+    )
+    assert rc == 0
+    g = rep["gates"]["blocklist"]
+    # every blocked doc removed (guarantee) -- exact-dup texts of a
+    # blocked doc are also (correctly) removed, hence >=
+    assert g["removed"] >= len(n_blocked_ids) > 0
+    published = {
+        r["doc_id"]
+        for r in spark.read.parquet(rep["version"]).select("doc_id").collect()
+    }
+    assert not (published & n_blocked_ids)
+    # collateral stays small: the filter was sized for 0.1% FPR
+    assert g["removed"] <= len(n_blocked_ids) + 0.05 * docs.count()

@@ -22,6 +22,12 @@ Stages (each an operator documented in COVERAGE.md):
                               hashed-n-gram importance to the target
                               distribution (threshold via GK sketch,
                               no global sort)
+  0c. ``bloom_gate``         (opt-in ``--blocklist``) — drop documents
+                              whose text hits a Bloom filter built from
+                              the blocklist parquet (opt-out/takedown/
+                              benchmark values; auto-sized to
+                              ``--blocklist-fpr``, no false negatives,
+                              map-only probe)
   1. ``curate_corpus``      — quality gate, exact dedup, near-dup drop
   2. ``quality_checks``     — publish gate: id uniqueness + completeness
                               (refuses to publish a broken corpus)
@@ -83,6 +89,21 @@ def main(argv: list[str] | None = None) -> int:
         "(top avg log-weight; threshold via quantile sketch)",
     )
     ap.add_argument("--dsir-dim", type=int, default=1024)
+    ap.add_argument(
+        "--blocklist", default=None,
+        help="Bloom gate: parquet of blocked values "
+        "(operators/bloomgate.py); documents whose text matches are "
+        "dropped — no false negatives by construction",
+    )
+    ap.add_argument(
+        "--blocklist-col", default=None,
+        help="column of --blocklist holding the blocked values "
+        "(default: --text-col)",
+    )
+    ap.add_argument(
+        "--blocklist-fpr", type=float, default=0.001,
+        help="Bloom false-positive design point (filter auto-sized)",
+    )
     ap.add_argument("--ngram", type=int, default=1)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--splits", default="train=0.8,val=0.1,test=0.1")
@@ -164,6 +185,30 @@ def main(argv: list[str] | None = None) -> int:
         gates["dsir"] = {
             "keep_frac": args.dsir_keep_frac,
             "threshold": round(thr, 6),
+            "removed": before - docs.count(),
+        }
+
+    if args.blocklist is not None:
+        from tube_spark.operators.bloomgate import (
+            bloom_build,
+            bloom_gate,
+            bloom_params,
+        )
+
+        bl = spark.read.parquet(args.blocklist)
+        bcol = args.blocklist_col or args.text_col
+        m_bits, k = bloom_params(max(bl.count(), 1), args.blocklist_fpr)
+        m_bits = max(m_bits, 63)
+        words = bloom_build(bl, bcol, m_bits, k)
+        before = docs.count()
+        docs = (
+            bloom_gate(docs, args.text_col, words, m_bits, k)
+            .filter(~F.col("maybe_blocked"))
+            .drop("maybe_blocked")
+        )
+        gates["blocklist"] = {
+            "m_bits": m_bits,
+            "n_hashes": k,
             "removed": before - docs.count(),
         }
 
