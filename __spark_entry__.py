@@ -1971,6 +1971,29 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_neardup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How group-like is the near-dup relation BEFORE connected
+    components runs: the degree-ordered triangle census
+    (operators/triangles.py) over the portable MinHash-LSH pair graph
+    (operators/dedup.py — the exact minhash_lsh driver query's pairs).
+    High global clustering means LSH pairs close into cliques (dup
+    GROUPS, safe to pick one survivor per component); low clustering
+    means chains, where transitive grouping over-merges.  Oracle =
+    the full LSH pipeline CTE feeding the SAME census SQL as
+    triangle_stats — two independently-oracled operators composed, and
+    the composition re-oracled end to end."""
+    from tube_spark.operators.dedup import minhash_lsh_pairs
+    from tube_spark.operators.triangles import triangle_stats
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=2, num_hashes=64,
+        bands=16, threshold=0.5, portable=True,
+    )
+    return triangle_stats(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+
+
 def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain scene-cut detection over real MJPEG-AVI
     containers (operators/multimodal.py detect_scene_cuts): doc_ids
@@ -2855,6 +2878,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "html_extract": q_html_extract,
         "cms_counts": q_cms_counts,
         "scene_cuts": q_scene_cuts,
+        "neardup_transitivity": q_neardup_transitivity,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2934,6 +2958,7 @@ _EXTRA_QUERY_NAMES = (
     "html_extract",
     "cms_counts",
     "scene_cuts",
+    "neardup_transitivity",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3068,10 +3093,13 @@ _QUERY_ORDER = (
     # staying differentially verified by pytest
     # (tests/test_extra_queries.py).
     # Backlog after this rotation: the round-9 additions (see the
-    # _EXTRA_QUERY_NAMES head).  r10 schedule: promote those into the
-    # tail slots and rotate the longest-demoted analytics entries
-    # (pricing_summary block) back in; demote an equal count of sitting
-    # r9 entries.
+    # _EXTRA_QUERY_NAMES head).  r10 schedule: promote the 11-query
+    # round-9 addition block at the _EXTRA_QUERY_NAMES head (k_core,
+    # epoch_shuffle, bloom_gate, html_extract, cms_counts, scene_cuts,
+    # bigram_perplexity, dsir_weights, triangle_stats, triangle_sample,
+    # lpa_communities) into slots 40-50; demote an equal count of
+    # sitting r9 entries (the column_profile..corpus_overlap block has
+    # green r9 rows and rotates out first).
     "column_profile",
     "value_histogram",
     "weighted_sample",
@@ -3288,17 +3316,12 @@ def _part_graph_cte(edge_filter: str = "") -> str:
             )"""
 
 
-def _tri_oracle_sql(sampled: bool) -> str:
-    """Triangle-census DuckDB oracle; the sampled (DOULION) variant
-    shares the exact construction with an edge-hash filter + 1/p^3
-    scaling so the two can never diverge."""
-    edge_filter = ""
-    if sampled:
-        edge_filter = (
-            "AND ('0x' || substr(md5('tri' || '|' || x.n::VARCHAR || '|' "
-            "|| y.n::VARCHAR), 1, 15))::BIGINT % 1000000 < 700000"
-        )
-    core = _part_graph_cte(edge_filter) + f""",
+def _census_ctes() -> str:
+    """The degree-ordered triangle-census CTE chain over an ``e(a, b)``
+    edge CTE — ONE text shared by the part-graph census, the DOULION
+    sample, and the near-dup transitivity report so the census math can
+    never diverge across graphs."""
+    return """,
             deg AS (
                 SELECT n, count(*) AS d FROM (
                     SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
@@ -3329,16 +3352,9 @@ def _tri_oracle_sql(sampled: bool) -> str:
                     SELECT 1 FROM dir WHERE dir.src = wed.v AND dir.dst = wed.w
                 )
             )"""
-    if sampled:
-        return core + """
-            SELECT 0.7::DOUBLE AS p,
-                   (SELECT count(*) FROM e) AS n_edges_sampled,
-                   n_triangles AS n_triangles_sampled,
-                   round(n_triangles / (0.7::DOUBLE * 0.7::DOUBLE
-                                        * 0.7::DOUBLE), 2) AS n_triangles_est
-            FROM tri
-        """
-    return core + """
+
+
+_CENSUS_SELECT = """
             SELECT (SELECT count(*) FROM deg) AS n_nodes,
                    (SELECT count(*) FROM e) AS n_edges,
                    (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges,
@@ -3349,6 +3365,45 @@ def _tri_oracle_sql(sampled: bool) -> str:
                         ELSE 0.0 END AS global_clustering
             FROM tri
         """
+
+
+def _tri_oracle_sql(sampled: bool) -> str:
+    """Triangle-census DuckDB oracle; the sampled (DOULION) variant
+    shares the exact construction with an edge-hash filter + 1/p^3
+    scaling so the two can never diverge."""
+    edge_filter = ""
+    if sampled:
+        edge_filter = (
+            "AND ('0x' || substr(md5('tri' || '|' || x.n::VARCHAR || '|' "
+            "|| y.n::VARCHAR), 1, 15))::BIGINT % 1000000 < 700000"
+        )
+    core = _part_graph_cte(edge_filter) + _census_ctes()
+    if sampled:
+        return core + """
+            SELECT 0.7::DOUBLE AS p,
+                   (SELECT count(*) FROM e) AS n_edges_sampled,
+                   n_triangles AS n_triangles_sampled,
+                   round(n_triangles / (0.7::DOUBLE * 0.7::DOUBLE
+                                        * 0.7::DOUBLE), 2) AS n_triangles_est
+            FROM tri
+        """
+    return core + _CENSUS_SELECT
+
+
+def _neardup_transitivity_oracle_sql() -> str:
+    """Census over the MinHash-LSH near-dup pair graph: the full
+    portable LSH pipeline (the ``minhash_lsh`` oracle, embedded as a
+    subquery CTE — the leakage_safe_split pattern) feeding the SAME
+    census CTE chain as the part-graph triangle oracle."""
+    return (
+        f"""
+            WITH pairs AS (
+                {_minhash_oracle()}
+            ),
+            e AS (SELECT id_a AS a, id_b AS b FROM pairs)"""
+        + _census_ctes()
+        + _CENSUS_SELECT
+    )
 
 
 def _lpa_oracle_sql(iters: int = 3) -> str:
@@ -3662,6 +3717,7 @@ def _all_oracle_sql() -> dict[str, str]:
                    sum(n_tok)::BIGINT AS n_tokens
             FROM c GROUP BY 1
         """,
+        "neardup_transitivity": _neardup_transitivity_oracle_sql(),
         "scene_cuts": """
             SELECT doc_id,
                    cast(i AS INTEGER) AS frame_idx,

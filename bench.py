@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "html_extract",
     "cms_counts",
     "scene_cuts",
+    "neardup_transitivity",
 ]
 
 
