@@ -2654,6 +2654,24 @@ def q_streaming_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_daily_event_counts(spark, f"{sf_dir}/events.parquet")
 
 
+def q_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN GRAPH by NN-descent (operators/knngraph.py):
+    top-10 cosine neighbors for EVERY corpus vector in 3
+    neighbor-of-neighbor rounds — O(n*k^2) candidate scores per round
+    instead of the O(n^2) brute force.  Rows-only by design (the output
+    is approximate); quality is MEASURED, not assumed: recall floors in
+    tests/test_knngraph.py and the ``nn_descent_graph`` row of
+    ``ann_recall_report`` (0.76 at iters=3 on the uniform-random hard
+    case, 0.98 on clustered data)."""
+    from tube_spark.operators.knngraph import nn_descent
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return nn_descent(emb, k=10, iters=3)
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of the approximate ANN indexes (LSH, IVF) against
     the exact brute-force top-k, plus the near-dup LSH pair set against
@@ -2663,6 +2681,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann_recall.py and ``meets_floor`` records pass/fail in
     the driver-visible output itself."""
     from tube_spark.operators.similarity import (
+        cosine_topk as cosine_topk_fn,
         exact_near_pairs,
         pair_recall,
         topk_recall,
@@ -2761,7 +2780,24 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     pq_row = macro(topk_recall(exact_l2, adc), "pq_adc_topk", 0.5)
-    return lsh.unionByName(ivf).unionByName(near).unionByName(pq_row)
+    # NN-descent kNN graph vs the exact graph on a deterministic 10%
+    # node sample (full n^2 exact would defeat the point of the graph
+    # being approximate); floor mirrors tests/test_knngraph.py's
+    # uniform-random hard case (measured 0.76 at iters=3)
+    exact_graph = cosine_topk_fn(
+        emb, emb.filter(F.col("vec_id") % 10 == 0), k=10
+    )
+    nnd = macro(
+        topk_recall(exact_graph, q_nn_descent(spark, sf_dir)),
+        "nn_descent_graph",
+        0.6,
+    )
+    return (
+        lsh.unionByName(ivf)
+        .unionByName(near)
+        .unionByName(pq_row)
+        .unionByName(nnd)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2898,6 +2934,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "pq_search": q_pq_search,
         "line_dedup": q_line_dedup,
         "streaming_events_window": q_streaming_events_window,
+        "nn_descent": q_nn_descent,
         "ann_recall_report": q_ann_recall_report,
         "bpe_tokenize": q_bpe_tokenize,
         # TPC-H shape completion (tube_spark/queries/tpch.py) — with the
@@ -2941,6 +2978,7 @@ _ROWS_ONLY = (
     # random synthetic embeddings by construction — see its docstring)
     "embedding_near_dup_scale",
     "streaming_events_window",
+    "nn_descent",
     "ann_recall_report",
     # iterative argmax training — not SQL-expressible; differentially
     # verified against a pure-Python reference in tests/test_bpe.py
