@@ -1,0 +1,79 @@
+"""Term-partitioned BM25 index: exact equality to the scan-time
+scorer, append = rebuild, partition pruning plan-asserted, manifest
+accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tube_spark.operators.retrieval import bm25_topk
+from tube_spark.operators.searchindex import (
+    append_text_index,
+    build_text_index,
+    search_text_index,
+)
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["data", "model", "training", "the"]
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_search_equals_scan_scorer_exactly(spark, tmp_path):
+    docs = _docs(spark)
+    build_text_index(docs, str(tmp_path / "idx"), n_buckets=16)
+    got = search_text_index(spark, str(tmp_path / "idx"), TERMS, k=15)
+    want = bm25_topk(docs, TERMS, k=15)
+    assert _rows(got) == _rows(want)
+    # single term too (different bucket set, different df join shape)
+    assert _rows(
+        search_text_index(spark, str(tmp_path / "idx"), ["model"], k=7)
+    ) == _rows(bm25_topk(docs, ["model"], k=7))
+
+
+def test_append_equals_full_rebuild(spark, tmp_path):
+    docs = _docs(spark)
+    first = docs.filter(F.col("doc_id") % 3 != 0)
+    rest = docs.filter(F.col("doc_id") % 3 == 0)
+    p = str(tmp_path / "idx")
+    build_text_index(first, p, n_buckets=16)
+    m = append_text_index(rest, p)
+    assert m["n_docs"] == docs.count()
+    got = search_text_index(spark, p, TERMS, k=15)
+    p2 = str(tmp_path / "full")
+    build_text_index(docs, p2, n_buckets=16)
+    assert _rows(got) == _rows(search_text_index(spark, p2, TERMS, k=15))
+
+
+def test_partition_pruning_and_schema(spark, tmp_path):
+    docs = _docs(spark)
+    build_text_index(docs, str(tmp_path / "idx"), n_buckets=32)
+    df = search_text_index(spark, str(tmp_path / "idx"), ["model"], k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "tb" in plan.split("PartitionFilters", 1)[1][:200]
+    # the term filter reaches the scan
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_manifest_accounting(spark, tmp_path):
+    docs = _docs(spark).limit(50)
+    m = build_text_index(docs, str(tmp_path / "idx"), n_buckets=8)
+    assert m["n_docs"] == 50
+    from tube_spark.operators.retrieval import term_stats
+
+    _, doclen = term_stats(docs, "doc_id", "text")
+    assert m["total_dl"] == doclen.agg(F.sum("dl")).first()[0]
+
+
+def test_empty_terms_rejected(spark, tmp_path):
+    build_text_index(_docs(spark).limit(5), str(tmp_path / "idx"), n_buckets=4)
+    with pytest.raises(ValueError):
+        search_text_index(spark, str(tmp_path / "idx"), [])

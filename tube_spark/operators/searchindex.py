@@ -1,0 +1,168 @@
+"""Persistent term-partitioned BM25 index: ranked retrieval WITHOUT
+scanning the corpus per query.
+
+``operators/retrieval.py`` scores straight off the document table —
+right for one-shot analytics, wrong for a serving path: every query
+would re-tokenize 100 TB.  This store is the text analog of the IVF
+vector store (operators/vectorstore.py): postings live on parquet
+PARTITIONED by a term-hash bucket, so a query reads only the buckets
+its terms hash into (``PartitionFilters`` — plan-asserted in
+tests/test_searchindex.py) and, inside them, only the matching term
+rows (pushed filters).  A q-term query against a B-bucket index
+touches <= q/B of the postings bytes regardless of corpus size.
+
+Layout:
+    <path>/postings/tb=<bucket>/...   (term, doc_id, tf, dl) rows
+    <path>/_MANIFEST.json             n_docs, total_dl, n_buckets
+
+Document length rides each posting row (denormalized) so scoring
+needs NO doc-side join; corpus-level stats (N, avgdl) are two numbers
+in the manifest.  Scoring reuses the exact BM25 expressions of
+``retrieval.bm25_topk`` — per-term df computed from the pruned read
+exactly as bm25_topk computes it from the filtered token stream — so
+``search_text_index`` is provably result-identical to the scan-time
+scorer (pinned by an exact-equality pytest).
+
+Appends: postings for NEW doc_ids (the monotone-id contract the
+streaming sinks document) land as additional files in the same bucket
+partitions; the manifest's (n_docs, total_dl) advance by the delta.
+df needs no stored state — it is derived at search time — so an
+append never rewrites published buckets (the frozen-codebook property:
+old postings never move).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tube_spark.functions import fsio
+from tube_spark.operators.retrieval import term_stats
+
+_MANIFEST = "_MANIFEST.json"
+
+
+def _postings(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """((term, doc_id, tf, dl, tb) rows, per-doc lengths)."""
+    tok, doclen = term_stats(docs, id_col, text_col)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    rows = tf.join(doclen, id_col).select(
+        "term",
+        F.col(id_col).alias("doc_id"),
+        "tf",
+        "dl",
+        (F.pmod(F.xxhash64("term"), F.lit(n_buckets))).alias("tb"),
+    )
+    return rows, doclen
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict:
+    return json.loads(fsio.read_text(spark, f"{path}/{_MANIFEST}"))
+
+
+def _write_manifest(spark: SparkSession, path: str, m: dict) -> None:
+    fsio.mkdirs(spark, path)
+    fsio.write_text(spark, f"{path}/{_MANIFEST}", json.dumps(m))
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> dict:
+    """Tokenize once, write term-bucket-partitioned postings, persist
+    corpus stats.  Returns the manifest."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    spark = docs.sparkSession
+    rows, doclen = _postings(docs, id_col, text_col, n_buckets)
+    rows.write.mode("overwrite").partitionBy("tb").parquet(f"{path}/postings")
+    agg = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    m = {
+        "n_docs": int(agg["n"] or 0),
+        "total_dl": int(agg["t"] or 0),
+        "n_buckets": n_buckets,
+    }
+    _write_manifest(spark, path, m)
+    return m
+
+
+def append_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Add NEW documents (caller guarantees unseen doc_ids — the
+    monotone-id contract): postings append into the existing bucket
+    partitions, manifest stats advance by the delta; published buckets
+    are never rewritten."""
+    spark = docs.sparkSession
+    m = _read_manifest(spark, path)
+    rows, doclen = _postings(docs, id_col, text_col, m["n_buckets"])
+    rows.write.mode("append").partitionBy("tb").parquet(f"{path}/postings")
+    agg = doclen.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).first()
+    m["n_docs"] += int(agg["n"] or 0)
+    m["total_dl"] += int(agg["t"] or 0)
+    _write_manifest(spark, path, m)
+    return m
+
+
+def search_text_index(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k (doc_id, bm25, n_matched_terms) for a bag-of-terms query —
+    result-identical to ``retrieval.bm25_topk`` over the indexed corpus
+    (exact-equality pytest), but reading only the query terms' bucket
+    partitions + term rows instead of the corpus."""
+    if not terms:
+        raise ValueError("search_text_index needs at least one query term")
+    m = _read_manifest(spark, path)
+    nb = m["n_buckets"]
+    # the terms' buckets, computed the same way the writer bucketed
+    buckets = sorted(
+        {
+            r["tb"]
+            for r in spark.createDataFrame([(t,) for t in set(terms)], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(nb)).alias("tb"))
+            .collect()
+        }
+    )
+    post = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("tb").isin(buckets))       # partition pruning
+        .filter(F.col("term").isin(list(terms)))  # pushed row filter
+    )
+    n_docs = F.lit(m["n_docs"])
+    avgdl = F.lit(m["total_dl"] / m["n_docs"] if m["n_docs"] else 0.0)
+    df_ = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.ln(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)
+    )
+    return (
+        post.join(F.broadcast(df_), "term")
+        .withColumn("contrib", idf * tf_norm)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
