@@ -151,3 +151,46 @@ def test_blocklist_gate(spark, tmp_path, capsys):
     assert not (published & n_blocked_ids)
     # collateral stays small: the filter was sized for 0.1% FPR
     assert g["removed"] <= len(n_blocked_ids) + 0.05 * docs.count()
+
+
+def test_html_extract_stage(spark, tmp_path, capsys):
+    """--html-extract strips markup before the gates and drops nav
+    pages by link density."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .limit(40)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><p>"), "text", F.lit("</p></body></html>")
+            ).alias("text"),
+        )
+    )
+    nav = spark.createDataFrame(
+        [(999_001, "<a href='/a'>home</a> <a href='/b'>about</a>")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "html_docs")
+    docs.unionByName(nav).write.parquet(src)
+
+    out = str(tmp_path / "corpus")
+    rc, rep = _run(
+        capsys,
+        "--docs", src,
+        "--out", out,
+        "--html-extract",
+        "--min-quality", "0.0",
+        "--jaccard", "1.01",
+    )
+    assert rc == 0
+    assert rep["gates"]["html"]["removed"] == 1  # the nav page
+    pub = spark.read.parquet(rep["version"])
+    assert pub.filter(pub.doc_id == 999_001).count() == 0
+    assert rep["rows"] > 0
+    # the published lang/quality stats were computed over EXTRACTED
+    # text: every surviving doc keeps the language its raw text had,
+    # which markup-polluted tokens would have broken toward 'other'
+    assert pub.filter(pub.lang_pred == "en").count() > 0

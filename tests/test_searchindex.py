@@ -77,3 +77,38 @@ def test_empty_terms_rejected(spark, tmp_path):
     build_text_index(_docs(spark).limit(5), str(tmp_path / "idx"), n_buckets=4)
     with pytest.raises(ValueError):
         search_text_index(spark, str(tmp_path / "idx"), [])
+
+
+def test_append_watermark_skips_replay(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "idx")
+    build_text_index(docs.filter(F.col("doc_id") % 2 == 0), p, n_buckets=8)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    append_text_index(batch, p, batch_id=1)
+    once = _rows(search_text_index(spark, p, TERMS, k=10))
+    m = append_text_index(batch, p, batch_id=1)  # redelivery
+    assert _rows(search_text_index(spark, p, TERMS, k=10)) == once
+    assert m["n_docs"] == docs.count()
+
+
+def test_streaming_ingest_matches_batch_build(spark, tmp_path):
+    from tube_spark.operators.searchindex import streaming_text_index
+
+    docs = _docs(spark)
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(src)
+    p = str(tmp_path / "idx")
+    q = streaming_text_index(
+        spark, src, p, n_buckets=8, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(src)
+    q2 = streaming_text_index(
+        spark, src, p, n_buckets=8, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    p2 = str(tmp_path / "full")
+    build_text_index(docs, p2, n_buckets=8)
+    assert _rows(search_text_index(spark, p, TERMS, k=15)) == _rows(
+        search_text_index(spark, p2, TERMS, k=15)
+    )

@@ -14,6 +14,9 @@ training corpus:
         [--master local[8]]
 
 Stages (each an operator documented in COVERAGE.md):
+  0a. ``html_extract``       (opt-in ``--html-extract``) — strip HTML
+                              boilerplate from the text column and drop
+                              nav pages over ``--max-link-density``
   0. ``bigram_lm_perplexity`` (opt-in ``--max-ppl``) — CCNet-style
                               fluency gate: drop high-perplexity docs
                               under a self-trained capped bigram LM
@@ -90,6 +93,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--dsir-dim", type=int, default=1024)
     ap.add_argument(
+        "--html-extract", action="store_true",
+        help="treat the text column as HTML: strip boilerplate "
+        "(script/style/comments/tags, entity decode, whitespace "
+        "collapse — operators/text_extract.py) and drop nav pages "
+        "whose link density exceeds --max-link-density BEFORE any gate",
+    )
+    ap.add_argument(
+        "--max-link-density", type=float, default=0.5,
+        help="with --html-extract: drop pages whose anchor-text share "
+        "of the extracted text exceeds this (nav/menu pages)",
+    )
+    ap.add_argument(
         "--blocklist", default=None,
         help="Bloom gate: parquet of blocked values "
         "(operators/bloomgate.py); documents whose text matches are "
@@ -142,6 +157,22 @@ def main(argv: list[str] | None = None) -> int:
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
 
     gates: dict[str, object] = {}
+    if args.html_extract:
+        from tube_spark.operators.text_extract import html_extract
+
+        before = docs.count()
+        docs = (
+            html_extract(docs, args.text_col)
+            .filter(F.col("link_density") <= args.max_link_density)
+            .drop(args.text_col)
+            .withColumnRenamed("text_extracted", args.text_col)
+            .drop("n_links", "link_density")
+        )
+        gates["html"] = {
+            "max_link_density": args.max_link_density,
+            "removed": before - docs.count(),
+        }
+
     if args.max_ppl is not None:
         from tube_spark.operators.lm import bigram_lm_perplexity
 

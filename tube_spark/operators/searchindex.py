@@ -100,13 +100,24 @@ def append_text_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | None = None,
 ) -> dict:
     """Add NEW documents (caller guarantees unseen doc_ids — the
     monotone-id contract): postings append into the existing bucket
     partitions, manifest stats advance by the delta; published buckets
-    are never rewritten."""
+    are never rewritten.  ``batch_id`` makes the append idempotent per
+    streaming epoch: an id at or below the manifest's
+    ``last_batch_id`` watermark is a replay and becomes a no-op (the
+    shards-sink contract — a parquet append is NOT naturally
+    replay-safe)."""
     spark = docs.sparkSession
     m = _read_manifest(spark, path)
+    if (
+        batch_id is not None
+        and m.get("last_batch_id") is not None
+        and batch_id <= int(m["last_batch_id"])
+    ):
+        return m  # replayed epoch: already applied
     rows, doclen = _postings(docs, id_col, text_col, m["n_buckets"])
     rows.write.mode("append").partitionBy("tb").parquet(f"{path}/postings")
     agg = doclen.agg(
@@ -114,8 +125,42 @@ def append_text_index(
     ).first()
     m["n_docs"] += int(agg["n"] or 0)
     m["total_dl"] += int(agg["t"] or 0)
+    if batch_id is not None:
+        m["last_batch_id"] = int(batch_id)
     _write_manifest(spark, path, m)
     return m
+
+
+def streaming_text_index(
+    spark: SparkSession,
+    source_dir: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    schema=None,
+    checkpoint_dir: str | None = None,
+):
+    """Structured Streaming ingest into the index (availableNow +
+    foreachBatch, the streaming-shards shape): the first batch builds,
+    later batches append under the ``last_batch_id`` watermark so
+    at-least-once redelivery cannot double-insert postings."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if fsio.exists(spark, f"{path}/{_MANIFEST}"):
+            append_text_index(batch, path, id_col, text_col, batch_id)
+        elif not batch.isEmpty():
+            m = build_text_index(batch, path, id_col, text_col, n_buckets)
+            m["last_batch_id"] = int(batch_id)
+            _write_manifest(spark, path, m)
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def search_text_index(
