@@ -1971,6 +1971,18 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-window RAG chunking (operators/chunking.py
+    sentence_chunks): sentences extracted on the Java/RE2 common
+    regex subset, grouped 3 per chunk, text rejoined in explicit
+    sentence order (never collect_list arrival order).  Map-only
+    until the per-(doc, chunk) regroup; the oracle replays the
+    extraction and grouping character-for-character."""
+    from tube_spark.operators.chunking import sentence_chunks
+
+    return sentence_chunks(_docs(spark, sf_dir), sentences_per_chunk=3)
+
+
 def q_neardup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How group-like is the near-dup relation BEFORE connected
     components runs: the degree-ordered triangle census
@@ -2915,6 +2927,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cms_counts": q_cms_counts,
         "scene_cuts": q_scene_cuts,
         "neardup_transitivity": q_neardup_transitivity,
+        "sentence_chunks": q_sentence_chunks,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -2997,6 +3010,7 @@ _EXTRA_QUERY_NAMES = (
     "cms_counts",
     "scene_cuts",
     "neardup_transitivity",
+    "sentence_chunks",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3756,6 +3770,22 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM c GROUP BY 1
         """,
         "neardup_transitivity": _neardup_transitivity_oracle_sql(),
+        "sentence_chunks": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                           x -> trim(x)), x -> x <> '') AS arr
+                FROM documents
+            ), e AS (
+                SELECT doc_id, i - 1 AS pos, arr[i] AS sentence
+                FROM s, unnest(generate_series(1, len(arr))) AS u(i)
+            )
+            SELECT doc_id, (pos // 3)::BIGINT AS chunk_id,
+                   count(*)::BIGINT AS n_sentences,
+                   string_agg(sentence, ' ' ORDER BY pos) AS chunk_text
+            FROM e GROUP BY 1, 2
+        """,
         "scene_cuts": """
             SELECT doc_id,
                    cast(i AS INTEGER) AS frame_idx,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "cms_counts",
     "scene_cuts",
     "neardup_transitivity",
+    "sentence_chunks",
 ]
 
 

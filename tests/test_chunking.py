@@ -63,3 +63,39 @@ def test_bad_params(spark):
         chunk_documents(df, 0)
     with pytest.raises(ValueError):
         chunk_documents(df, 8, 8)
+
+
+def test_sentence_chunks_reference(spark):
+    """Known text: sentence extraction, grouping, order, remainder."""
+    import re
+
+    from tube_spark.operators.chunking import sentence_chunks
+
+    text = "One fish. Two fish! Red fish? Blue fish. End"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        r["chunk_id"]: (r["n_sentences"], r["chunk_text"])
+        for r in sentence_chunks(df, sentences_per_chunk=2).collect()
+    }
+    sents = [s.strip() for s in re.findall(r"[^.!?]+[.!?]*", text) if s.strip()]
+    assert sents == ["One fish.", "Two fish!", "Red fish?", "Blue fish.", "End"]
+    assert got == {
+        0: (2, "One fish. Two fish!"),
+        1: (2, "Red fish? Blue fish."),
+        2: (1, "End"),
+    }
+
+
+def test_sentence_chunks_order_is_layout_independent(spark):
+    from tube_spark.operators.chunking import sentence_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in sentence_chunks(docs).collect()
+    }
+    b = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in sentence_chunks(docs.repartition(17)).collect()
+    }
+    assert a == b and len(a) > 0

@@ -65,3 +65,55 @@ def chunk_documents(
             F.array_join("c.toks", " ").alias("chunk_text"),
         )
     )
+
+
+_SENT = r"[^.!?]+[.!?]*"
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sentences_per_chunk: int = 3,
+) -> DataFrame:
+    """Sentence-window chunking — the semantic cousin of the token
+    window above: split on sentence terminals (``[^.!?]+[.!?]*`` — the
+    Java-regex/RE2 common subset, so an SQL oracle extracts the
+    identical sentences), then group every ``sentences_per_chunk``
+    consecutive sentences into one chunk.  RAG indexers prefer
+    sentence windows when token windows cut mid-thought.
+
+    Output: ``(id, chunk_id, n_sentences, chunk_text)`` — chunk text
+    rejoined in sentence order (an explicit sort key, never
+    collect_list arrival order, which is partition-dependent).
+
+    Map-only until the per-(doc, chunk) regroup — one keyed
+    aggregation whose key count is the chunk count; no windows."""
+    if sentences_per_chunk < 1:
+        raise ValueError(
+            f"sentences_per_chunk must be >= 1, got {sentences_per_chunk}"
+        )
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col(text_col), F.lit(_SENT), F.lit(0)),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != F.lit(""),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(sents).alias("pos", "sentence")
+    )
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "sentence"))),
+            lambda x: x["sentence"],
+        ),
+        " ",
+    )
+    return exploded.groupBy(
+        F.col(id_col),
+        (F.col("pos") / sentences_per_chunk).cast("long").alias("chunk_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        ordered.alias("chunk_text"),
+    )
