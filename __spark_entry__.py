@@ -1971,6 +1971,21 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/mining.py
+    association_rules): part pairs co-ordered in >= 2 orders
+    (mega-baskets capped at 10 items before the quadratic pair join —
+    the cooccurrence_edges hazard), with support / both confidences /
+    lift.  The oracle replays membership, cap, pair counts, and the
+    ratio arithmetic."""
+    from tube_spark.operators.mining import association_rules
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, max_basket=10
+    )
+
+
 def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-window RAG chunking (operators/chunking.py
     sentence_chunks): sentences extracted on the Java/RE2 common
@@ -2928,6 +2943,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "scene_cuts": q_scene_cuts,
         "neardup_transitivity": q_neardup_transitivity,
         "sentence_chunks": q_sentence_chunks,
+        "basket_rules": q_basket_rules,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -3011,6 +3027,7 @@ _EXTRA_QUERY_NAMES = (
     "scene_cuts",
     "neardup_transitivity",
     "sentence_chunks",
+    "basket_rules",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3770,6 +3787,32 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM c GROUP BY 1
         """,
         "neardup_transitivity": _neardup_transitivity_oracle_sql(),
+        "basket_rules": """
+            WITH mem AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem
+            ),
+            memc AS (
+                SELECT g, n FROM mem
+                QUALIFY count(*) OVER (PARTITION BY g) <= 10
+            ),
+            supp AS (SELECT n, count(*) AS cnt FROM memc GROUP BY 1),
+            nb AS (SELECT count(DISTINCT g) AS N FROM memc),
+            pairs AS (
+                SELECT x.n AS a, y.n AS b, count(*) AS n_ab
+                FROM memc x JOIN memc y USING (g)
+                WHERE x.n < y.n GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT a, b, n_ab, sa.cnt AS n_a, sb.cnt AS n_b,
+                   round(n_ab / CAST(nb.N AS DOUBLE), 6) AS support,
+                   round(n_ab / CAST(sa.cnt AS DOUBLE), 6) AS conf_a_b,
+                   round(n_ab / CAST(sb.cnt AS DOUBLE), 6) AS conf_b_a,
+                   round(n_ab * CAST(nb.N AS DOUBLE)
+                         / (sa.cnt * sb.cnt), 6) AS lift
+            FROM pairs
+            JOIN supp sa ON sa.n = pairs.a
+            JOIN supp sb ON sb.n = pairs.b
+            CROSS JOIN nb
+        """,
         "sentence_chunks": """
             WITH s AS (
                 SELECT doc_id,

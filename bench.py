@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "scene_cuts",
     "neardup_transitivity",
     "sentence_chunks",
+    "basket_rules",
 ]
 
 

@@ -62,3 +62,39 @@ def test_class_balanced_validation(spark):
     df = spark.createDataFrame([(1, "a")], "vec_id long, label string")
     with pytest.raises(ValueError, match="target"):
         class_balanced(df, "label", 0)
+
+
+def test_association_rules_reference(spark):
+    """Known baskets: counts, supports, confidence, lift vs hand math."""
+    from tube_spark.operators.mining import association_rules
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "z"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "y"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r["a"], r["b"]): r
+        for r in association_rules(df, "basket", "item", min_pair_count=2).collect()
+    }
+    # pairs in >=2 baskets: (x,y) in {1,2}; (x,z) in {1,3}
+    assert set(got) == {("x", "y"), ("x", "z")}
+    xy = got[("x", "y")]
+    assert (xy["n_ab"], xy["n_a"], xy["n_b"]) == (2, 3, 3)
+    assert xy["support"] == 0.5                  # 2/4 baskets
+    assert xy["conf_a_b"] == xy["conf_b_a"] == round(2 / 3, 6)
+    assert xy["lift"] == round(2 * 4 / 9, 6)
+
+
+def test_association_rules_basket_cap(spark):
+    from tube_spark.operators.mining import association_rules
+
+    rows = [(1, f"i{j}") for j in range(20)] + [(2, "a"), (2, "b"), (3, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = association_rules(df, "basket", "item", min_pair_count=2, max_basket=5)
+    # the 20-item mega-basket is dropped BEFORE the pair join
+    assert {(r["a"], r["b"]) for r in got.collect()} == {("a", "b")}
+    # and N counts only surviving baskets
+    assert got.first()["support"] == 1.0

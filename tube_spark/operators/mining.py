@@ -117,3 +117,71 @@ def class_balanced(
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("__c") - 1)))
         .drop("__n", "__rk", "__c")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Market-basket pair rules (the Apriori k=2 layer — in practice
+    the layer that carries almost all retail/co-view signal): for
+    every unordered item pair co-occurring in >= ``min_pair_count``
+    baskets, the standard rule statistics —
+
+      ``support``    n_ab / N        (fraction of baskets with both)
+      ``conf_a_b``   n_ab / n_a      (confidence of a -> b)
+      ``conf_b_a``   n_ab / n_b
+      ``lift``       n_ab * N / (n_a * n_b)   (>1 = positive assoc.)
+
+    Scale shape: distinct (basket, item) membership once; per-item
+    support is one keyed count; the pair count is the SAME capped
+    self-join as ``triangles.cooccurrence_edges`` (``max_basket``
+    drops mega-baskets BEFORE the quadratic pair step — a basket of g
+    items emits g*(g-1)/2 pairs); the two per-item support joins
+    broadcast (item-cardinality-sized).  ``min_pair_count`` prunes the
+    long tail before the joins.  All ratios rounded to 6 for oracle
+    portability."""
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    membership = df.select(
+        F.col(basket_col).alias("g"), F.col(item_col).alias("n")
+    ).distinct()
+    if max_basket is not None:
+        sizes = membership.groupBy("g").agg(F.count(F.lit(1)).alias("__gs"))
+        membership = (
+            membership.join(sizes, "g")
+            .filter(F.col("__gs") <= max_basket)
+            .drop("__gs")
+        )
+    membership = membership.localCheckpoint(eager=False)  # feeds 3 branches
+    n_baskets = membership.select("g").distinct().count()
+    item_supp = membership.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    a = membership.select("g", F.col("n").alias("a"))
+    b = membership.select("g", F.col("n").alias("b"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    sa = item_supp.select(F.col("n").alias("a"), F.col("cnt").alias("n_a"))
+    sb = item_supp.select(F.col("n").alias("b"), F.col("cnt").alias("n_b"))
+    out = pairs.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+    N = F.lit(n_baskets).cast("double")
+    return out.select(
+        "a",
+        "b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_ab") / N, 6).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_a"),
+        F.round(F.col("n_ab") * N / (F.col("n_a") * F.col("n_b")), 6).alias(
+            "lift"
+        ),
+    )
