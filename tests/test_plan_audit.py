@@ -56,6 +56,7 @@ ARROW_OK = {
     "ann_lsh_topk_portable": 3,  # Arrow signature kernel, like ann_lsh_topk
     "hard_negatives": 0,  # rides cosine_topk's Arrow cosine kernel
     "embedding_covariance": 1,  # the PCA moment pass: one Gram-partial mapInPandas
+    "scene_cuts": 2,  # synth pandas_udf + demux/histogram mapInPandas
 }
 
 # queries where a BroadcastNestedLoopJoin is the intended plan AND every
@@ -97,6 +98,7 @@ BNLJ_OK = {
     "dsir_weights",  # one-row corpus-totals broadcast for the log-ratios
     "triangle_stats",  # three one-row stat aggregates cross-joined
     "triangle_sample",  # same shape on the sparsified graph
+    "neardup_transitivity",  # the same census cross-join shape over the LSH pair graph
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key
@@ -128,6 +130,7 @@ SKIP = {
     "pagerank",  # iterative: building the frame runs the training loop
     "entity_resolution",  # iterative: CC convergence loop runs on build
     "lpa_communities",  # iterative: rounds run (and checkpoint) on build
+    "nn_descent",  # iterative: descent rounds run (and checkpoint) on build
 }
 
 
