@@ -1971,6 +1971,22 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (operators/kcore.py k_truss), k=6, 2 fixed
+    synchronous rounds over the same part co-occurrence graph as the
+    census — the EDGE-cohesion analog of k_core: membership requires
+    triangle embeddedness, not just degree.  Fixed rounds = portable
+    trajectory; the oracle unrolls identical support->filter rounds."""
+    from tube_spark.operators.kcore import k_truss
+    from tube_spark.operators.triangles import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return k_truss(edges, k=6, rounds=2)
+
+
 def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules (operators/mining.py
     association_rules): part pairs co-ordered in >= 2 orders
@@ -2944,6 +2960,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "neardup_transitivity": q_neardup_transitivity,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
+        "k_truss": q_k_truss,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -3028,6 +3045,7 @@ _EXTRA_QUERY_NAMES = (
     "neardup_transitivity",
     "sentence_chunks",
     "basket_rules",
+    "k_truss",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3544,6 +3562,65 @@ def _kcore_oracle_sql(k: int = 16, rounds: int = 3) -> str:
                 SELECT a AS n FROM e{rounds}
                 UNION ALL SELECT b AS n FROM e{rounds}
             ) GROUP BY 1"""
+    )
+
+
+def _ktruss_oracle_sql(k: int = 6, rounds: int = 2) -> str:
+    """Unrolled k-truss peel trajectory over the shared part graph:
+    per round, per-edge triangle support via the SAME degree-ordered
+    orientation as the census -> drop edges with support < k-2 ->
+    repeat; output = the residual edges with support recomputed on the
+    final graph — the identical fixed-round contract to
+    operators/kcore.py ``k_truss(edges, k, rounds)``."""
+    ctes = ["e0 AS MATERIALIZED (SELECT a, b FROM e)"]
+    for i in range(rounds + 1):
+        ctes.append(f"""deg{i} AS MATERIALIZED (
+                SELECT n, count(*) AS d FROM (
+                    SELECT a AS n FROM e{i} UNION ALL SELECT b AS n FROM e{i}
+                ) GROUP BY 1
+            )""")
+        ctes.append(f"""dir{i} AS MATERIALIZED (
+                SELECT CASE WHEN da < db OR (da = db AND a < b)
+                            THEN a ELSE b END AS src,
+                       CASE WHEN da < db OR (da = db AND a < b)
+                            THEN b ELSE a END AS dst,
+                       CASE WHEN da < db OR (da = db AND a < b)
+                            THEN db ELSE da END AS dst_d
+                FROM (SELECT ee.a, ee.b, x.d AS da, y.d AS db
+                      FROM e{i} ee
+                      JOIN deg{i} x ON x.n = ee.a
+                      JOIN deg{i} y ON y.n = ee.b)
+            )""")
+        ctes.append(f"""tri{i} AS MATERIALIZED (
+                SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+                FROM dir{i} w1 JOIN dir{i} w2 ON w1.src = w2.src
+                WHERE (w1.dst_d < w2.dst_d
+                       OR (w1.dst_d = w2.dst_d AND w1.dst < w2.dst))
+                  AND EXISTS (SELECT 1 FROM dir{i} c
+                              WHERE c.src = w1.dst AND c.dst = w2.dst)
+            )""")
+        ctes.append(f"""sup{i} AS MATERIALIZED (
+                SELECT least(x, y) AS a, greatest(x, y) AS b,
+                       count(*) AS s
+                FROM (SELECT u AS x, v AS y FROM tri{i}
+                      UNION ALL SELECT u AS x, w AS y FROM tri{i}
+                      UNION ALL SELECT v AS x, w AS y FROM tri{i})
+                GROUP BY 1, 2
+            )""")
+        if i < rounds:
+            ctes.append(f"""e{i + 1} AS MATERIALIZED (
+                SELECT ee.a, ee.b FROM e{i} ee
+                JOIN sup{i} s ON s.a = ee.a AND s.b = ee.b
+                WHERE s.s >= {k - 2}
+            )""")
+    return (
+        _part_graph_cte()
+        + ",\n            "
+        + ",\n            ".join(ctes)
+        + f"""
+            SELECT ee.a, ee.b, coalesce(s.s, 0) AS support
+            FROM e{rounds} ee
+            LEFT JOIN sup{rounds} s ON s.a = ee.a AND s.b = ee.b"""
     )
 
 
@@ -5279,6 +5356,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "triangle_sample": _tri_oracle_sql(True),
         "lpa_communities": _lpa_oracle_sql(3),
         "k_core": _kcore_oracle_sql(16, 3),
+        "k_truss": _ktruss_oracle_sql(6, 2),
         "bigram_perplexity": f"""
             WITH tok AS (
                 SELECT doc_id, unnest(t) AS term,

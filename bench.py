@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "neardup_transitivity",
     "sentence_chunks",
     "basket_rules",
+    "k_truss",
 ]
 
 

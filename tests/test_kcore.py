@@ -97,3 +97,68 @@ def test_coreness_ladder(spark):
         for r in coreness(_edges(spark, pairs), k_max=6).collect()
     }
     assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4, 6: 1, 7: 1}
+
+
+def _py_truss(pairs, k, rounds):
+    edges = {tuple(sorted(p)) for p in pairs}
+
+    def support(es):
+        sup = {e: 0 for e in es}
+        nodes = sorted({n for e in es for n in e})
+        adj = {n: set() for n in nodes}
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        for a, b in es:
+            for c in adj[a] & adj[b]:
+                sup[(a, b)] += 1
+        return sup
+
+    for _ in range(rounds):
+        sup = support(edges)
+        edges = {e for e in edges if sup[e] >= k - 2}
+    return support(edges)
+
+
+def test_k_truss_clique_and_chain(spark):
+    from tube_spark.operators.kcore import k_truss
+
+    clique = list(itertools.combinations([1, 2, 3, 4, 5], 2))
+    chain = [(5, 6), (6, 7)]
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in k_truss(_edges(spark, clique + chain), k=5, rounds=1).collect()
+    }
+    # 5-truss: every clique edge sits in 3 triangles; chain edges in 0
+    assert got == {e: 3 for e in clique}
+    # k=6 demands support >= 4: nothing survives
+    assert (
+        k_truss(_edges(spark, clique + chain), k=6, rounds=1).count() == 0
+    )
+
+
+def test_k_truss_matches_reference_on_random(spark):
+    from tube_spark.operators.kcore import k_truss
+
+    rng = random.Random(41)
+    pairs = {tuple(sorted(rng.sample(range(18), 2))) for _ in range(80)}
+    for k, rounds in ((3, 1), (4, 2), (5, 2)):
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in k_truss(_edges(spark, pairs), k=k, rounds=rounds).collect()
+        }
+        assert got == _py_truss(pairs, k, rounds)
+
+
+def test_k_truss_cascade(spark):
+    from tube_spark.operators.kcore import k_truss
+
+    # two triangles sharing an edge: (1,2,3) and (2,3,4), plus a
+    # triangle (4,5,6) hanging off — k=4 (support >= 2): only the
+    # shared edge (2,3) has support 2, but its triangles' OTHER edges
+    # have support 1 and die in round 1, starving (2,3) in round 2
+    pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (4, 6), (5, 6)]
+    r1 = k_truss(_edges(spark, pairs), k=4, rounds=1).count()
+    r2 = k_truss(_edges(spark, pairs), k=4, rounds=2).count()
+    assert r1 == 1 and r2 == 0
+    assert _py_truss(pairs, 4, 2) == {}

@@ -128,3 +128,82 @@ def coreness(edges: DataFrame, k_max: int) -> DataFrame:
         ).limit(0)
     # a node appears once per level it survives; coreness = max level
     return result.groupBy("n").agg(F.max("coreness").alias("coreness"))
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(a, b, support) — triangles through each undirected edge, via
+    the same degree-ordered orientation as operators/triangles.py
+    (each triangle found once at its lowest-(degree, id) corner, then
+    unpivoted to its three edges)."""
+    deg = _degrees(e)
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    directed = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    ).localCheckpoint(eager=False)
+    e1 = directed.select("src", F.col("dst").alias("v"), F.col("dst_d").alias("vd"))
+    e2 = directed.select("src", F.col("dst").alias("w"), F.col("dst_d").alias("wd"))
+    v_first = (F.col("vd") < F.col("wd")) | (
+        (F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w"))
+    )
+    wedges = e1.join(e2, "src").filter(v_first).select("src", "v", "w")
+    closing = directed.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"])  # (src, v, w) closed
+    edges3 = (
+        tris.select(F.col("src").alias("x"), F.col("v").alias("y"))
+        .unionAll(tris.select(F.col("src").alias("x"), F.col("w").alias("y")))
+        .unionAll(tris.select(F.col("v").alias("x"), F.col("w").alias("y")))
+    )
+    return (
+        edges3.select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def k_truss(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``(a, b, support)`` — the residual edge set after ``rounds``
+    synchronous k-truss peel rounds (Cohen 2008): each round drops
+    every edge in fewer than ``k-2`` triangles (deleting an edge kills
+    its triangles, which can starve OTHER edges next round), then the
+    output reports support on the final residual graph.  The truss is
+    the edge-analog of the k-core — membership requires triangle
+    EMBEDDEDNESS, not just degree — and peels cohesive blocks the core
+    keeps (a hub with many degree-heavy but triangle-free edges).
+
+    Fixed rounds = the portable-trajectory contract (kcore/LPA/
+    pagerank): the oracle unrolls identical rounds, and rounds past the
+    fixpoint are no-ops, so the contract holds at any scale factor.
+    Per round: one support computation (the degree-ordered wedge join —
+    O(sqrt m)-bounded fan-out — plus a 3-edge unpivot count) and one
+    edge semi-filter; rounds rotate under the CheckpointRotor.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    spark = edges.sparkSession
+    e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
+    rotor = CheckpointRotor(spark)
+    for _ in range(rounds):
+        rotor.begin()
+        sup = _edge_support(e)
+        e = (
+            e.join(sup, ["a", "b"])
+            .filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        e.count()
+        rotor.commit()
+    return e.join(_edge_support(e), ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+    )
