@@ -1971,6 +1971,16 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (operators/retrieval.py
+    doc_keywords): top-3 smooth-TF-IDF terms per document via the
+    funnel-free grouped top-k; ranks order by the unrounded score with
+    term tie-breaks, so the oracle's row_number replay is exact."""
+    from tube_spark.operators.retrieval import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir), k=3)
+
+
 def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss peeling (operators/kcore.py k_truss), k=6, 2 fixed
     synchronous rounds over the same part co-occurrence graph as the
@@ -2961,6 +2971,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
+        "doc_keywords": q_doc_keywords,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -3046,6 +3057,7 @@ _EXTRA_QUERY_NAMES = (
     "sentence_chunks",
     "basket_rules",
     "k_truss",
+    "doc_keywords",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3864,6 +3876,31 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM c GROUP BY 1
         """,
         "neardup_transitivity": _neardup_transitivity_oracle_sql(),
+        "doc_keywords": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOK}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            dfr AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            ),
+            nd AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * (ln((1.0 + nd.n) / (1.0 + dfr.df)) + 1.0)
+                           AS score0
+                FROM tf JOIN dfr USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, rank, term, round(score0, 6) AS score
+            FROM (
+                SELECT doc_id, term, score0,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score0 DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
         "basket_rules": """
             WITH mem AS (
                 SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "sentence_chunks",
     "basket_rules",
     "k_truss",
+    "doc_keywords",
 ]
 
 

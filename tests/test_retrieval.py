@@ -84,3 +84,32 @@ def test_hybrid_topk_ranks_bounded_and_deterministic(spark):
             assert r[c] is None or 1 <= r[c] <= 15
         # query doc never retrieves itself on the dense side
         assert not (r["doc_id"] == 0 and r["dense_rank"] is not None)
+
+
+def test_doc_keywords_reference(spark):
+    """Hand-checkable corpus: rare terms out-score common ones, ranks
+    deterministic, sklearn smooth-idf math."""
+    import math
+
+    from tube_spark.operators.retrieval import doc_keywords
+
+    rows = [
+        (1, "apple apple banana common common common"),
+        (2, "banana cherry common common"),
+        (3, "common cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in doc_keywords(df, k=2).collect()
+    }
+
+    def idf(dfreq):
+        return math.log((1 + 3) / (1 + dfreq)) + 1
+
+    # doc 1: apple tf=2 df=1 beats common tf=3 df=3 (idf 1.0)
+    assert got[(1, 1)] == ("apple", round(2 * idf(1), 6))
+    assert got[(1, 2)][0] in ("banana", "common")
+    # doc 3: cherry (df=2) out-scores common (df=3)
+    assert got[(3, 1)] == ("cherry", round(1 * idf(2), 6))
+    assert got[(3, 2)] == ("common", round(1 * idf(3), 6))

@@ -226,3 +226,41 @@ def hybrid_topk(
         k=k,
         rrf_k=rrf_k,
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by TF-IDF
+    (sklearn's smooth variant: ``tf * (ln((1+N)/(1+df)) + 1)``) —
+    ``(id, rank, term, score)``, ties by ascending term.  The
+    document-level counterpart of topics.py's per-CLUSTER c-TF-IDF
+    labels; feeds metadata enrichment and sparse-signal routing.
+
+    Scale shape: one (doc, term) count, per-term df as a second keyed
+    agg broadcast into the scoring join, and the funnel-free grouped
+    top-k — never a per-doc window over the full token stream.  Ranks
+    order by the UNROUNDED score (rounding is for oracle portability
+    of the output only)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok, _ = term_stats(docs, id_col, text_col)
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_ = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log((F.lit(1.0) + F.lit(n_docs)) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.col("tf") * idf
+    )
+    from tube_spark.operators.ranking import grouped_topk
+
+    top = grouped_topk(scored, [id_col], "score", k, tiebreak_col="term")
+    return top.select(
+        F.col(id_col),
+        F.col("rank"),
+        F.col("term"),
+        F.round("score", 6).alias("score"),
+    )
