@@ -1971,6 +1971,22 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_shards(docs, "doc_id", "n_tok", 2000, order_col="ok")
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus (operators/walks.py): 2 deterministic
+    3-step walks per node over the shared part co-occurrence graph —
+    graph-embedding training data.  The "random" choice at each step
+    is the salted-hash argmax over the frontier's neighbors, so the
+    oracle replays every step (unrolled row_number rounds)."""
+    from tube_spark.operators.triangles import cooccurrence_edges
+    from tube_spark.operators.walks import random_walks
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return random_walks(edges, walk_len=3, walks_per_node=2)
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document TF-IDF keyword extraction (operators/retrieval.py
     doc_keywords): top-3 smooth-TF-IDF terms per document via the
@@ -2972,6 +2988,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
         "doc_keywords": q_doc_keywords,
+        "random_walks": q_random_walks,
         "sequence_packing": q_sequence_packing,
         "pii_redaction": q_pii_redaction,
         "term_frequencies": q_term_frequencies,
@@ -3058,6 +3075,7 @@ _EXTRA_QUERY_NAMES = (
     "basket_rules",
     "k_truss",
     "doc_keywords",
+    "random_walks",
     "bigram_perplexity",
     "dsir_weights",
     "triangle_stats",
@@ -3192,13 +3210,15 @@ _QUERY_ORDER = (
     # staying differentially verified by pytest
     # (tests/test_extra_queries.py).
     # Backlog after this rotation: the round-9 additions (see the
-    # _EXTRA_QUERY_NAMES head).  r10 schedule: promote the 11-query
-    # round-9 addition block at the _EXTRA_QUERY_NAMES head (k_core,
-    # epoch_shuffle, bloom_gate, html_extract, cms_counts, scene_cuts,
-    # bigram_perplexity, dsir_weights, triangle_stats, triangle_sample,
-    # lpa_communities) into slots 40-50; demote an equal count of
-    # sitting r9 entries (the column_profile..corpus_overlap block has
-    # green r9 rows and rotates out first).
+    # _EXTRA_QUERY_NAMES head).  r10 schedule: the round-9 addition
+    # block at the _EXTRA_QUERY_NAMES head holds 16 oracled queries
+    # (k_core, epoch_shuffle, bloom_gate, html_extract, cms_counts,
+    # scene_cuts, neardup_transitivity, sentence_chunks, basket_rules,
+    # k_truss, doc_keywords, bigram_perplexity, dsir_weights,
+    # triangle_stats, triangle_sample, lpa_communities) — promote the
+    # first 10 into slots 41-50 for r10 and the remaining 6 in r11;
+    # demote an equal count of sitting entries (the column_profile..
+    # corpus_overlap block has green r9 rows and rotates out first).
     "column_profile",
     "value_histogram",
     "weighted_sample",
@@ -3633,6 +3653,51 @@ def _ktruss_oracle_sql(k: int = 6, rounds: int = 2) -> str:
             SELECT ee.a, ee.b, coalesce(s.s, 0) AS support
             FROM e{rounds} ee
             LEFT JOIN sup{rounds} s ON s.a = ee.a AND s.b = ee.b"""
+    )
+
+
+def _walks_oracle_sql(walk_len: int = 3, wpn: int = 2) -> str:
+    """Unrolled random-walk trajectory over the shared part graph:
+    per step, each walk moves to the neighbor with the largest salted
+    hash (ties to the smallest id) — replayed as a row_number round per
+    step; the kcore/LPA unrolled-trajectory pattern.  MATERIALIZED
+    CTEs stop DuckDB from inlining the multiply-referenced adjacency
+    (the k_truss lesson)."""
+    js = ", ".join(str(j) for j in range(wpn))
+    ctes = [
+        """adjw AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM e
+                UNION ALL SELECT b AS src, a AS dst FROM e
+            )""",
+        f"""w0 AS MATERIALIZED (
+                SELECT n * {wpn} + j AS walk_id, n AS start, n AS node
+                FROM (SELECT DISTINCT src AS n FROM adjw),
+                     (SELECT unnest([{js}]) AS j)
+            )""",
+    ]
+    for i in range(1, walk_len + 1):
+        ctes.append(f"""w{i} AS MATERIALIZED (
+                SELECT walk_id, start, node FROM (
+                    SELECT w.walk_id, w.start, adjw.dst AS node,
+                           row_number() OVER (PARTITION BY w.walk_id
+                               ORDER BY ('0x' || substr(md5('walk' || '|'
+                                   || w.walk_id::VARCHAR || '|' || '{i}'
+                                   || '|' || adjw.dst::VARCHAR),
+                                   1, 15))::BIGINT DESC,
+                               adjw.dst ASC) AS rn
+                    FROM w{i - 1} w JOIN adjw ON adjw.src = w.node
+                ) WHERE rn = 1
+            )""")
+    steps = "\n            UNION ALL ".join(
+        f"SELECT walk_id, start, {i} AS step, node FROM w{i}"
+        for i in range(walk_len + 1)
+    )
+    return (
+        _part_graph_cte()
+        + ",\n            "
+        + ",\n            ".join(ctes)
+        + "\n            "
+        + steps
     )
 
 
@@ -5394,6 +5459,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_oracle_sql(3),
         "k_core": _kcore_oracle_sql(16, 3),
         "k_truss": _ktruss_oracle_sql(6, 2),
+        "random_walks": _walks_oracle_sql(3, 2),
         "bigram_perplexity": f"""
             WITH tok AS (
                 SELECT doc_id, unnest(t) AS term,
