@@ -3211,14 +3211,15 @@ _QUERY_ORDER = (
     # (tests/test_extra_queries.py).
     # Backlog after this rotation: the round-9 additions (see the
     # _EXTRA_QUERY_NAMES head).  r10 schedule: the round-9 addition
-    # block at the _EXTRA_QUERY_NAMES head holds 16 oracled queries
+    # block at the _EXTRA_QUERY_NAMES head holds 17 oracled queries
     # (k_core, epoch_shuffle, bloom_gate, html_extract, cms_counts,
     # scene_cuts, neardup_transitivity, sentence_chunks, basket_rules,
-    # k_truss, doc_keywords, bigram_perplexity, dsir_weights,
-    # triangle_stats, triangle_sample, lpa_communities) — promote the
-    # first 10 into slots 41-50 for r10 and the remaining 6 in r11;
-    # demote an equal count of sitting entries (the column_profile..
-    # corpus_overlap block has green r9 rows and rotates out first).
+    # k_truss, doc_keywords, random_walks, bigram_perplexity,
+    # dsir_weights, triangle_stats, triangle_sample, lpa_communities)
+    # — promote the first 10 into slots 41-50 for r10 and the
+    # remaining 7 in r11; demote an equal count of sitting entries
+    # (the column_profile..corpus_overlap block has green r9 rows and
+    # rotates out first).
     "column_profile",
     "value_histogram",
     "weighted_sample",

@@ -99,6 +99,7 @@ BNLJ_OK = {
     "triangle_stats",  # three one-row stat aggregates cross-joined
     "triangle_sample",  # same shape on the sparsified graph
     "neardup_transitivity",  # the same census cross-join shape over the LSH pair graph
+    "random_walks",  # walks-per-node fanout: cross join with a bounded range() local relation
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key
