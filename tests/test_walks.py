@@ -92,3 +92,46 @@ def test_deterministic_across_layouts(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_weighted_walks_bias_and_reference(spark):
+    """A hub with one heavy and many light edges: the heavy neighbor
+    is chosen far more often across walks; exact python-reference
+    equality pins the E-S key math."""
+    import math
+
+    # star: 0 -- {1..20}; edge (0, 1) has weight 50, the rest 1
+    rows = [(0, v, 50.0 if v == 1 else 1.0) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "a long, b long, w double")
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(
+            df, walk_len=1, walks_per_node=40, weight_col="w"
+        ).collect()
+    }
+
+    def choice(wid, i, cands, weights):
+        def key(v):
+            h = hashlib.md5(f"walk|{wid}|{i}|{v}".encode()).hexdigest()
+            u = (int(h[:15], 16) + 1.0) / float(1 << 60)
+            return (math.log(u) / weights[v], -v)
+
+        return max(cands, key=key)
+
+    weights = {v: (50.0 if v == 1 else 1.0) for v in range(1, 21)}
+    # walks starting at the hub (node 0): walk_ids 0..39
+    picks = []
+    for wid in range(40):
+        want = choice(wid, 1, list(range(1, 21)), weights)
+        assert got[(wid, 1)] == want
+        picks.append(want)
+    # weight 50 of total 69 -> expect node 1 the large majority
+    assert picks.count(1) >= 20
+
+
+def test_zero_weight_edges_never_taken(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 0.0), (0, 2, 1.0)], "a long, b long, w double"
+    )
+    rows = random_walks(df, walk_len=2, weight_col="w").collect()
+    assert all(r["node"] != 1 or r["step"] == 0 for r in rows if r["start"] == 0)

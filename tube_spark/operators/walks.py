@@ -37,22 +37,37 @@ def random_walks(
     walks_per_node: int = 1,
     seed: str = "walk",
     undirected: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """``(walk_id, start, step, node)`` for every walk of ``walk_len``
     steps (``step`` 0 = the start node; ``walk_id`` =
     ``start * walks_per_node + j``).  ``edges`` is ``(a, b)``;
-    ``undirected=True`` walks both directions."""
+    ``undirected=True`` walks both directions.
+
+    ``weight_col`` makes the choice WEIGHTED (weighted node2vec):
+    each candidate's key becomes ``ln(u) / w`` with ``u`` the salted
+    uniform from the hash — the Efraimidis-Spirakis exponential race,
+    the same formula as ``sampling.weighted_sample_k`` — so edge e is
+    chosen with probability proportional to its weight, while the
+    trajectory stays a deterministic pure function of the inputs.
+    Edges with weight <= 0 are never taken."""
     if walk_len < 0:
         raise ValueError(f"walk_len must be >= 0, got {walk_len}")
     if walks_per_node < 1:
         raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
     spark = edges.sparkSession
-    e = edges.select("a", "b").distinct()
-    adj = e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cols = ["a", "b"] + ([weight_col] if weight_col else [])
+    e = edges.select(*cols).distinct()
+    wsel = (
+        [F.col(weight_col).cast("double").alias("w")] if weight_col else []
+    )
+    adj = e.select(F.col("a").alias("src"), F.col("b").alias("dst"), *wsel)
     if undirected:
         adj = adj.unionAll(
-            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"), *wsel)
         )
+    if weight_col:
+        adj = adj.filter(F.col("w") > 0)
     adj = adj.localCheckpoint(eager=False)  # reused every step
     nodes = adj.select(F.col("src").alias("start")).distinct()
     js = spark.range(walks_per_node).select(F.col("id").alias("j"))
@@ -76,9 +91,19 @@ def random_walks(
                 F.col("dst").cast("string"),
             )
         )
+        if weight_col:
+            # E-S exponential race: u in (0,1] from the hash, key =
+            # ln(u)/w — max key wins with p proportional to weight
+            u = (h.cast("double") + F.lit(1.0)) / F.lit(float(1 << 60))
+            key = F.log(u) / F.col("w")
+        else:
+            # keep the raw 60-bit long: a double cast loses bits past
+            # 2^53 and could merge distinct hashes, diverging from the
+            # oracle's BIGINT ordering
+            key = h
         cur = (
             cur.join(adj, cur["node"] == adj["src"])
-            .select("walk_id", "start", F.col("dst"), h.alias("h"))
+            .select("walk_id", "start", F.col("dst"), key.alias("h"))
             .groupBy("walk_id")
             .agg(
                 F.first("start").alias("start"),
