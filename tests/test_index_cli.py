@@ -1,0 +1,63 @@
+"""Index CLI: build -> search -> append round trip, tokenization of
+the free-text query, error exits."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tube_spark.index import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(capsys, *argv):
+    rc = main(list(argv))
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_build_search_append(spark, tmp_path, capsys):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    first = str(tmp_path / "first")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(first)
+    rest = str(tmp_path / "rest")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(rest)
+    idx = str(tmp_path / "idx")
+
+    rc, rep = _run(capsys, "build", "--docs", first, "--index", idx,
+                   "--n-buckets", "16")
+    assert rc == 0 and rep["manifest"]["n_docs"] == docs.count() // 2 + docs.count() % 2
+
+    rc, rep = _run(capsys, "search", "--index", idx,
+                   "--query", "The Model, DATA training!", "--k", "5")
+    assert rc == 0
+    assert rep["query_terms"] == ["data", "model", "the", "training"]
+    assert 0 < len(rep["hits"]) <= 5
+    assert rep["hits"][0]["bm25"] >= rep["hits"][-1]["bm25"]
+
+    rc, rep = _run(capsys, "build", "--docs", rest, "--index", idx, "--append")
+    assert rc == 0 and rep["manifest"]["n_docs"] == docs.count()
+
+    # post-append search sees the full corpus (equal to a full rebuild)
+    from tube_spark.operators.searchindex import build_text_index, search_text_index
+
+    full = str(tmp_path / "full")
+    build_text_index(docs, full, n_buckets=16)
+    rc, rep = _run(capsys, "search", "--index", idx, "--query", "data model", "--k", "8")
+    want = [
+        r["doc_id"]
+        for r in search_text_index(spark, full, ["data", "model"], k=8).collect()
+    ]
+    assert [h["doc_id"] for h in rep["hits"]] == want
+
+
+def test_unindexable_query_exits_2(spark, tmp_path, capsys):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    idx = str(tmp_path / "idx")
+    p = str(tmp_path / "docs")
+    docs.select("doc_id", "text").write.parquet(p)
+    _run(capsys, "build", "--docs", p, "--index", idx, "--n-buckets", "4")
+    rc, rep = _run(capsys, "search", "--index", idx, "--query", "123 !!!")
+    assert rc == 2 and "error" in rep
