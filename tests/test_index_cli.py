@@ -61,3 +61,33 @@ def test_unindexable_query_exits_2(spark, tmp_path, capsys):
     _run(capsys, "build", "--docs", p, "--index", idx, "--n-buckets", "4")
     rc, rep = _run(capsys, "search", "--index", idx, "--query", "123 !!!")
     assert rc == 2 and "error" in rep
+
+
+def test_vector_store_cli_roundtrip(spark, tmp_path, capsys):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    first = str(tmp_path / "vfirst")
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(first)
+    rest = str(tmp_path / "vrest")
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(rest)
+    idx = str(tmp_path / "vidx")
+
+    rc, rep = _run(capsys, "build-vectors", "--embeddings", first,
+                   "--index", idx, "--n-clusters", "8")
+    assert rc == 0 and rep["n_cells"] <= 8
+    half = rep["n_vectors"]
+
+    rc, rep = _run(capsys, "build-vectors", "--embeddings", rest,
+                   "--index", idx, "--append")
+    assert rc == 0 and rep["n_vectors"] > half
+
+    rc, rep = _run(capsys, "search-vectors", "--index", idx,
+                   "--embeddings", first, "--query-id", "0", "--k", "5")
+    assert rc == 0
+    assert [h["rank"] for h in rep["hits"]] == [1, 2, 3, 4, 5]
+    assert 0 not in [h["neighbor_id"] for h in rep["hits"]]  # self excluded
+
+    rc, rep = _run(capsys, "search-vectors", "--index", idx,
+                   "--embeddings", first, "--query-id", "999999")
+    assert rc == 2 and "error" in rep

@@ -23,7 +23,17 @@ Stages (documented in COVERAGE.md):
             the query terms' bucket partitions + term rows; provably
             result-identical to the scan-time ``bm25_topk``)
 
-Prints one JSON line: the manifest (build) or the ranked hits
+And the IVF vector store (operators/vectorstore.py):
+
+    python -m tube_spark.index build-vectors \
+        --embeddings /data/embeddings.parquet --index /data/vec_idx \
+        [--n-clusters 16] [--append]
+
+    python -m tube_spark.index search-vectors \
+        --index /data/vec_idx --query-id 7 \
+        --embeddings /data/embeddings.parquet [--k 10] [--nprobe 4]
+
+Prints one JSON line: the manifest/stats (build) or the ranked hits
 (search).
 """
 
@@ -54,6 +64,28 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--master", default="local[8]")
 
+    bv = sub.add_parser("build-vectors", help="build/append the IVF vector store")
+    bv.add_argument("--embeddings", required=True, help="embeddings parquet")
+    bv.add_argument("--index", required=True, help="store root")
+    bv.add_argument("--id-col", default="vec_id")
+    bv.add_argument("--vec-col", default="embedding")
+    bv.add_argument("--n-clusters", type=int, default=16)
+    bv.add_argument("--append", action="store_true",
+                    help="assign NEW vectors under the frozen centroids")
+    bv.add_argument("--master", default="local[8]")
+
+    sv = sub.add_parser("search-vectors", help="query the IVF vector store")
+    sv.add_argument("--index", required=True, help="store root")
+    sv.add_argument("--embeddings", required=True,
+                    help="parquet holding the query vector")
+    sv.add_argument("--query-id", type=int, required=True,
+                    help="id of the query vector inside --embeddings")
+    sv.add_argument("--id-col", default="vec_id")
+    sv.add_argument("--vec-col", default="embedding")
+    sv.add_argument("--k", type=int, default=10)
+    sv.add_argument("--nprobe", type=int, default=4)
+    sv.add_argument("--master", default="local[8]")
+
     args = ap.parse_args(argv)
 
     from tube_spark.session import get_spark
@@ -81,8 +113,64 @@ def main(argv: list[str] | None = None) -> int:
                           "index": args.index, "manifest": m}))
         return 0
 
-    from tube_spark.functions.text import tokens as tokens_expr
     from pyspark.sql import functions as F
+
+    if args.cmd == "build-vectors":
+        from tube_spark.operators.vectorstore import (
+            append_vectors,
+            build_ivf_store,
+            cell_stats,
+        )
+
+        emb = spark.read.parquet(args.embeddings).select(
+            F.col(args.id_col),
+            F.transform(args.vec_col, lambda x: x.cast("double")).alias(
+                args.vec_col
+            ),
+        )
+        if args.append:
+            append_vectors(emb, args.index, args.id_col, args.vec_col)
+        else:
+            build_ivf_store(
+                emb, args.index, args.id_col, args.vec_col, args.n_clusters
+            )
+        stats = {
+            int(r["cell"]): r["count"]
+            for r in cell_stats(spark, args.index).collect()
+        }
+        print(json.dumps({
+            "action": "append" if args.append else "build",
+            "index": args.index,
+            "n_vectors": sum(stats.values()),
+            "n_cells": len(stats),
+        }))
+        return 0
+
+    if args.cmd == "search-vectors":
+        from tube_spark.operators.vectorstore import search_store
+
+        emb = spark.read.parquet(args.embeddings).select(
+            F.col(args.id_col),
+            F.transform(args.vec_col, lambda x: x.cast("double")).alias(
+                args.vec_col
+            ),
+        )
+        q = emb.filter(F.col(args.id_col) == args.query_id)
+        if q.isEmpty():
+            print(json.dumps({"error": f"query id {args.query_id} not found"}))
+            return 2
+        hits = [
+            {"neighbor_id": r["neighbor_id"], "rank": r["rank"],
+             "cosine": r["cosine"]}
+            for r in search_store(
+                spark, args.index, q, args.id_col, args.vec_col,
+                k=args.k, nprobe=args.nprobe,
+            ).orderBy("rank").collect()
+        ]
+        print(json.dumps({"query_id": args.query_id, "hits": hits}))
+        return 0
+
+    from tube_spark.functions.text import tokens as tokens_expr
 
     from tube_spark.operators.searchindex import search_text_index
 
