@@ -121,6 +121,36 @@ def test_dsir_selection_gate(spark, tmp_path, capsys):
     assert en_frac > base_en  # selection moved toward the target
 
 
+def test_dsir_gate_skips_on_featureless_corpus(spark, tmp_path, capsys):
+    """A corpus where no document yields a DSIR feature (all-numeric
+    texts) has no weight distribution to threshold on: the gate must
+    record a skip instead of crashing on approxQuantile()[0]."""
+    docs = spark.createDataFrame(
+        [(i, "12345 67890 ---") for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "numeric_docs")
+    docs.write.parquet(src)
+    tgt = str(tmp_path / "target")
+    spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(50).write.parquet(tgt)
+
+    out = str(tmp_path / "corpus")
+    rc, rep = _run(
+        capsys,
+        "--docs", src,
+        "--out", out,
+        "--dsir-target", tgt,
+        "--dsir-keep-frac", "0.5",
+        "--min-quality", "0.0",
+        "--jaccard", "1.01",
+    )
+    assert rc == 0
+    assert "skipped" in rep["gates"]["dsir"]
+    assert rep["rows"] > 0  # gate skipped, corpus flowed through
+
+
 def test_blocklist_gate(spark, tmp_path, capsys):
     """--blocklist drops exactly the blocked documents (no false
     negatives; FPR-sized filter keeps collateral ~0 at this scale)."""

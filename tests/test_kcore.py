@@ -150,6 +150,34 @@ def test_k_truss_matches_reference_on_random(spark):
         assert got == _py_truss(pairs, k, rounds)
 
 
+def test_k_truss_accepts_reversed_edges(spark):
+    """Edges arriving in b>a order (or mixed orientations of the same
+    undirected edge) must behave exactly like canonical a<b input —
+    the regression was a triangle stored as (1,2),(2,3),(3,1) being
+    emptied at k=3 because (3,1) never matched its (1,3) support row."""
+    from tube_spark.operators.kcore import k_truss
+
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in k_truss(
+            _edges(spark, [(1, 2), (2, 3), (3, 1)]), k=3, rounds=1
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+    # mixed orientations + a duplicate of the same undirected edge
+    # collapse to one canonical edge each; self-loops are dropped
+    rng = random.Random(7)
+    pairs = {tuple(sorted(rng.sample(range(12), 2))) for _ in range(40)}
+    scrambled = [
+        (b, a) if rng.random() < 0.5 else (a, b) for a, b in pairs
+    ] + [(5, 5)]
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in k_truss(_edges(spark, scrambled), k=3, rounds=2).collect()
+    }
+    assert got == _py_truss(pairs, 3, 2)
+
+
 def test_k_truss_cascade(spark):
     from tube_spark.operators.kcore import k_truss
 

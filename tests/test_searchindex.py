@@ -91,6 +91,67 @@ def test_append_watermark_skips_replay(spark, tmp_path):
     assert m["n_docs"] == docs.count()
 
 
+def test_mid_append_crash_then_replay_does_not_double_insert(
+    spark, tmp_path, monkeypatch
+):
+    """Crash AFTER the segment write but BEFORE the manifest commit:
+    the uncommitted segment is invisible to search, and replaying the
+    same append overwrites it before committing — postings and
+    (n_docs, total_dl) are counted exactly once."""
+    import tube_spark.operators.searchindex as si
+
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "idx")
+    m0 = build_text_index(base, p, n_buckets=8)
+    before = _rows(search_text_index(spark, p, TERMS, k=10))
+
+    real_write = si._write_manifest
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(si, "_write_manifest", crash)
+    with pytest.raises(RuntimeError):
+        append_text_index(batch, p, batch_id=1)
+    monkeypatch.setattr(si, "_write_manifest", real_write)
+
+    # the segment was written but never committed: search still serves
+    # the pre-append index with the pre-append stats
+    assert _rows(search_text_index(spark, p, TERMS, k=10)) == before
+    import json as _json
+
+    m_after_crash = _json.loads(
+        (tmp_path / "idx" / "_MANIFEST.json").read_text()
+    )
+    assert m_after_crash["n_docs"] == m0["n_docs"]
+
+    # replay (same batch) commits exactly once
+    m = append_text_index(batch, p, batch_id=1)
+    assert m["n_docs"] == docs.count()
+    p2 = str(tmp_path / "full")
+    build_text_index(docs, p2, n_buckets=8)
+    assert _rows(search_text_index(spark, p, TERMS, k=15)) == _rows(
+        search_text_index(spark, p2, TERMS, k=15)
+    )
+
+
+def test_second_append_lands_in_new_segment(spark, tmp_path):
+    docs = _docs(spark)
+    p = str(tmp_path / "idx")
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 0), p, n_buckets=8)
+    m1 = append_text_index(docs.filter(F.col("doc_id") % 3 == 1), p)
+    m2 = append_text_index(docs.filter(F.col("doc_id") % 3 == 2), p)
+    assert m1["segments"] == [0] and m2["segments"] == [0, 1]
+    assert m2["next_seg"] == 2
+    p2 = str(tmp_path / "full")
+    build_text_index(docs, p2, n_buckets=8)
+    assert _rows(search_text_index(spark, p, TERMS, k=15)) == _rows(
+        search_text_index(spark, p2, TERMS, k=15)
+    )
+
+
 def test_streaming_ingest_matches_batch_build(spark, tmp_path):
     from tube_spark.operators.searchindex import streaming_text_index
 

@@ -157,11 +157,25 @@ def main(argv: list[str] | None = None) -> int:
     emb = spark.read.parquet(args.embeddings) if args.embeddings else None
 
     gates: dict[str, object] = {}
+    # each opt-in gate below pins its output with localCheckpoint before
+    # counting, and the next gate's "before" count reuses the previous
+    # gate's "after" count — without this, every count() replays the
+    # whole uncheckpointed upstream chain (including the self-trained
+    # bigram LM and DSIR scoring joins) once per gate, which compounds
+    # at corpus scale.  Each gate's pinned subtree contains shuffles
+    # (scoring joins / aggregations), so pinning beats recompute (the
+    # map-only-subtree exception does not apply here).
+    n_docs: int | None = None
+
+    def _gate(df: DataFrame) -> tuple[DataFrame, int]:
+        df = df.localCheckpoint(eager=False)
+        return df, df.count()
+
     if args.html_extract:
         from tube_spark.operators.text_extract import html_extract
 
-        before = docs.count()
-        docs = (
+        before = docs.count() if n_docs is None else n_docs
+        docs, n_docs = _gate(
             html_extract(docs, args.text_col)
             .filter(F.col("link_density") <= args.max_link_density)
             .drop(args.text_col)
@@ -170,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         gates["html"] = {
             "max_link_density": args.max_link_density,
-            "removed": before - docs.count(),
+            "removed": before - n_docs,
         }
 
     if args.max_ppl is not None:
@@ -180,14 +194,13 @@ def main(argv: list[str] | None = None) -> int:
             docs, id_col=args.id_col, text_col=args.text_col,
             vocab_size=args.ppl_vocab,
         ).select(args.id_col, "ppl")
-        before = docs.count()
-        docs = (
+        before = docs.count() if n_docs is None else n_docs
+        docs, n_docs = _gate(
             docs.join(scores, args.id_col, "left")
             .filter(F.col("ppl").isNull() | (F.col("ppl") <= args.max_ppl))
             .drop("ppl")
         )
-        after = docs.count()
-        gates["perplexity"] = {"max_ppl": args.max_ppl, "removed": before - after}
+        gates["perplexity"] = {"max_ppl": args.max_ppl, "removed": before - n_docs}
 
     if args.dsir_target is not None:
         if not 0 < args.dsir_keep_frac <= 1:
@@ -204,20 +217,31 @@ def main(argv: list[str] | None = None) -> int:
         # sketch — no single-partition global sort); docs without
         # features (no tokens) carry no weight and are dropped here,
         # matching the filter's intent
-        thr = w.approxQuantile(
+        qs = w.approxQuantile(
             "avg_log_weight", [1.0 - args.dsir_keep_frac], 0.0001
-        )[0]
-        before = docs.count()
-        docs = (
-            docs.join(w, args.id_col)
-            .filter(F.col("avg_log_weight") >= thr)
-            .drop("avg_log_weight")
         )
-        gates["dsir"] = {
-            "keep_frac": args.dsir_keep_frac,
-            "threshold": round(thr, 6),
-            "removed": before - docs.count(),
-        }
+        if not qs:
+            # no document produced any feature (all texts empty /
+            # non-alpha, or earlier gates emptied the corpus) — there is
+            # no weight distribution to threshold on; record the skip
+            # instead of crashing on qs[0]
+            gates["dsir"] = {
+                "keep_frac": args.dsir_keep_frac,
+                "skipped": "no documents carried DSIR features",
+            }
+        else:
+            thr = qs[0]
+            before = docs.count() if n_docs is None else n_docs
+            docs, n_docs = _gate(
+                docs.join(w, args.id_col)
+                .filter(F.col("avg_log_weight") >= thr)
+                .drop("avg_log_weight")
+            )
+            gates["dsir"] = {
+                "keep_frac": args.dsir_keep_frac,
+                "threshold": round(thr, 6),
+                "removed": before - n_docs,
+            }
 
     if args.blocklist is not None:
         from tube_spark.operators.bloomgate import (
@@ -231,8 +255,8 @@ def main(argv: list[str] | None = None) -> int:
         m_bits, k = bloom_params(max(bl.count(), 1), args.blocklist_fpr)
         m_bits = max(m_bits, 63)
         words = bloom_build(bl, bcol, m_bits, k)
-        before = docs.count()
-        docs = (
+        before = docs.count() if n_docs is None else n_docs
+        docs, n_docs = _gate(
             bloom_gate(docs, args.text_col, words, m_bits, k)
             .filter(~F.col("maybe_blocked"))
             .drop("maybe_blocked")
@@ -240,7 +264,7 @@ def main(argv: list[str] | None = None) -> int:
         gates["blocklist"] = {
             "m_bits": m_bits,
             "n_hashes": k,
-            "removed": before - docs.count(),
+            "removed": before - n_docs,
         }
 
     curated = curate_corpus(

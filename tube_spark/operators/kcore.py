@@ -191,7 +191,19 @@ def k_truss(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     spark = edges.sparkSession
-    e = edges.select("a", "b").distinct().localCheckpoint(eager=False)
+    # canonicalize to a<b at entry: _edge_support emits (least, greatest)
+    # keys, so an edge stored as (3, 1) would never match its support row
+    # and get peeled in round 1 regardless of its true support.
+    # triangle_stats / k_core tolerate either orientation; this makes
+    # k_truss consistent with them (self-loops carry no triangles).
+    e = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     rotor = CheckpointRotor(spark)
     for _ in range(rounds):
         rotor.begin()

@@ -24,11 +24,18 @@ exactly as bm25_topk computes it from the filtered token stream — so
 scorer (pinned by an exact-equality pytest).
 
 Appends: postings for NEW doc_ids (the monotone-id contract the
-streaming sinks document) land as additional files in the same bucket
-partitions; the manifest's (n_docs, total_dl) advance by the delta.
-df needs no stored state — it is derived at search time — so an
-append never rewrites published buckets (the frozen-codebook property:
-old postings never move).
+streaming sinks document) land as a STAGED SEGMENT
+(``<path>/segments/seg-<n>/tb=<bucket>/...``) that only becomes
+visible when the manifest commits it — the manifest's ``segments``
+list is the transaction log.  A crash between the segment write and
+the manifest write leaves an uncommitted directory that search never
+reads; the replay re-runs the same segment number in overwrite mode,
+replacing the partial files before committing.  At-least-once
+redelivery therefore cannot double-insert postings OR double-count
+(n_docs, total_dl), even across a mid-append crash.  df needs no
+stored state — it is derived at search time — so an append never
+rewrites published buckets (the frozen-codebook property: old
+postings never move).
 """
 
 from __future__ import annotations
@@ -103,13 +110,16 @@ def append_text_index(
     batch_id: int | None = None,
 ) -> dict:
     """Add NEW documents (caller guarantees unseen doc_ids — the
-    monotone-id contract): postings append into the existing bucket
-    partitions, manifest stats advance by the delta; published buckets
-    are never rewritten.  ``batch_id`` makes the append idempotent per
-    streaming epoch: an id at or below the manifest's
-    ``last_batch_id`` watermark is a replay and becomes a no-op (the
-    shards-sink contract — a parquet append is NOT naturally
-    replay-safe)."""
+    monotone-id contract): postings land as a staged segment committed
+    by the manifest write, so the append is TRANSACTIONAL — a crash
+    after the segment write but before the manifest write leaves an
+    uncommitted directory that ``search_text_index`` never reads, and
+    the replay overwrites that same segment before committing it.
+    ``batch_id`` additionally makes the append idempotent per streaming
+    epoch: an id at or below the manifest's ``last_batch_id`` watermark
+    is a replay and becomes a no-op (the shards-sink contract — a bare
+    parquet append would NOT be replay-safe, which is why segments
+    exist)."""
     spark = docs.sparkSession
     m = _read_manifest(spark, path)
     if (
@@ -119,15 +129,22 @@ def append_text_index(
     ):
         return m  # replayed epoch: already applied
     rows, doclen = _postings(docs, id_col, text_col, m["n_buckets"])
-    rows.write.mode("append").partitionBy("tb").parquet(f"{path}/postings")
+    # stage: overwrite (never append) so a crashed earlier attempt of
+    # this same uncommitted segment is replaced, not duplicated
+    seg = int(m.get("next_seg", 0))
+    rows.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{path}/segments/seg-{seg}"
+    )
     agg = doclen.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
     ).first()
     m["n_docs"] += int(agg["n"] or 0)
     m["total_dl"] += int(agg["t"] or 0)
+    m["segments"] = sorted(set(m.get("segments", [])) | {seg})
+    m["next_seg"] = seg + 1
     if batch_id is not None:
         m["last_batch_id"] = int(batch_id)
-    _write_manifest(spark, path, m)
+    _write_manifest(spark, path, m)  # the commit point
     return m
 
 
@@ -188,11 +205,21 @@ def search_text_index(
             .collect()
         }
     )
-    post = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("tb").isin(buckets))       # partition pruning
-        .filter(F.col("term").isin(list(terms)))  # pushed row filter
-    )
+    # base postings + every COMMITTED segment (the manifest is the
+    # transaction log: uncommitted segment directories are invisible
+    # here).  Each root is read separately so partition pruning on tb
+    # applies per scan; the isin filters push through the union.
+    roots = [f"{path}/postings"] + [
+        f"{path}/segments/seg-{s}" for s in m.get("segments", [])
+    ]
+    post = None
+    for root in roots:
+        scan = (
+            spark.read.parquet(root)
+            .filter(F.col("tb").isin(buckets))       # partition pruning
+            .filter(F.col("term").isin(list(terms)))  # pushed row filter
+        )
+        post = scan if post is None else post.unionByName(scan)
     n_docs = F.lit(m["n_docs"])
     avgdl = F.lit(m["total_dl"] / m["n_docs"] if m["n_docs"] else 0.0)
     df_ = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
