@@ -3060,20 +3060,10 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # round-9 additions (queued for the r10 driver window): CCNet-style
-    # bigram LM perplexity, DSIR importance weights, the triangle
-    # census + DOULION sample, LPA communities, k-core peeling, and
-    # the per-epoch dataloader permutation
-    "k_core",
-    "epoch_shuffle",
-    "bloom_gate",
-    "html_extract",
-    "cms_counts",
-    "scene_cuts",
-    "neardup_transitivity",
-    "sentence_chunks",
-    "basket_rules",
-    "k_truss",
+    # round-9 additions still queued (r11 window queue — promote these
+    # 7 in r11; backlog after that rotation = 0): the TF-IDF keywords,
+    # random-walk corpus, CCNet bigram perplexity, DSIR weights, and
+    # the triangle census family
     "doc_keywords",
     "random_walks",
     "bigram_perplexity",
@@ -3081,6 +3071,20 @@ _EXTRA_QUERY_NAMES = (
     "triangle_stats",
     "triangle_sample",
     "lpa_communities",
+    # -- round-10 rotation: the column_profile..corpus_overlap block
+    # (green CORRECTNESS_r09 driver rows) demoted to the extras tier
+    # (pytest-verified) to make room for the first 10 round-9 queued
+    # queries --
+    "column_profile",
+    "value_histogram",
+    "weighted_sample",
+    "class_balanced",
+    "outlier_flags",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "leakage_safe_split",
+    "corpus_overlap",
     "shipping_priority",
     "local_supplier_volume",
     "late_shipment_orders",
@@ -3201,35 +3205,18 @@ _QUERY_ORDER = (
     "embedding_near_dup_exact",
     "corpus_curation",
     "multimodal_decode",
-    # -- round-9 rotation (executes the r8 schedule comment): the 4
-    # never-driver-checked backlog extras (shard_plan + the three r8
-    # additions) take slots 47-50; 6 operator-shaped analytics queries
-    # (merge_upsert ... sketch_report, demoted in r8) rotate back into
-    # 41-46; the 8 TPC-H re-shapes plus forecast_revenue/zorder_layout
-    # (all green in the r8 window run) demote to _EXTRA_QUERY_NAMES,
-    # staying differentially verified by pytest
+    # -- round-10 rotation (executes the r9 schedule comment): the
+    # first 10 round-9 queued queries (k_core .. k_truss) take slots
+    # 41-50 for their first driver rows; the column_profile ..
+    # corpus_overlap block (green r9 rows) demotes to
+    # _EXTRA_QUERY_NAMES, staying differentially verified by pytest
     # (tests/test_extra_queries.py).
-    # Backlog after this rotation: the round-9 additions (see the
-    # _EXTRA_QUERY_NAMES head).  r10 schedule: the round-9 addition
-    # block at the _EXTRA_QUERY_NAMES head holds 17 oracled queries
-    # (k_core, epoch_shuffle, bloom_gate, html_extract, cms_counts,
-    # scene_cuts, neardup_transitivity, sentence_chunks, basket_rules,
-    # k_truss, doc_keywords, random_walks, bigram_perplexity,
-    # dsir_weights, triangle_stats, triangle_sample, lpa_communities)
-    # — promote the first 10 into slots 41-50 for r10 and the
-    # remaining 7 in r11; demote an equal count of sitting entries
-    # (the column_profile..corpus_overlap block has green r9 rows and
-    # rotates out first).
-    "column_profile",
-    "value_histogram",
-    "weighted_sample",
-    "class_balanced",
-    "outlier_flags",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "leakage_safe_split",
-    "corpus_overlap",
+    # r11 schedule: promote the remaining 7 queued round-9 queries at
+    # the _EXTRA_QUERY_NAMES head (doc_keywords, random_walks,
+    # bigram_perplexity, dsir_weights, triangle_stats, triangle_sample,
+    # lpa_communities) plus any round-10 additions; demote an equal
+    # count of sitting entries (the merge_upsert .. mixture_plan block
+    # has green r9 rows and rotates out first).  Backlog after r11 = 0.
     "merge_upsert",
     "scd2_history",
     "asof_join",
@@ -3240,6 +3227,17 @@ _QUERY_ORDER = (
     "overlap_matrix",
     "embedding_covariance",
     "mixture_plan",
+    # -- round-10 promotions: first driver rows for the round-9 work --
+    "k_core",
+    "epoch_shuffle",
+    "bloom_gate",
+    "html_extract",
+    "cms_counts",
+    "scene_cuts",
+    "neardup_transitivity",
+    "sentence_chunks",
+    "basket_rules",
+    "k_truss",
     # -- positions 51+: permanently rows-only (len(_ROWS_ONLY) entries) --
 ) + _ROWS_ONLY
 
