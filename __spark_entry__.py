@@ -2063,6 +2063,35 @@ def q_neardup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximal duplicate substrings (operators/exactspans.py,
+    the suffix-array semantics of Lee et al. resolved pair-exactly):
+    candidate pairs = the portable MinHash-LSH pairs (full near-dups,
+    whose maximal span is the whole shared text) UNION a deterministic
+    consecutive-id probe set (partial template-phrase overlaps), spans
+    of >= 20 characters with exact 1-based positions.  The oracle
+    replays the LSH pipeline, the L-gram index (static series cross
+    join), the pair-local gram match, and the diagonal
+    gaps-and-islands run detection."""
+    from tube_spark.operators.dedup import minhash_lsh_pairs
+    from tube_spark.operators.exactspans import exact_duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=64,
+        bands=16, threshold=0.5, portable=True,
+    ).select("id_a", "id_b")
+    ids = docs.select("doc_id")
+    probe = ids.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b").select(
+        "id_a", "id_b"
+    )
+    return exact_duplicate_spans(
+        docs, lsh.unionByName(probe), min_len=20
+    )
+
+
 def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain scene-cut detection over real MJPEG-AVI
     containers (operators/multimodal.py detect_scene_cuts): doc_ids
@@ -2984,6 +3013,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cms_counts": q_cms_counts,
         "scene_cuts": q_scene_cuts,
         "neardup_transitivity": q_neardup_transitivity,
+        "exact_spans": q_exact_spans,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3060,10 +3090,9 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # round-9 additions still queued (r11 window queue — promote these
-    # 7 in r11; backlog after that rotation = 0): the TF-IDF keywords,
-    # random-walk corpus, CCNet bigram perplexity, DSIR weights, and
-    # the triangle census family
+    # r11 window queue — promote these in r11 (7 round-9 leftovers +
+    # the round-10 additions); backlog after that rotation = 0
+    "exact_spans",
     "doc_keywords",
     "random_walks",
     "bigram_perplexity",
@@ -3524,6 +3553,59 @@ def _neardup_transitivity_oracle_sql() -> str:
     )
 
 
+def _exact_spans_oracle_sql(L: int = 20) -> str:
+    """Replays operators/exactspans.py exactly: candidate pairs (the
+    portable LSH pipeline UNION the consecutive-id probe), a character
+    L-gram index per participating doc (static series cross join —
+    DuckDB's generate_series is not lateral-correlatable), the
+    pair-local gram match, and the diagonal gaps-and-islands maximal
+    runs with span_len = run + L - 1."""
+    return f"""
+            WITH lsh AS (
+                {_minhash_oracle()}
+            ),
+            probe AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM lsh
+                UNION
+                SELECT id_a, id_b FROM probe
+            ),
+            es_ids AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+            es_t AS (
+                SELECT doc_id, text FROM documents
+                WHERE length(text) >= {L} AND doc_id IN (SELECT id FROM es_ids)
+            ),
+            es_series AS (
+                SELECT unnest(generate_series(
+                    1, (SELECT max(length(text)) FROM documents)
+                )) AS i
+            ),
+            es_grams AS MATERIALIZED (
+                SELECT t.doc_id, s.i AS pos, substr(t.text, s.i::INT, {L}) AS gram
+                FROM es_t t JOIN es_series s ON s.i <= length(t.text) - {L} + 1
+            ),
+            es_m AS (
+                SELECT p.id_a, p.id_b, ga.pos AS pos_a, gb.pos AS pos_b
+                FROM pairs p
+                JOIN es_grams ga ON ga.doc_id = p.id_a
+                JOIN es_grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+            ),
+            es_runs AS (
+                SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+                       pos_a - row_number() OVER (
+                           PARTITION BY id_a, id_b, pos_a - pos_b
+                           ORDER BY pos_a
+                       ) AS island
+                FROM es_m
+            )
+            SELECT id_a, id_b, min(pos_a) AS pos_a, min(pos_b) AS pos_b,
+                   count(*) + {L} - 1 AS span_len
+            FROM es_runs GROUP BY id_a, id_b, diag, island"""
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """Unrolled synchronous LPA trajectory over the shared part graph:
     per round, each node adopts the most frequent neighbor label (ties
@@ -3940,6 +4022,7 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM c GROUP BY 1
         """,
         "neardup_transitivity": _neardup_transitivity_oracle_sql(),
+        "exact_spans": _exact_spans_oracle_sql(20),
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "basket_rules",
     "k_truss",
     "doc_keywords",
+    # round-10 additions (exact duplicate-substring resolution)
+    "exact_spans",
 ]
 
 

@@ -1,0 +1,179 @@
+"""Exact duplicate-substring extraction over candidate document pairs.
+
+``operators/spandedup.py`` carries the fixed-width WINDOW approximation
+of Lee et al. (ACL 2022, arXiv:2107.06499) — the form their released
+pipeline uses for distributed runs, and the form that scales to a full
+corpus.  This module adds the EXACT variant their main apparatus (a
+corpus-wide suffix array) computes: every maximal verbatim shared
+substring of character length >= ``min_len`` between two documents,
+with its exact positions and length.
+
+A corpus-wide suffix array is a single global sort of every suffix —
+the one structure that does NOT map onto a shuffle-bounded engine at
+100 TB.  The scale path is the standard two-tier design: a bounded
+candidate generator (MinHash-LSH pairs, ``operators/dedup.py``)
+nominates document PAIRS, and this module resolves each pair exactly.
+Work is O(sum of pair text lengths), linear in the candidate set and
+independent of corpus size — the same contract as the ANN verify tier.
+
+Dataflow (all native Catalyst — no Python anywhere):
+
+1. L-gram index per pair side: ``posexplode`` of all character
+   ``min_len``-grams of each pair's two texts (1-based positions, the
+   SQL ``substr`` convention, so a DuckDB oracle replays positions
+   verbatim).
+2. Match join on ``(pair, gram)`` — pair-local, so a hot boilerplate
+   gram can at worst produce |text_a| x |text_b| matches for ONE pair,
+   never a corpus-level blowup.
+3. Diagonal islands: a maximal common substring of length M >= L is
+   exactly a run of M-L+1 consecutive L-gram matches on one diagonal
+   ``pos_a - pos_b``; runs are found with the classic gaps-and-islands
+   ``row_number`` trick and reported as ``span_len = run + L - 1``.
+
+Reference anchor: beyond-parity suite (SURVEY.md LLM-pipeline
+operators); the window form lives in spandedup.py:62-139 and the two
+are cross-checked in tests/test_exactspans.py (every exact span >= L
+is covered by window hits at width <= L).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicate_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+) -> DataFrame:
+    """``(id_a, id_b, pos_a, pos_b, span_len)`` — one row per MAXIMAL
+    shared substring of length >= ``min_len`` (characters) per
+    occurrence pair: if the same span of ``id_a`` matches two distinct
+    places in ``id_b``, both matches are reported.  Positions are
+    1-based (``substr`` convention).  ``pairs`` must carry ``id_a`` /
+    ``id_b`` (any extra columns are dropped); a document pair appearing
+    twice would double-report, so pairs are distinct-ed defensively.
+
+    Maximality is per diagonal: a reported span cannot be extended left
+    or right at those positions.  Containment across DIFFERENT
+    occurrence pairs (a long span in one place, its substring somewhere
+    else) is preserved — that is information, not noise.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = int(min_len)
+    t = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).filter(F.length("__text") >= L)
+    p = pairs.select("id_a", "id_b").distinct()
+    # one L-gram index per DOC (not per pair): docs in many pairs are
+    # tokenized once, then the pair join replicates only the rows
+    grams = t.select(
+        "__id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(__text) - {L} + 1), "
+                f"i -> substring(__text, i, {L}))"
+            )
+        ).alias("__p0", "gram"),
+    ).select("__id", (F.col("__p0") + 1).alias("pos"), "gram")
+    ga = p.join(
+        grams.select(
+            F.col("__id").alias("id_a"),
+            F.col("pos").alias("pos_a"),
+            "gram",
+        ),
+        "id_a",
+    )
+    gb = grams.select(
+        F.col("__id").alias("id_b"), F.col("pos").alias("pos_b"), "gram"
+    )
+    matches = ga.join(gb, ["id_b", "gram"]).select(
+        "id_a", "id_b", "pos_a", "pos_b"
+    )
+    # gaps-and-islands per diagonal: consecutive pos_a on one diagonal
+    # share (pos_a - row_number); each island is one maximal run
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = matches.select("id_a", "id_b", "pos_a", "pos_b", diag).withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("pos_a"),
+            F.min("pos_b").alias("pos_b"),
+            (F.count(F.lit(1)) + L - 1).cast("long").alias("span_len"),
+        )
+        .select("id_a", "id_b", "pos_a", "pos_b", "span_len")
+    )
+
+
+def exact_dup_coverage(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+) -> DataFrame:
+    """Per-document EXACT duplicated-character statistics over the
+    candidate pair set: ``(id, n_chars, dup_chars, dup_fraction)``
+    where ``dup_chars`` counts characters covered by the union of all
+    exact shared spans >= ``min_len`` the document participates in (on
+    either side of any pair).  The verification tier for
+    ``spandedup.span_dup_stats``: the window approximation's
+    ``dup_fraction`` upper-bounds noise, this one is exact on the
+    nominated pairs."""
+    spans = exact_duplicate_spans(docs, pairs, id_col, text_col, min_len)
+    sides = spans.select(
+        F.col("id_a").alias("__id"),
+        F.col("pos_a").alias("start"),
+        (F.col("pos_a") + F.col("span_len")).alias("end"),
+    ).unionAll(
+        spans.select(
+            F.col("id_b").alias("__id"),
+            F.col("pos_b").alias("start"),
+            (F.col("pos_b") + F.col("span_len")).alias("end"),
+        )
+    )
+    # interval union per doc: running max of end over start order;
+    # covered += end - max(start, prev_max_end) when positive
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        sides.withColumn("prev_end", F.max("end").over(w))
+        .select(
+            "__id",
+            F.greatest(
+                F.col("end")
+                - F.greatest(F.col("start"), F.coalesce("prev_end", F.col("start"))),
+                F.lit(0),
+            ).alias("covered"),
+        )
+        .groupBy("__id")
+        .agg(F.sum("covered").cast("long").alias("dup_chars"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    return (
+        base.join(cov, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.when(
+                F.col("n_chars") > 0,
+                F.round(F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
