@@ -2092,6 +2092,27 @@ def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token estimates via HyperLogLog
+    (operators/hll.py, p=10 -> 1024 registers) joined with the exact
+    distinct counts, so the driver row witnesses the sketch's accuracy
+    directly.  The oracle replays the md5 register assignment, the
+    max-rank registers, and the corrected estimator bit-for-bit — the
+    Count-Min/Bloom differential story for the cardinality sketch."""
+    from tube_spark.functions.text import tokens
+    from tube_spark.operators.hll import hll_grouped
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    est = hll_grouped(tok, "lang", "tok", p=10)
+    exact = tok.groupBy("lang").agg(F.countDistinct("tok").alias("exact"))
+    return est.join(exact, "lang")
+
+
 def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain scene-cut detection over real MJPEG-AVI
     containers (operators/multimodal.py detect_scene_cuts): doc_ids
@@ -3014,6 +3035,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "scene_cuts": q_scene_cuts,
         "neardup_transitivity": q_neardup_transitivity,
         "exact_spans": q_exact_spans,
+        "hll_cardinality": q_hll_cardinality,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3093,6 +3115,7 @@ _EXTRA_QUERY_NAMES = (
     # r11 window queue — promote these in r11 (7 round-9 leftovers +
     # the round-10 additions); backlog after that rotation = 0
     "exact_spans",
+    "hll_cardinality",
     "doc_keywords",
     "random_walks",
     "bigram_perplexity",
@@ -3551,6 +3574,69 @@ def _neardup_transitivity_oracle_sql() -> str:
         + _census_ctes()
         + _CENSUS_SELECT
     )
+
+
+def _hll_oracle_sql(p: int = 10, seed: str = "hll") -> str:
+    """Replays operators/hll.py hll_grouped bit-for-bit: the 60-bit md5
+    hash, low-bits register index / high-bits rank split (rank via the
+    exact binary-string length — both engines' ``bin`` drops leading
+    zeros identically), max-rank registers, and the corrected
+    estimator, joined with exact distincts."""
+    from tube_spark.operators.hll import _alpha
+
+    m = 1 << p
+    w_bits = 60 - p
+    alpha = repr(_alpha(m))
+    return f"""
+            WITH hll_tok AS (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z]+'),
+                    x -> x <> ''
+                )) AS tok
+                FROM documents
+                WHERE lang IS NOT NULL AND text IS NOT NULL
+            ),
+            hll_rnk AS (
+                SELECT lang,
+                       h % {m} AS j,
+                       CASE WHEN h // {m} > 0
+                            THEN {w_bits} - length(bin(h // {m})) + 1
+                            ELSE {w_bits} + 1 END AS rank
+                FROM (
+                    SELECT lang,
+                           ('0x' || substr(md5('{seed}|' || tok), 1, 15))::BIGINT AS h
+                    FROM hll_tok
+                )
+            ),
+            hll_regs AS (
+                SELECT lang, j, max(rank) AS m_rank FROM hll_rnk GROUP BY 1, 2
+            ),
+            hll_agg AS (
+                SELECT lang,
+                       sum(power(2.0, -m_rank)) AS s_present,
+                       count(*) AS n_present
+                FROM hll_regs GROUP BY 1
+            ),
+            hll_est AS (
+                SELECT lang,
+                       {m} AS m,
+                       ({m} - n_present) AS n_zero,
+                       {alpha}::DOUBLE * {m} * {m}
+                           / (s_present + ({m} - n_present)) AS raw
+                FROM hll_agg
+            ),
+            hll_fin AS (
+                SELECT lang, m, n_zero,
+                       round(CASE WHEN raw <= 2.5 * {m} AND n_zero > 0
+                             THEN {m}.0 * ln({m}.0 / n_zero)
+                             ELSE raw END, 4) AS estimate
+                FROM hll_est
+            ),
+            hll_ex AS (
+                SELECT lang, count(DISTINCT tok) AS exact FROM hll_tok GROUP BY 1
+            )
+            SELECT f.lang, f.m, f.n_zero, f.estimate, e.exact
+            FROM hll_fin f JOIN hll_ex e USING (lang)"""
 
 
 def _exact_spans_oracle_sql(L: int = 20) -> str:
@@ -4023,6 +4109,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "neardup_transitivity": _neardup_transitivity_oracle_sql(),
         "exact_spans": _exact_spans_oracle_sql(20),
+        "hll_cardinality": _hll_oracle_sql(10),
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

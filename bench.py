@@ -102,8 +102,10 @@ BENCH_QUERIES = [
     "basket_rules",
     "k_truss",
     "doc_keywords",
-    # round-10 additions (exact duplicate-substring resolution)
+    # round-10 additions (exact duplicate-substring resolution,
+    # HyperLogLog cardinality)
     "exact_spans",
+    "hll_cardinality",
 ]
 
 
