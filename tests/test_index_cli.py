@@ -53,6 +53,27 @@ def test_build_search_append(spark, tmp_path, capsys):
     assert [h["doc_id"] for h in rep["hits"]] == want
 
 
+def test_compact_subcommand(spark, tmp_path, capsys):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    first = str(tmp_path / "first")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(first)
+    rest = str(tmp_path / "rest")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(rest)
+    idx = str(tmp_path / "idx")
+    _run(capsys, "build", "--docs", first, "--index", idx, "--n-buckets", "8")
+    _run(capsys, "build", "--docs", rest, "--index", idx, "--append")
+    rc, before = _run(capsys, "search", "--index", idx,
+                      "--query", "data model training", "--k", "5")
+    assert rc == 0
+    rc, rep = _run(capsys, "compact", "--index", idx)
+    assert rc == 0
+    assert rep["manifest"]["postings_dir"] == "postings-g1"
+    assert rep["manifest"]["segments"] == []
+    rc, after = _run(capsys, "search", "--index", idx,
+                     "--query", "data model training", "--k", "5")
+    assert rc == 0 and after["hits"] == before["hits"]
+
+
 def test_unindexable_query_exits_2(spark, tmp_path, capsys):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
     idx = str(tmp_path / "idx")

@@ -152,6 +152,45 @@ def test_second_append_lands_in_new_segment(spark, tmp_path):
     )
 
 
+def test_compact_preserves_results_and_drops_segments(spark, tmp_path):
+    from tube_spark.operators.searchindex import compact_text_index
+
+    docs = _docs(spark)
+    p = str(tmp_path / "idx")
+    build_text_index(docs.filter(F.col("doc_id") % 3 == 0), p, n_buckets=8)
+    append_text_index(docs.filter(F.col("doc_id") % 3 == 1), p)
+    append_text_index(docs.filter(F.col("doc_id") % 3 == 2), p)
+    before = _rows(search_text_index(spark, p, TERMS, k=15))
+    m = compact_text_index(spark, p)
+    assert m["segments"] == [] and m["postings_dir"] == "postings-g1"
+    assert m["n_docs"] == docs.count()
+    # results identical; superseded dirs cleaned; appends keep working
+    assert _rows(search_text_index(spark, p, TERMS, k=15)) == before
+    assert not (tmp_path / "idx" / "postings").exists()
+    assert not (tmp_path / "idx" / "segments" / "seg-0").exists()
+    more = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    m2 = append_text_index(more, p)
+    assert m2["segments"] == [2]  # next_seg watermark survived compaction
+    # a second compaction folds the new segment into generation 2
+    m3 = compact_text_index(spark, p)
+    assert m3["postings_dir"] == "postings-g2" and m3["segments"] == []
+    assert (
+        search_text_index(spark, p, TERMS, k=15).count() == 15
+    )
+
+
+def test_compact_noop_without_segments(spark, tmp_path):
+    from tube_spark.operators.searchindex import compact_text_index
+
+    p = str(tmp_path / "idx")
+    build_text_index(_docs(spark).limit(30), p, n_buckets=4)
+    m = compact_text_index(spark, p)
+    assert m.get("postings_dir", "postings") == "postings"
+    assert (tmp_path / "idx" / "postings").exists()
+
+
 def test_streaming_ingest_matches_batch_build(spark, tmp_path):
     from tube_spark.operators.searchindex import streaming_text_index
 

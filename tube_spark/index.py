@@ -58,6 +58,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="add NEW doc_ids to an existing index")
     b.add_argument("--master", default="local[8]")
 
+    c = sub.add_parser(
+        "compact",
+        help="merge committed append segments into a fresh postings "
+             "generation (manifest-committed swap)",
+    )
+    c.add_argument("--index", required=True, help="index root")
+    c.add_argument("--keep-old", action="store_true",
+                   help="leave superseded directories on disk")
+    c.add_argument("--master", default="local[8]")
+
     s = sub.add_parser("search", help="query the text index")
     s.add_argument("--index", required=True, help="index root")
     s.add_argument("--query", required=True, help="free-text query")
@@ -111,6 +121,14 @@ def main(argv: list[str] | None = None) -> int:
             )
         print(json.dumps({"action": "append" if args.append else "build",
                           "index": args.index, "manifest": m}))
+        return 0
+
+    if args.cmd == "compact":
+        from tube_spark.operators.searchindex import compact_text_index
+
+        m = compact_text_index(spark, args.index, cleanup=not args.keep_old)
+        print(json.dumps({"action": "compact", "index": args.index,
+                          "manifest": m}))
         return 0
 
     from pyspark.sql import functions as F

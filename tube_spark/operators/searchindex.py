@@ -12,8 +12,13 @@ rows (pushed filters).  A q-term query against a B-bucket index
 touches <= q/B of the postings bytes regardless of corpus size.
 
 Layout:
-    <path>/postings/tb=<bucket>/...   (term, doc_id, tf, dl) rows
-    <path>/_MANIFEST.json             n_docs, total_dl, n_buckets
+    <path>/postings/tb=<bucket>/...      base generation (build output;
+                                         later generations land at
+                                         postings-g<n> via compaction)
+    <path>/segments/seg-<n>/tb=<b>/...   committed append segments
+    <path>/_MANIFEST.json                n_docs, total_dl, n_buckets,
+                                         postings_dir, segments,
+                                         next_seg/next_gen watermarks
 
 Document length rides each posting row (denormalized) so scoring
 needs NO doc-side join; corpus-level stats (N, avgdl) are two numbers
@@ -180,6 +185,44 @@ def streaming_text_index(
     return writer.start()
 
 
+def compact_text_index(
+    spark: SparkSession, path: str, cleanup: bool = True
+) -> dict:
+    """Merge the base postings and every committed segment into a fresh
+    postings GENERATION and commit it via the manifest pointer —
+    search cost returns to one root per query however many appends
+    accumulated.  Same transaction discipline as the appends: the new
+    generation directory is invisible until the manifest commits
+    (a crash before the commit leaves an orphan the replay overwrites);
+    ``cleanup`` then deletes the superseded directories (safe once the
+    manifest no longer references them — readers resolve roots from the
+    manifest at call time)."""
+    m = _read_manifest(spark, path)
+    segs = list(m.get("segments", []))
+    if not segs:
+        return m  # nothing staged: base generation is already compact
+    base = m.get("postings_dir", "postings")
+    roots = [f"{path}/{base}"] + [f"{path}/segments/seg-{s}" for s in segs]
+    merged = None
+    for root in roots:
+        scan = spark.read.parquet(root)
+        merged = scan if merged is None else merged.unionByName(scan)
+    gen = int(m.get("next_gen", 1))
+    new_dir = f"postings-g{gen}"
+    merged.write.mode("overwrite").partitionBy("tb").parquet(
+        f"{path}/{new_dir}"
+    )
+    m["postings_dir"] = new_dir
+    m["segments"] = []
+    m["next_gen"] = gen + 1
+    _write_manifest(spark, path, m)  # the commit point
+    if cleanup:
+        fsio.delete(spark, f"{path}/{base}")
+        for s in segs:
+            fsio.delete(spark, f"{path}/segments/seg-{s}")
+    return m
+
+
 def search_text_index(
     spark: SparkSession,
     path: str,
@@ -205,11 +248,12 @@ def search_text_index(
             .collect()
         }
     )
-    # base postings + every COMMITTED segment (the manifest is the
-    # transaction log: uncommitted segment directories are invisible
-    # here).  Each root is read separately so partition pruning on tb
-    # applies per scan; the isin filters push through the union.
-    roots = [f"{path}/postings"] + [
+    # current postings generation + every COMMITTED segment (the
+    # manifest is the transaction log: uncommitted segment directories
+    # are invisible here).  Each root is read separately so partition
+    # pruning on tb applies per scan; the isin filters push through
+    # the union.
+    roots = [f"{path}/{m.get('postings_dir', 'postings')}"] + [
         f"{path}/segments/seg-{s}" for s in m.get("segments", [])
     ]
     post = None
