@@ -2092,6 +2092,25 @@ def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar / common-neighbor / Jaccard link prediction
+    (operators/linkpred.py) over the SAME part co-occurrence graph as
+    the census family: top-100 non-edges by AA score with the
+    deterministic (aa desc, cn desc, u, v) total order, hub wedges
+    capped at degree 15 (a z adjacent to everything predicts nothing —
+    the Adamic-Adar insight made structural; measured 12 -> 3 s at
+    sf0.1).  The oracle replays the wedge join with the cap, the
+    1/ln(deg) sum, the existing-edge anti-join, and the ranked cut."""
+    from tube_spark.operators.linkpred import link_prediction
+    from tube_spark.operators.triangles import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return link_prediction(edges, k=100, max_degree=15)
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token estimates via HyperLogLog
     (operators/hll.py, p=10 -> 1024 registers) joined with the exact
@@ -3036,6 +3055,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "neardup_transitivity": q_neardup_transitivity,
         "exact_spans": q_exact_spans,
         "hll_cardinality": q_hll_cardinality,
+        "link_prediction": q_link_prediction,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3116,6 +3136,7 @@ _EXTRA_QUERY_NAMES = (
     # the round-10 additions); backlog after that rotation = 0
     "exact_spans",
     "hll_cardinality",
+    "link_prediction",
     "doc_keywords",
     "random_walks",
     "bigram_perplexity",
@@ -3573,6 +3594,52 @@ def _neardup_transitivity_oracle_sql() -> str:
             e AS (SELECT id_a AS a, id_b AS b FROM pairs)"""
         + _census_ctes()
         + _CENSUS_SELECT
+    )
+
+
+def _linkpred_oracle_sql(k: int = 100, max_degree: int = 15) -> str:
+    """Replays operators/linkpred.py over the shared part graph:
+    directed doubling, degrees, hub-capped wedge self-join on the
+    shared neighbor, 1/ln(deg) Adamic-Adar sum, existing-edge
+    exclusion, degree-normalized Jaccard (full degrees — the cap only
+    drops hub WEDGES), deterministic ranked cut."""
+    return (
+        _part_graph_cte()
+        + f""",
+            lp_dir AS (
+                SELECT a AS n, b AS z FROM e
+                UNION ALL
+                SELECT b AS n, a AS z FROM e
+            ),
+            lp_deg AS (
+                SELECT z, count(*) AS deg FROM lp_dir GROUP BY 1
+            ),
+            lp_hop AS (
+                SELECT d.n, d.z, g.deg FROM lp_dir d JOIN lp_deg g USING (z)
+                WHERE g.deg <= {max_degree}
+            ),
+            lp_cand AS (
+                SELECT x.n AS u, y.n AS v,
+                       count(*) AS cn,
+                       sum(1.0 / ln(x.deg)) AS aa_raw
+                FROM lp_hop x JOIN lp_hop y USING (z)
+                WHERE x.n < y.n
+                GROUP BY 1, 2
+            ),
+            lp_non AS (
+                SELECT c.* FROM lp_cand c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM e WHERE e.a = c.u AND e.b = c.v
+                )
+            )
+            SELECT n.u, n.v, n.cn,
+                   round(n.cn * 1.0 / (du.deg + dv.deg - n.cn), 6) AS jaccard,
+                   round(n.aa_raw, 6) AS aa
+            FROM lp_non n
+            JOIN lp_deg du ON du.z = n.u
+            JOIN lp_deg dv ON dv.z = n.v
+            ORDER BY aa DESC, cn DESC, u ASC, v ASC
+            LIMIT {k}"""
     )
 
 
@@ -4110,6 +4177,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "neardup_transitivity": _neardup_transitivity_oracle_sql(),
         "exact_spans": _exact_spans_oracle_sql(20),
         "hll_cardinality": _hll_oracle_sql(10),
+        "link_prediction": _linkpred_oracle_sql(100),
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -103,9 +103,10 @@ BENCH_QUERIES = [
     "k_truss",
     "doc_keywords",
     # round-10 additions (exact duplicate-substring resolution,
-    # HyperLogLog cardinality)
+    # HyperLogLog cardinality, Adamic-Adar link prediction)
     "exact_spans",
     "hll_cardinality",
+    "link_prediction",
 ]
 
 
