@@ -2111,6 +2111,25 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(edges, k=100, max_degree=15)
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection (operators/changepoint.py) per
+    event_type over the event value series — the sustained-shift
+    detector complementing outlier_flags' pointwise IQR test.  The
+    oracle replays the rounded per-series baseline and the
+    prefix-sum-minus-running-min closed form with the identical
+    (ts, event_id) order, so the ordered cumulative sums agree
+    bitwise."""
+    from tube_spark.operators.changepoint import cusum_changepoints
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    return cusum_changepoints(
+        ev.select("event_type", "ts", "event_id", "value"),
+        "event_type", "ts", "value", k=0.5, h=5.0, tiebreak_col="event_id",
+    )
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token estimates via HyperLogLog
     (operators/hll.py, p=10 -> 1024 registers) joined with the exact
@@ -3056,6 +3075,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "exact_spans": q_exact_spans,
         "hll_cardinality": q_hll_cardinality,
         "link_prediction": q_link_prediction,
+        "cusum_drift": q_cusum_drift,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3137,6 +3157,7 @@ _EXTRA_QUERY_NAMES = (
     "exact_spans",
     "hll_cardinality",
     "link_prediction",
+    "cusum_drift",
     "doc_keywords",
     "random_walks",
     "bigram_perplexity",
@@ -3641,6 +3662,49 @@ def _linkpred_oracle_sql(k: int = 100, max_degree: int = 15) -> str:
             ORDER BY aa DESC, cn DESC, u ASC, v ASC
             LIMIT {k}"""
     )
+
+
+def _cusum_oracle_sql(k: float = 0.5, h: float = 5.0) -> str:
+    """Replays operators/changepoint.py cusum_changepoints: rounded
+    per-series baseline, INTEGER micro-unit deviations (exact int64
+    cumulative sums — float windowed sums diverge between engines at
+    the last ulp because DuckDB aggregates windows via segment trees),
+    running min, two-sided statistics and alarms."""
+    return f"""
+            WITH cp_base AS (
+                SELECT event_type,
+                       round(avg(value), 6) AS mu,
+                       round(coalesce(stddev_pop(value), 0.0), 6) AS sigma
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            cp_c AS (
+                SELECT e.event_type, e.ts, e.event_id, e.value,
+                       round({h} * b.sigma * 1e6)::BIGINT AS thr,
+                       sum(round((e.value - b.mu - {k} * b.sigma) * 1e6)::BIGINT)
+                           OVER w AS c_hi,
+                       sum(round((b.mu - e.value - {k} * b.sigma) * 1e6)::BIGINT)
+                           OVER w AS c_lo
+                FROM events e JOIN cp_base b USING (event_type)
+                WHERE e.value IS NOT NULL
+                WINDOW w AS (PARTITION BY e.event_type
+                             ORDER BY e.ts, e.event_id
+                             ROWS UNBOUNDED PRECEDING)
+            ),
+            cp_s AS (
+                SELECT event_type, ts, event_id, value, thr,
+                       c_hi - least(min(c_hi) OVER w, 0) AS s_hi,
+                       c_lo - least(min(c_lo) OVER w, 0) AS s_lo
+                FROM cp_c
+                WINDOW w AS (PARTITION BY event_type
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_type, ts, event_id, value,
+                   round(s_hi / 1e6, 6) AS s_hi,
+                   round(s_lo / 1e6, 6) AS s_lo,
+                   s_hi > thr AS alarm_hi,
+                   s_lo > thr AS alarm_lo
+            FROM cp_s"""
 
 
 def _hll_oracle_sql(p: int = 10, seed: str = "hll") -> str:
@@ -4178,6 +4242,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "exact_spans": _exact_spans_oracle_sql(20),
         "hll_cardinality": _hll_oracle_sql(10),
         "link_prediction": _linkpred_oracle_sql(100),
+        "cusum_drift": _cusum_oracle_sql(0.5, 5.0),
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -103,10 +103,11 @@ BENCH_QUERIES = [
     "k_truss",
     "doc_keywords",
     # round-10 additions (exact duplicate-substring resolution,
-    # HyperLogLog cardinality, Adamic-Adar link prediction)
+    # HyperLogLog cardinality, Adamic-Adar link prediction, CUSUM)
     "exact_spans",
     "hll_cardinality",
     "link_prediction",
+    "cusum_drift",
 ]
 
 
