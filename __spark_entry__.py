@@ -2130,6 +2130,58 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (multiset) Jaccard rescoring
+    (operators/dedup.py weighted_jaccard_pairs) over the SAME
+    candidate pair set as exact_spans (portable LSH pairs UNION the
+    consecutive-id probe): tf-weighted near-dup verification where
+    repetition is signal.  Pure integer arithmetic until the final
+    ratio — the oracle replays tf counts, the shared-term
+    intersection, and the totals with no floating-point caveats."""
+    from tube_spark.operators.dedup import minhash_lsh_pairs, weighted_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=64,
+        bands=16, threshold=0.5, portable=True,
+    ).select("id_a", "id_b")
+    ids = docs.select("doc_id")
+    probe = ids.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b").select(
+        "id_a", "id_b"
+    )
+    return weighted_jaccard_pairs(docs, lsh.unionByName(probe))
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/pagerank.py) on the same
+    supplier-part bipartite graph as q_pagerank, restarting on the
+    every-5th-supplier seed set (scale-invariant: present at every SF)
+    — proximity-to-seeds scoring (random walk with restart).  Fixed 3 iterations; the oracle unrolls the
+    identical trajectory (the graph is bidirectional, so dangling mass
+    is zero and the recursion is rank' = 0.15*p + 0.85*inflow)."""
+    from tube_spark.operators.pagerank import personalized_pagerank
+
+    _ensure(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    srcs = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_suppkey") % 5 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return personalized_pagerank(edges, srcs, iterations=3).select(
+        "node", "rank"
+    )
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language distinct-token estimates via HyperLogLog
     (operators/hll.py, p=10 -> 1024 registers) joined with the exact
@@ -3076,6 +3128,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hll_cardinality": q_hll_cardinality,
         "link_prediction": q_link_prediction,
         "cusum_drift": q_cusum_drift,
+        "weighted_jaccard": q_weighted_jaccard,
+        "personalized_pagerank": q_personalized_pagerank,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3160,6 +3214,8 @@ _EXTRA_QUERY_NAMES = (
     "hll_cardinality",
     "link_prediction",
     "cusum_drift",
+    "weighted_jaccard",
+    "personalized_pagerank",
     "doc_keywords",
     "random_walks",
     "bigram_perplexity",
@@ -3666,6 +3722,108 @@ def _linkpred_oracle_sql(k: int = 100, max_degree: int = 15) -> str:
             ORDER BY aa DESC, cn DESC, u ASC, v ASC
             LIMIT {k}"""
     )
+
+
+def _weighted_jaccard_oracle_sql() -> str:
+    """Replays dedup.weighted_jaccard_pairs over the exact_spans pair
+    set: tf counts, shared-term min-sum, totals — integer arithmetic
+    end to end."""
+    return f"""
+            WITH lsh AS (
+                {_minhash_oracle()}
+            ),
+            wj_probe AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ),
+            wj_pairs AS (
+                SELECT id_a, id_b FROM lsh
+                UNION
+                SELECT id_a, id_b FROM wj_probe
+            ),
+            wj_tok AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z]+'),
+                    x -> x <> ''
+                )) AS term
+                FROM documents WHERE text IS NOT NULL
+            ),
+            wj_tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM wj_tok GROUP BY 1, 2
+            ),
+            wj_tot AS (
+                SELECT doc_id, sum(tf)::BIGINT AS tot FROM wj_tf GROUP BY 1
+            ),
+            wj_inter AS (
+                SELECT p.id_a, p.id_b,
+                       count(*) AS n_common_terms,
+                       sum(least(a.tf, b.tf))::BIGINT AS w_inter
+                FROM wj_pairs p
+                JOIN wj_tf a ON a.doc_id = p.id_a
+                JOIN wj_tf b ON b.doc_id = p.id_b AND b.term = a.term
+                GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b,
+                   coalesce(i.n_common_terms, 0)::BIGINT AS n_common_terms,
+                   coalesce(i.w_inter, 0)::BIGINT AS w_intersection,
+                   (ta.tot + tb.tot - coalesce(i.w_inter, 0))::BIGINT AS w_union,
+                   CASE WHEN ta.tot + tb.tot - coalesce(i.w_inter, 0) > 0
+                        THEN round(coalesce(i.w_inter, 0) * 1.0
+                             / (ta.tot + tb.tot - coalesce(i.w_inter, 0)), 6)
+                        ELSE 0.0 END AS weighted_jaccard
+            FROM wj_pairs p
+            LEFT JOIN wj_inter i USING (id_a, id_b)
+            JOIN wj_tot ta ON ta.doc_id = p.id_a
+            JOIN wj_tot tb ON tb.doc_id = p.id_b"""
+
+
+def _ppr_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled personalized-PageRank trajectory on the bidirectional
+    supplier-part graph (no dangling mass by construction):
+    rank' = (1-d)*p + d*inflow, p uniform over every-5th suppliers."""
+    rounds = []
+    for i in range(iters):
+        rounds.append(f"""r{i + 1} AS (
+                SELECT pv.node, pv.p,
+                       {1 - d} * pv.p + {d} * coalesce(i.inflow, 0.0) AS rank
+                FROM pv LEFT JOIN (
+                    SELECT e.dst AS node, sum(r{i}.rank / od.outdeg) AS inflow
+                    FROM e JOIN r{i} ON r{i}.node = e.src
+                           JOIN od ON od.src = e.src
+                    GROUP BY e.dst
+                ) i USING (node)
+            )""")
+    return f"""
+            WITH fwd AS (
+                SELECT DISTINCT l_suppkey AS src,
+                       l_partkey + 1000000 AS dst
+                FROM lineitem
+            ), e AS (
+                SELECT src, dst FROM fwd
+                UNION ALL
+                SELECT dst, src FROM fwd
+            ), srcs AS (
+                SELECT s_suppkey AS node FROM supplier WHERE s_suppkey % 5 = 0
+            ), nodes AS (
+                SELECT DISTINCT src AS node FROM e
+                UNION
+                SELECT DISTINCT dst FROM e
+                UNION
+                SELECT node FROM srcs
+            ), ns AS (
+                SELECT count(*)::DOUBLE AS n FROM srcs
+            ), pv AS (
+                SELECT nodes.node,
+                       CASE WHEN srcs.node IS NOT NULL
+                            THEN 1.0 / (SELECT n FROM ns)
+                            ELSE 0.0 END AS p
+                FROM nodes LEFT JOIN srcs USING (node)
+            ), od AS (
+                SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src
+            ), r0 AS (
+                SELECT node, p, p AS rank FROM pv
+            ), {", ".join(rounds)}
+            SELECT node, round(rank, 8) AS rank FROM r{iters}"""
 
 
 def _cusum_oracle_sql(k: float = 0.5, h: float = 5.0) -> str:
@@ -4247,6 +4405,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "hll_cardinality": _hll_oracle_sql(10),
         "link_prediction": _linkpred_oracle_sql(100),
         "cusum_drift": _cusum_oracle_sql(0.5, 5.0),
+        "weighted_jaccard": _weighted_jaccard_oracle_sql(),
+        "personalized_pagerank": _ppr_oracle_sql(3),
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "hll_cardinality",
     "link_prediction",
     "cusum_drift",
+    "weighted_jaccard",
+    "personalized_pagerank",
 ]
 
 

@@ -519,3 +519,83 @@ def ngram_containment_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT weighted (multiset) Jaccard over candidate pairs:
+
+        J_w(A, B) = sum_t min(tf_A(t), tf_B(t))
+                  / sum_t max(tf_A(t), tf_B(t))
+
+    The unweighted set Jaccard treats "the the the the" and one "the"
+    identically — wrong for tf-weighted near-dup scoring, where
+    repetition IS signal (templates, spam, boilerplate).  This is the
+    rescoring/verification tier over any bounded candidate generator
+    (MinHash-LSH, SimHash, containment): exact, and pure INTEGER
+    arithmetic until the final ratio, so the oracle replays it with no
+    floating-point caveats at all.
+
+    One inner join on shared terms is enough:
+    sum max = tot_A + tot_B - sum min, so missing terms never need a
+    full outer join.  Work is pair-local (a pair's shared-term join is
+    bounded by its own vocabularies), linear in the candidate set,
+    corpus-size independent — the exactspans contract.
+
+    Returns ``(id_a, id_b, n_common_terms, w_intersection, w_union,
+    weighted_jaccard)``; pairs with no shared terms keep a 0.0 score.
+    """
+    from tube_spark.functions.text import tokens
+
+    p = pairs.select("id_a", "id_b").distinct()
+    tf = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = tf.groupBy("__id").agg(F.sum("tf").alias("tot"))
+    ta = p.join(
+        tf.select(F.col("__id").alias("id_a"), "term", F.col("tf").alias("tf_a")),
+        "id_a",
+    )
+    tb = tf.select(F.col("__id").alias("id_b"), "term", F.col("tf").alias("tf_b"))
+    inter = (
+        ta.join(tb, ["id_b", "term"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_terms"),
+            F.sum(F.least("tf_a", "tf_b")).alias("w_inter"),
+        )
+    )
+    tot_a = tot.select(F.col("__id").alias("id_a"), F.col("tot").alias("tot_a"))
+    tot_b = tot.select(F.col("__id").alias("id_b"), F.col("tot").alias("tot_b"))
+    out = (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .join(tot_a, "id_a")
+        .join(tot_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_common_terms", F.lit(0)).cast("long").alias(
+                "n_common_terms"
+            ),
+            F.coalesce("w_inter", F.lit(0)).cast("long").alias("w_intersection"),
+            (
+                F.col("tot_a") + F.col("tot_b") - F.coalesce("w_inter", F.lit(0))
+            ).cast("long").alias("w_union"),
+        )
+    )
+    return out.withColumn(
+        "weighted_jaccard",
+        F.when(
+            F.col("w_union") > 0,
+            F.round(F.col("w_intersection") / F.col("w_union"), 6),
+        ).otherwise(F.lit(0.0)),
+    )

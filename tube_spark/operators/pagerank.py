@@ -117,3 +117,98 @@ def pagerank(
             ranks = new_ranks
             rotor.commit()
     return ranks.select("node", F.round("rank", 8).alias("rank"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank (the random-walk-with-restart kernel):
+    identical to ``pagerank`` except ALL restart mass — the (1-d)
+    teleport AND the dangling redistribution — lands on the source
+    set's personalization vector p (uniform over ``sources``' single
+    id column) instead of uniformly on every node:
+
+        rank'(v) = (1-d) * p(v) + d * (inflow(v) + dangling_mass * p(v))
+
+    Ranks then measure proximity TO THE SOURCES along the graph — the
+    standard "more like these" expansion (seed documents -> related
+    documents, seed entities -> candidate matches), and the scoring
+    side of the random-walk family (operators/walks.py generates the
+    trajectories; this integrates them in closed form).
+
+    Same per-round shape and storage contract as ``pagerank`` (one
+    keyed join + one agg, rotor-checkpointed); fixed ``iterations``
+    keeps the trajectory oracle-replayable.  Sources not present in
+    the edge set still receive their restart mass (they are part of
+    the node universe by definition).
+    """
+    if iterations <= 0:
+        raise ValueError(f"iterations must be positive, got {iterations}")
+    if not 0 < damping < 1:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    s = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    n_sources = s.count()
+    if n_sources == 0:
+        raise ValueError("sources must contain at least one node")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(s)
+        .distinct()
+        .join(s.withColumn("__p", F.lit(1.0 / n_sources)), "node", "left")
+        .select("node", F.coalesce("__p", F.lit(0.0)).alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(out_deg, on="src").localCheckpoint(eager=False)
+    ed.count()
+
+    ranks = nodes.select("node", "p", F.col("p").alias("rank"))
+    rotor = CheckpointRotor(spark)
+    for _ in range(iterations):
+        rotor.begin()
+        dangling = (
+            ranks.join(out_deg, on=F.col("node") == F.col("src"), how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            ed.join(ranks, on=F.col("src") == F.col("node"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(dangling))  # one-row aggregate
+            .select(
+                "node",
+                "p",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") * F.col("p")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ranks.count()
+        rotor.commit()
+    return ranks.select("node", F.round("rank", 8).alias("rank"))
