@@ -3206,10 +3206,10 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r11 window queue (11 entries: 4 round-10 additions + 7 round-9
+    # r11 window queue (13 entries: 6 round-10 additions + 7 round-9
     # leftovers) — promote the FIRST 10 in r11 (demote the
     # merge_upsert..mixture_plan block, green r10 rows) and the
-    # remaining 1 in r12; backlog after r12 = 0
+    # remaining 3 in r12; backlog after r12 = 0
     "exact_spans",
     "hll_cardinality",
     "link_prediction",
@@ -3363,14 +3363,14 @@ _QUERY_ORDER = (
     # corpus_overlap block (green r9 rows) demotes to
     # _EXTRA_QUERY_NAMES, staying differentially verified by pytest
     # (tests/test_extra_queries.py).
-    # r11 schedule: promote the FIRST 10 of the 11-entry queue at the
+    # r11 schedule: promote the FIRST 10 of the 13-entry queue at the
     # _EXTRA_QUERY_NAMES head (exact_spans, hll_cardinality,
-    # link_prediction, cusum_drift, doc_keywords, random_walks,
-    # bigram_perplexity, dsir_weights, triangle_stats,
-    # triangle_sample); demote the merge_upsert .. mixture_plan block
-    # (green r9 driver rows, green again whenever extras run).  r12
-    # promotes the remaining 1 (lpa_communities).  Backlog after
-    # r12 = 0.
+    # link_prediction, cusum_drift, weighted_jaccard,
+    # personalized_pagerank, doc_keywords, random_walks,
+    # bigram_perplexity, dsir_weights); demote the merge_upsert ..
+    # mixture_plan block (green r9 driver rows, green again whenever
+    # extras run).  r12 promotes the remaining 3 (triangle_stats,
+    # triangle_sample, lpa_communities).  Backlog after r12 = 0.
     "merge_upsert",
     "scd2_history",
     "asof_join",
