@@ -191,7 +191,10 @@ def compact_text_index(
     """Merge the base postings and every committed segment into a fresh
     postings GENERATION and commit it via the manifest pointer —
     search cost returns to one root per query however many appends
-    accumulated.  Same transaction discipline as the appends: the new
+    accumulated.  Measured at sf1 (BENCH_NOTES): 8 segments made a
+    5-term search 3.2x slower than the compacted store (per-root plan
+    overhead, not bytes), so compact when the segment count reaches
+    ~4-8.  Same transaction discipline as the appends: the new
     generation directory is invisible until the manifest commits
     (a crash before the commit leaves an orphan the replay overwrites);
     ``cleanup`` then deletes the superseded directories (safe once the
