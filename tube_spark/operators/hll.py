@@ -67,19 +67,25 @@ def hll_registers(
     h = portable_hash60(
         F.concat_ws("|", F.lit(seed), F.col(col).cast("string"))
     )
-    j = h % F.lit(m)
-    w = F.floor(h / F.lit(m)).cast("long")
     # rank = leading zeros of the (60-p)-bit suffix, + 1; bitlen via the
     # binary-string length (exact; w < 2^(60-p) by construction).
+    # w uses the SQL `div` operator — INTEGER division; `/` would
+    # promote the 60-bit hash to double and round away its low bits
+    # (2^60 > 2^53), silently diverging from the oracle's exact `//`.
     # NOTE: j = h mod m uses the LOW bits for the register and the HIGH
     # bits for the rank — the opposite split from the paper's
     # presentation but the same independence argument under md5.
+    w = F.expr(f"__hll_h div {m}")
     rank = F.when(
         w > 0, F.lit(w_bits) - F.length(F.bin(w)) + 1
     ).otherwise(F.lit(w_bits) + 1)
     return (
         df.filter(F.col(col).isNotNull())
-        .select(j.cast("int").alias("j"), rank.cast("int").alias("rank"))
+        .select(h.alias("__hll_h"))
+        .select(
+            F.pmod("__hll_h", F.lit(m)).cast("int").alias("j"),
+            rank.cast("int").alias("rank"),
+        )
         .groupBy("j")
         .agg(F.max("rank").alias("m_rank"))
     )
@@ -136,16 +142,17 @@ def hll_grouped(
     h = portable_hash60(
         F.concat_ws("|", F.lit(seed), F.col(col).cast("string"))
     )
-    j = h % F.lit(m)
-    w = F.floor(h / F.lit(m)).cast("long")
+    # integer `div` — see hll_registers for why `/` would be wrong
+    w = F.expr(f"__hll_h div {m}")
     rank = F.when(
         w > 0, F.lit(w_bits) - F.length(F.bin(w)) + 1
     ).otherwise(F.lit(w_bits) + 1)
     regs = (
         df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("g"), h.alias("__hll_h"))
         .select(
-            F.col(group_col).alias("g"),
-            j.cast("int").alias("j"),
+            "g",
+            F.pmod("__hll_h", F.lit(m)).cast("int").alias("j"),
             rank.cast("int").alias("rank"),
         )
         .groupBy("g", "j")
