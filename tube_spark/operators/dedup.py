@@ -552,11 +552,15 @@ def weighted_jaccard_pairs(
     from tube_spark.functions.text import tokens
 
     p = pairs.select("id_a", "id_b").distinct()
+    ids = p.select(F.col("id_a").alias("__id")).unionByName(
+        p.select(F.col("id_b").alias("__id"))
+    ).distinct()
+    # only PAIR PARTICIPANTS are tokenized (left-semi before the
+    # explode) — the candidate set is a tiny fraction of the corpus
     tf = (
-        docs.select(
-            F.col(id_col).alias("__id"),
-            F.explode(tokens(F.col(text_col))).alias("term"),
-        )
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .join(ids, "__id", "left_semi")
+        .select("__id", F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

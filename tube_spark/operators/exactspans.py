@@ -65,10 +65,21 @@ def exact_duplicate_spans(
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     L = int(min_len)
-    t = docs.select(
-        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-    ).filter(F.length("__text") >= L)
     p = pairs.select("id_a", "id_b").distinct()
+    ids = p.select(F.col("id_a").alias("__id")).unionByName(
+        p.select(F.col("id_b").alias("__id"))
+    ).distinct()
+    # only PAIR PARTICIPANTS are ever tokenized (left-semi before the
+    # gram explode): the candidate set is a tiny fraction of a large
+    # corpus, and exploding every document's L-grams would make the
+    # "corpus-size independent" contract a lie at scale
+    t = (
+        docs.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        )
+        .join(ids, "__id", "left_semi")
+        .filter(F.length("__text") >= L)
+    )
     # one L-gram index per DOC (not per pair): docs in many pairs are
     # tokenized once, then the pair join replicates only the rows
     grams = t.select(
