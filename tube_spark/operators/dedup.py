@@ -551,7 +551,10 @@ def weighted_jaccard_pairs(
     """
     from tube_spark.functions.text import tokens
 
-    p = pairs.select("id_a", "id_b").distinct()
+    # pinned: the pair frame feeds the id semi-join, the term join, and
+    # the final left join — an expensive generator upstream (LSH) would
+    # otherwise be re-planned per consumer (the plan-pinning rule)
+    p = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
     ids = p.select(F.col("id_a").alias("__id")).unionByName(
         p.select(F.col("id_b").alias("__id"))
     ).distinct()

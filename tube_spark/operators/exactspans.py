@@ -65,7 +65,11 @@ def exact_duplicate_spans(
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     L = int(min_len)
-    p = pairs.select("id_a", "id_b").distinct()
+    # pin the candidate pairs: they feed THREE consumers (the id
+    # semi-join build side and both gram joins), and an expensive
+    # generator upstream (the LSH pipeline) would otherwise be
+    # re-planned per consumer (the plan-pinning rule)
+    p = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
     ids = p.select(F.col("id_a").alias("__id")).unionByName(
         p.select(F.col("id_b").alias("__id"))
     ).distinct()
