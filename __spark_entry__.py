@@ -2158,9 +2158,12 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (operators/pagerank.py) on the same
     supplier-part bipartite graph as q_pagerank, restarting on the
     every-5th-supplier seed set (scale-invariant: present at every SF)
-    — proximity-to-seeds scoring (random walk with restart).  Fixed 3 iterations; the oracle unrolls the
-    identical trajectory (the graph is bidirectional, so dangling mass
-    is zero and the recursion is rank' = 0.15*p + 0.85*inflow)."""
+    — proximity-to-seeds scoring (random walk with restart).  Fixed 3
+    iterations; the oracle unrolls the identical trajectory INCLUDING
+    the dangling-mass term (rank' = 0.15*p + 0.85*(inflow + dm*p)), so
+    parity is structural even if a seed supplier has no lineitem rows
+    at some SF (on this bidirectional graph dm is usually 0, but the
+    oracle no longer assumes it)."""
     from tube_spark.operators.pagerank import personalized_pagerank
 
     _ensure(spark)
@@ -3184,8 +3187,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #     hash-match all of them);
 #   * positions 51+: the permanently rows-only queries (engine-specific
 #     hash/sampling choices or non-SQL-expressible streaming/iterative
-#     work; currently len(_ROWS_ONLY) == 7) — window slots spent on them
-#     can never go green, so they sit last;
+#     work; exactly the entries of the _ROWS_ONLY tuple below, however
+#     many it holds — tests/test_registry_window.py derives the count) —
+#     window slots spent on them can never go green, so they sit last;
 #   * redundant TPC-H/window shapes that would overflow the window are
 #     demoted to extra_queries()/extra_oracle_sql(), differentially
 #     verified by pytest (tests/test_extra_queries.py) instead of the
@@ -3206,23 +3210,26 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r11 window queue (13 entries: 6 round-10 additions + 7 round-9
-    # leftovers) — promote the FIRST 10 in r11 (demote the
-    # merge_upsert..mixture_plan block, green r10 rows) and the
-    # remaining 3 in r12; backlog after r12 = 0
-    "exact_spans",
-    "hll_cardinality",
-    "link_prediction",
-    "cusum_drift",
-    "weighted_jaccard",
-    "personalized_pagerank",
-    "doc_keywords",
-    "random_walks",
-    "bigram_perplexity",
-    "dsir_weights",
+    # r12 window queue (3 entries, the tail of the r10 backlog) —
+    # promote all 3 in r12 (demote any 3 green r11 rows, e.g. the head
+    # of the k_core..k_truss block); backlog after r12 = 0
     "triangle_stats",
     "triangle_sample",
     "lpa_communities",
+    # -- round-11 rotation: the merge_upsert..mixture_plan block (green
+    # CORRECTNESS_r10 driver rows) demoted to the extras tier
+    # (pytest-verified) to make room for the first 10 of the r11 queue
+    # (exact_spans .. dsir_weights) --
+    "merge_upsert",
+    "scd2_history",
+    "asof_join",
+    "range_join",
+    "time_rollup",
+    "sketch_report",
+    "shard_plan",
+    "overlap_matrix",
+    "embedding_covariance",
+    "mixture_plan",
     # -- round-10 rotation: the column_profile..corpus_overlap block
     # (green CORRECTNESS_r09 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 round-9 queued
@@ -3357,30 +3364,26 @@ _QUERY_ORDER = (
     "embedding_near_dup_exact",
     "corpus_curation",
     "multimodal_decode",
-    # -- round-10 rotation (executes the r9 schedule comment): the
-    # first 10 round-9 queued queries (k_core .. k_truss) take slots
-    # 41-50 for their first driver rows; the column_profile ..
-    # corpus_overlap block (green r9 rows) demotes to
+    # -- round-11 rotation (executes the r10 schedule comment): the
+    # first 10 entries of the r10 queue (exact_spans .. dsir_weights)
+    # take slots 31-40 for their first driver rows; the merge_upsert ..
+    # mixture_plan block (green r10 rows) demotes to
     # _EXTRA_QUERY_NAMES, staying differentially verified by pytest
     # (tests/test_extra_queries.py).
-    # r11 schedule: promote the FIRST 10 of the 13-entry queue at the
-    # _EXTRA_QUERY_NAMES head (exact_spans, hll_cardinality,
-    # link_prediction, cusum_drift, weighted_jaccard,
-    # personalized_pagerank, doc_keywords, random_walks,
-    # bigram_perplexity, dsir_weights); demote the merge_upsert ..
-    # mixture_plan block (green r9 driver rows, green again whenever
-    # extras run).  r12 promotes the remaining 3 (triangle_stats,
-    # triangle_sample, lpa_communities).  Backlog after r12 = 0.
-    "merge_upsert",
-    "scd2_history",
-    "asof_join",
-    "range_join",
-    "time_rollup",
-    "sketch_report",
-    "shard_plan",
-    "overlap_matrix",
-    "embedding_covariance",
-    "mixture_plan",
+    # r12 schedule: promote the remaining 3 queue entries
+    # (triangle_stats, triangle_sample, lpa_communities); demote any 3
+    # green r11 rows (suggest the head of the k_core..k_truss block).
+    # Backlog after r12 = 0.
+    "exact_spans",
+    "hll_cardinality",
+    "link_prediction",
+    "cusum_drift",
+    "weighted_jaccard",
+    "personalized_pagerank",
+    "doc_keywords",
+    "random_walks",
+    "bigram_perplexity",
+    "dsir_weights",
     # -- round-10 promotions: first driver rows for the round-9 work --
     "k_core",
     "epoch_shuffle",
@@ -3766,32 +3769,46 @@ def _weighted_jaccard_oracle_sql() -> str:
             SELECT p.id_a, p.id_b,
                    coalesce(i.n_common_terms, 0)::BIGINT AS n_common_terms,
                    coalesce(i.w_inter, 0)::BIGINT AS w_intersection,
-                   (ta.tot + tb.tot - coalesce(i.w_inter, 0))::BIGINT AS w_union,
-                   CASE WHEN ta.tot + tb.tot - coalesce(i.w_inter, 0) > 0
+                   (coalesce(ta.tot, 0) + coalesce(tb.tot, 0)
+                    - coalesce(i.w_inter, 0))::BIGINT AS w_union,
+                   CASE WHEN coalesce(ta.tot, 0) + coalesce(tb.tot, 0)
+                             - coalesce(i.w_inter, 0) > 0
                         THEN round(coalesce(i.w_inter, 0) * 1.0
-                             / (ta.tot + tb.tot - coalesce(i.w_inter, 0)), 6)
+                             / (coalesce(ta.tot, 0) + coalesce(tb.tot, 0)
+                                - coalesce(i.w_inter, 0)), 6)
                         ELSE 0.0 END AS weighted_jaccard
             FROM wj_pairs p
             LEFT JOIN wj_inter i USING (id_a, id_b)
-            JOIN wj_tot ta ON ta.doc_id = p.id_a
-            JOIN wj_tot tb ON tb.doc_id = p.id_b"""
+            LEFT JOIN wj_tot ta ON ta.doc_id = p.id_a
+            LEFT JOIN wj_tot tb ON tb.doc_id = p.id_b"""
 
 
 def _ppr_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
     """Unrolled personalized-PageRank trajectory on the bidirectional
-    supplier-part graph (no dangling mass by construction):
-    rank' = (1-d)*p + d*inflow, p uniform over every-5th suppliers."""
+    supplier-part graph: rank' = (1-d)*p + d*(inflow + dm*p), p uniform
+    over every-5th suppliers, dm the dangling (edge-isolated seed) mass
+    — carried structurally even though this graph usually has dm = 0."""
     rounds = []
     for i in range(iters):
-        rounds.append(f"""r{i + 1} AS (
+        # dangling mass term mirrors personalized_pagerank exactly:
+        # rank' = (1-d)*p + d*(inflow + dm*p), dm summed over seed
+        # nodes with no outgoing edge (the only possible dangling nodes
+        # on a bidirectional graph) — structural parity, not the
+        # data-dependent assumption that dm happens to be zero
+        rounds.append(f"""r{i + 1} AS MATERIALIZED (
                 SELECT pv.node, pv.p,
-                       {1 - d} * pv.p + {d} * coalesce(i.inflow, 0.0) AS rank
+                       {1 - d} * pv.p
+                       + {d} * (coalesce(i.inflow, 0.0) + dm.m * pv.p) AS rank
                 FROM pv LEFT JOIN (
                     SELECT e.dst AS node, sum(r{i}.rank / od.outdeg) AS inflow
                     FROM e JOIN r{i} ON r{i}.node = e.src
                            JOIN od ON od.src = e.src
                     GROUP BY e.dst
                 ) i USING (node)
+                CROSS JOIN (
+                    SELECT coalesce(sum(r{i}.rank), 0.0) AS m
+                    FROM r{i} JOIN dang ON dang.node = r{i}.node
+                ) dm
             )""")
     return f"""
             WITH fwd AS (
@@ -3820,7 +3837,10 @@ def _ppr_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
                 FROM nodes LEFT JOIN srcs USING (node)
             ), od AS (
                 SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src
-            ), r0 AS (
+            ), dang AS MATERIALIZED (
+                SELECT node FROM nodes
+                WHERE node NOT IN (SELECT src FROM od)
+            ), r0 AS MATERIALIZED (
                 SELECT node, p, p AS rank FROM pv
             ), {", ".join(rounds)}
             SELECT node, round(rank, 8) AS rank FROM r{iters}"""

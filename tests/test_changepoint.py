@@ -100,3 +100,18 @@ def test_validation(spark):
         cusum_changepoints(df, "s", "ts", "x", k=-1)
     with pytest.raises(ValueError):
         cusum_changepoints(df, "s", "ts", "x", h=0)
+
+
+def test_null_values_filtered_like_streaming_twin(spark):
+    # null-value rows are dropped up front (matching StreamingCUSUM's
+    # per-batch filter) — they neither appear in the output nor shift
+    # the baseline, so batch == batch-on-prefiltered-data
+    xs = [10.0, 10.5, None, 9.5, 10.2, None, 14.0]
+    df = spark.createDataFrame(
+        [("a", i, x) for i, x in enumerate(xs)], "s string, ts long, x double"
+    )
+    clean = df.filter(F.col("x").isNotNull())
+    got = cusum_changepoints(df, "s", "ts", "x", k=0.5, h=2.0).orderBy("ts")
+    want = cusum_changepoints(clean, "s", "ts", "x", k=0.5, h=2.0).orderBy("ts")
+    assert got.collect() == want.collect()
+    assert got.count() == sum(1 for x in xs if x is not None)

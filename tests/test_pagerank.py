@@ -133,3 +133,26 @@ def test_personalized_validation(spark):
     empty = spark.createDataFrame([], "node long")
     with pytest.raises(ValueError):
         personalized_pagerank(e, empty)
+
+
+def test_personalized_edge_isolated_seed_redistributes_dangling_mass(spark):
+    # a seed with NO edges at all keeps its restart mass and redistributes
+    # it onto the personalization vector each round (dm > 0 path) — the
+    # dangling membership is precomputed once, not re-derived per round
+    from tube_spark.operators.pagerank import personalized_pagerank
+
+    e = spark.createDataFrame(EDGES, "src long, dst long")
+    sources = [1, 99]  # 99 appears in no edge row
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(e, s, iterations=4).collect()
+    }
+    want = _py_ppr(EDGES, sources, 4)
+    assert set(got) == set(want) and 99 in got
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-8
+    # the isolated seed's rank stays strictly positive (restart + its own
+    # dangling share) and total mass is conserved
+    assert got[99] > 0
+    assert abs(sum(got.values()) - 1.0) < 1e-6

@@ -72,3 +72,29 @@ def test_disjoint_pair_scores_zero(spark):
     r = weighted_jaccard_pairs(docs, pairs).first()
     assert r["n_common_terms"] == 0 and r["w_intersection"] == 0
     assert r["w_union"] == 4 and r["weighted_jaccard"] == 0.0
+
+
+def test_tokenless_participant_keeps_pair_with_zero_score(spark):
+    # a candidate whose participant has no tokens (empty / non-alpha
+    # text, or an id missing from docs entirely) is KEPT with a 0.0
+    # score — totals are left-joined and coalesced, never an inner join
+    # that silently drops the pair
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "123 !!!"), (4, "alpha beta")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 9), (2, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["w_intersection"], r["w_union"], r["weighted_jaccard"]
+        )
+        for r in weighted_jaccard_pairs(docs, pairs).collect()
+    }
+    assert len(got) == 5  # nothing dropped
+    assert got[(1, 2)] == (0, 2, 0.0)  # empty text
+    assert got[(1, 3)] == (0, 2, 0.0)  # non-alpha text
+    assert got[(1, 9)] == (0, 2, 0.0)  # id absent from docs
+    assert got[(2, 3)] == (0, 0, 0.0)  # both token-less: w_union 0
+    assert got[(1, 4)] == (2, 2, 1.0)  # control: identical docs

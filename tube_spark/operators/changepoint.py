@@ -63,10 +63,14 @@ def cusum_changepoints(
     * baseline per series: mean and population stddev (rounded to 6);
     * allowance ``k`` and threshold ``h`` in sigma units (Montgomery's
       textbook defaults 0.5 / 5 detect ~1-sigma sustained shifts);
-    * constant series (sigma = 0) produce zero statistics, no alarms.
+    * constant series (sigma = 0) produce zero statistics, no alarms;
+    * null values are dropped up front (matching StreamingCUSUM's
+      per-batch filter) — a null deviation would otherwise be skipped
+      by the windowed sums and silently inherit the prior statistic.
     """
     if k < 0 or h <= 0:
         raise ValueError(f"need k >= 0 and h > 0, got k={k} h={h}")
+    df = df.filter(F.col(value_col).isNotNull())
     base = df.groupBy(series_col).agg(
         F.round(F.avg(value_col), 6).alias("__mu"),
         F.round(F.coalesce(F.stddev_pop(value_col), F.lit(0.0)), 6).alias(

@@ -584,9 +584,16 @@ def weighted_jaccard_pairs(
     tot_a = tot.select(F.col("__id").alias("id_a"), F.col("tot").alias("tot_a"))
     tot_b = tot.select(F.col("__id").alias("id_b"), F.col("tot").alias("tot_b"))
     out = (
+        # totals LEFT-joined: a participant with no tokens at all (empty
+        # or non-alpha text, or an id absent from docs) keeps its pair in
+        # the output with tot=0 → weighted_jaccard 0.0, matching the
+        # "pairs with no shared terms keep a 0.0 score" contract instead
+        # of silently dropping the candidate
         p.join(inter, ["id_a", "id_b"], "left")
-        .join(tot_a, "id_a")
-        .join(tot_b, "id_b")
+        .join(tot_a, "id_a", "left")
+        .join(tot_b, "id_b", "left")
+        .withColumn("tot_a", F.coalesce("tot_a", F.lit(0)))
+        .withColumn("tot_b", F.coalesce("tot_b", F.lit(0)))
         .select(
             "id_a",
             "id_b",

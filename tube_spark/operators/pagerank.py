@@ -161,27 +161,39 @@ def personalized_pagerank(
     n_sources = s.count()
     if n_sources == 0:
         raise ValueError("sources must contain at least one node")
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # the dangling membership depends only on the (static) edge set, so
+    # it is a COLUMN of the pinned node frame, not a per-round anti-join:
+    # each round's dangling mass is then a filtered sum over the ranks
+    # frame it already holds — zero extra joins per iteration
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .unionByName(s)
         .distinct()
         .join(s.withColumn("__p", F.lit(1.0 / n_sources)), "node", "left")
-        .select("node", F.coalesce("__p", F.lit(0.0)).alias("p"))
+        .join(
+            out_deg.select(F.col("src").alias("node"), F.lit(False).alias("__nd")),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("__p", F.lit(0.0)).alias("p"),
+            F.coalesce("__nd", F.lit(True)).alias("dangling"),
+        )
         .localCheckpoint(eager=False)
     )
     nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(out_deg, on="src").localCheckpoint(eager=False)
     ed.count()
 
-    ranks = nodes.select("node", "p", F.col("p").alias("rank"))
+    ranks = nodes.select("node", "p", "dangling", F.col("p").alias("rank"))
     rotor = CheckpointRotor(spark)
     for _ in range(iterations):
         rotor.begin()
-        dangling = (
-            ranks.join(out_deg, on=F.col("node") == F.col("src"), how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.filter(F.col("dangling")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         contrib = (
             ed.join(ranks, on=F.col("src") == F.col("node"))
@@ -198,6 +210,7 @@ def personalized_pagerank(
             .select(
                 "node",
                 "p",
+                "dangling",
                 (
                     F.lit(1.0 - damping) * F.col("p")
                     + F.lit(damping)
