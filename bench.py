@@ -113,12 +113,44 @@ BENCH_QUERIES = [
 ]
 
 
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
+def _settle(max_wait_s: int = 180, threshold: float | None = None) -> float:
+    """Wait (bounded) for background load to drain before timing.
+
+    BENCH_r10 post-mortem: the driver's snapshot ran right after a 30-min
+    pytest sweep and recorded a uniform 1.2-1.5x smear on sub-second
+    queries that a quiet re-run erased.  A one-shot bench on a machine
+    still draining load measures the machine, not the code — so wait up
+    to ``max_wait_s`` for the 1-min loadavg to fall below half the CPU
+    count, then record the conditions in the output either way.
+    """
+    if threshold is None:
+        threshold = max(2.0, (os.cpu_count() or 8) / 2)
+    waited = 0
+    la = _loadavg()
+    while la > threshold and waited < max_wait_s:
+        time.sleep(10)
+        waited += 10
+        la = _loadavg()
+    if waited:
+        print(f"# settled {waited}s (loadavg now {la})", file=sys.stderr)
+    return la
+
+
 def main() -> None:
     from __spark_entry__ import extra_queries, queries
     from tube_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_start = _settle()
     spark = get_spark("tube_spark-bench", extra_conf={"spark.ui.enabled": "false"})
 
     qs = {**queries(), **extra_queries()}
@@ -155,6 +187,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # run conditions: 1-min loadavg when timing started/ended
+                # (after the bounded settle wait) — lets round-over-round
+                # comparisons discount a loaded-machine snapshot
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
             }
         )
     )

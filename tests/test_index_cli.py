@@ -112,3 +112,46 @@ def test_vector_store_cli_roundtrip(spark, tmp_path, capsys):
     rc, rep = _run(capsys, "search-vectors", "--index", idx,
                    "--embeddings", first, "--query-id", "999999")
     assert rc == 2 and "error" in rep
+
+
+def test_auto_compact_flag_enforces_segment_threshold(spark, tmp_path, capsys):
+    # appends past --auto-compact N leave a single-root store (fresh
+    # postings generation, zero committed segments) with identical
+    # search results — the measured compaction rule wired into the CLI
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    parts = [str(tmp_path / f"p{i}") for i in range(4)]
+    for i, p in enumerate(parts):
+        docs.filter(F.col("doc_id") % 4 == i).write.parquet(p)
+    idx = str(tmp_path / "idx")
+    _run(capsys, "build", "--docs", parts[0], "--index", idx, "--n-buckets", "8")
+    # two appends below the threshold: segments accumulate
+    rc, rep = _run(capsys, "build", "--docs", parts[1], "--index", idx,
+                   "--append", "--auto-compact", "3")
+    assert rc == 0 and rep["manifest"]["segments"] == [0]
+    rc, rep = _run(capsys, "build", "--docs", parts[2], "--index", idx,
+                   "--append", "--auto-compact", "3")
+    assert rc == 0 and rep["manifest"]["segments"] == [0, 1]
+    # the third append reaches the threshold and compacts in-call
+    rc, rep = _run(capsys, "build", "--docs", parts[3], "--index", idx,
+                   "--append", "--auto-compact", "3")
+    assert rc == 0
+    assert rep["manifest"]["segments"] == []
+    assert rep["manifest"]["postings_dir"] == "postings-g1"
+    assert rep["manifest"]["n_docs"] == docs.count()
+    # search over the compacted store equals a scratch full rebuild
+    from tube_spark.operators.searchindex import (
+        build_text_index,
+        search_text_index,
+    )
+
+    full = str(tmp_path / "full")
+    build_text_index(docs, full, n_buckets=8)
+    rc, rep = _run(capsys, "search", "--index", idx,
+                   "--query", "data model training", "--k", "8")
+    want = [
+        r["doc_id"]
+        for r in search_text_index(
+            spark, full, ["data", "model", "training"], k=8
+        ).collect()
+    ]
+    assert rc == 0 and [h["doc_id"] for h in rep["hits"]] == want

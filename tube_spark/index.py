@@ -6,7 +6,7 @@ Build (or append to) the term-partitioned BM25 text index:
 
     python -m tube_spark.index build \
         --docs /data/corpus.parquet --index /data/text_idx \
-        [--n-buckets 64] [--append] [--master local[8]]
+        [--n-buckets 64] [--append] [--auto-compact N] [--master local[8]]
 
 Query it:
 
@@ -56,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--n-buckets", type=int, default=64)
     b.add_argument("--append", action="store_true",
                    help="add NEW doc_ids to an existing index")
+    b.add_argument(
+        "--auto-compact", type=int, default=0, metavar="N",
+        help="with --append: compact into a fresh postings generation "
+             "once the committed segment count reaches N (measured rule: "
+             "4-8 segments; 3.2x search payoff at 8 — 0 disables)",
+    )
     b.add_argument("--master", default="local[8]")
 
     c = sub.add_parser(
@@ -114,7 +120,10 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = spark.read.parquet(args.docs)
         if args.append:
-            m = append_text_index(docs, args.index, args.id_col, args.text_col)
+            m = append_text_index(
+                docs, args.index, args.id_col, args.text_col,
+                auto_compact_at=args.auto_compact or None,
+            )
         else:
             m = build_text_index(
                 docs, args.index, args.id_col, args.text_col, args.n_buckets
