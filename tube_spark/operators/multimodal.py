@@ -163,10 +163,13 @@ def jpeg_dimensions(buf: bytes) -> tuple[int, int] | None:
 
 def decode_jpeg_pixels(frame: bytes) -> "np.ndarray | None":
     """Codec dispatch point: pixel-decode one JPEG frame to an HxWx3
-    uint8 array.  A pure numpy/stdlib environment has no JPEG entropy
-    decoder, so this returns None (callers emit header-level features
-    only); a deployment plugs Pillow/libjpeg here and every downstream
-    operator (frame stats, pHash-over-frames) lights up unchanged."""
+    uint8 array.  Baseline sequential JPEGs (SOF0 — the MJPEG frame
+    format) decode through the pure-numpy codec in ``operators/jpeg.py``
+    (Huffman scan + IDCT, real entropy decoding, no codec library);
+    Pillow/libjpeg takes precedence when installed, covering
+    progressive/exotic variants and native-speed bulk decode.  Returns
+    None for formats neither path handles — callers emit header-level
+    features only."""
     try:  # pragma: no cover - exercised only where Pillow exists
         import io
 
@@ -174,7 +177,9 @@ def decode_jpeg_pixels(frame: bytes) -> "np.ndarray | None":
 
         return np.asarray(Image.open(io.BytesIO(frame)).convert("RGB"))
     except ImportError:
-        return None
+        from tube_spark.operators.jpeg import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(frame)
 
 
 def parse_avi(payload: bytes) -> dict | None:
@@ -452,6 +457,105 @@ def sample_video_frames(
     )
 
 
+_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+    ]
+)
+
+
+def frame_pixel_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "media",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Per-sampled-frame PIXEL statistics: demux like
+    ``sample_video_frames`` but actually decode each sampled frame
+    through ``decode_jpeg_pixels`` (the baseline codec) and emit
+    channel means plus luma stddev — the content features behind
+    brightness filtering, black-frame detection, and thumbnail QA.
+    Frames the codec can't decode (non-baseline) emit a row with
+    ``decoded = false`` and header dimensions, so coverage is
+    observable instead of silently partial.  Same explode-shaped
+    mapInPandas contract as the demuxer; the per-frame decode is the
+    deliberate Python-side kernel (see module docstring)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else None
+                avi = parse_avi(raw)
+                if avi is None or not avi["frames"]:
+                    continue
+                usec = avi["usec_per_frame"]
+                step_us = every_ms * 1000
+                next_due = 0
+                for i, (off, size) in enumerate(avi["frames"]):
+                    ts_us = i * usec
+                    if ts_us < next_due:
+                        continue
+                    next_due = (
+                        ts_us + step_us - (ts_us % step_us)
+                        if step_us
+                        else ts_us + 1
+                    )
+                    frame = raw[off : off + size]
+                    px = decode_jpeg_pixels(frame)
+                    if px is None:
+                        dims = jpeg_dimensions(frame)
+                        rows.append(
+                            {
+                                "doc_id": int(did),
+                                "frame_idx": i,
+                                "ts_ms": ts_us // 1000,
+                                "decoded": False,
+                                "width": dims[0] if dims else avi["width"],
+                                "height": dims[1] if dims else avi["height"],
+                                "mean_r": None,
+                                "mean_g": None,
+                                "mean_b": None,
+                                "std_luma": None,
+                            }
+                        )
+                        continue
+                    p = px.astype(np.float64)
+                    luma = (
+                        0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+                    )
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_idx": i,
+                            "ts_ms": ts_us // 1000,
+                            "decoded": True,
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                            "mean_r": float(p[..., 0].mean()),
+                            "mean_g": float(p[..., 1].mean()),
+                            "mean_b": float(p[..., 2].mean()),
+                            "std_luma": float(luma.std()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PIXEL_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_PIXEL_SCHEMA
+    )
+
+
 def synthesize_jpeg(seed: int, width: int, height: int) -> bytes:
     """A minimal structurally-valid JPEG: SOI, APP0/JFIF, SOF0 carrying
     the real dimensions, then EOI.  ``jpeg_dimensions`` (and any
@@ -473,6 +577,29 @@ def synthesize_jpeg(seed: int, width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + com + b"\xff\xd9"
 
 
+def synthesize_real_jpeg(
+    seed: int, width: int, height: int, quality: int = 75
+) -> bytes:
+    """A fully entropy-coded baseline JPEG with deterministic pixel
+    content (a seed-phased color gradient): ``decode_jpeg_pixels``
+    genuinely decodes it, so frame-level PIXEL operators can be tested
+    end-to-end on synthetic corpora.  Complements ``synthesize_jpeg``
+    (header-only, kept for marker-walk and fingerprint tests whose
+    oracles depend on its exact bytes)."""
+    from tube_spark.operators.jpeg import encode_baseline_jpeg
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    px = np.stack(
+        [
+            (xx * 255 // max(1, width - 1) + seed * 37) % 256,
+            (yy * 255 // max(1, height - 1) + seed * 101) % 256,
+            ((xx + yy) * 255 // max(1, width + height - 2) + seed * 11) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_baseline_jpeg(px, quality=quality)
+
+
 def synthesize_avi(
     seed: int,
     n_frames: int,
@@ -480,6 +607,7 @@ def synthesize_avi(
     height: int = 24,
     fps: int = 10,
     scene_len: int = 1,
+    real_frames: bool = False,
 ) -> bytes:
     """A valid MJPEG-in-AVI container: RIFF(AVI ) → LIST(hdrl){avih,
     LIST(strl){strh,strf}} → LIST(movi){00dc×n}.  Every frame is a
@@ -487,7 +615,11 @@ def synthesize_avi(
     ``scene_len``) — ``scene_len`` > 1 repeats each frame body for a
     run of that length, giving the video a deterministic scene
     structure (used by ``detect_scene_cuts`` tests/oracles; the
-    default 1 keeps every frame distinct, the original behavior)."""
+    default 1 keeps every frame distinct, the original behavior).
+    ``real_frames`` swaps in fully entropy-coded baseline JPEGs
+    (``synthesize_real_jpeg``) so pixel-decoding operators run for
+    real; default off to keep the byte-exact fingerprints existing
+    oracles replay."""
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -516,10 +648,11 @@ def synthesize_avi(
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
+    frame_fn = synthesize_real_jpeg if real_frames else synthesize_jpeg
     movi = lst(
         b"movi",
         b"".join(
-            chunk(b"00dc", synthesize_jpeg(seed + i // scene_len, width, height))
+            chunk(b"00dc", frame_fn(seed + i // scene_len, width, height))
             for i in range(n_frames)
         ),
     )
