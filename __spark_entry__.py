@@ -2206,6 +2206,73 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "lang")
 
 
+def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value quantiles (p50/p90/p99) via the
+    integer-exact DDSketch-style log-bucket sketch
+    (operators/ddsketch.py), joined with the EXACT rank-ceil(q*n)
+    quantile so the driver row witnesses the sketch's relative-error
+    bound directly (the hll_cardinality pattern).  The oracle replays
+    micro-unit quantization, bit-length octaves, mantissa sub-buckets,
+    cumulative rank selection, and the integer bucket midpoint — no
+    float-association caveats anywhere."""
+    from pyspark.sql import Window
+
+    from tube_spark.operators.ddsketch import ddsketch_quantiles
+
+    _ensure(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    est = ddsketch_quantiles(
+        ev, "event_type", "value", quantiles=(0.5, 0.9, 0.99)
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("__n"),
+    )
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    exact = (
+        ranked.select("event_type", "value", "__rn", "__n",
+                      F.explode(qs).alias("q"))
+        .filter(F.col("__rn") == F.ceil(F.col("q") * F.col("__n")))
+        .select(
+            "event_type",
+            F.round("q", 4).alias("q"),
+            F.col("value").alias("exact_value"),
+        )
+    )
+    return est.join(exact, ["event_type", "q"])
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty against the earlier corpus
+    (operators/text_analysis.py ngram_novelty): share of a doc's
+    distinct word trigrams whose corpus-wide first occurrence is this
+    doc — the "is the crawl still adding new text" curve.  Dedup asks
+    "is this a copy of one doc"; novelty asks "how much of this doc
+    exists anywhere earlier".  The oracle replays gram explosion,
+    min-id first-occurrence attribution, and the per-doc ratio."""
+    from tube_spark.operators.text_analysis import ngram_novelty
+
+    _ensure(spark)
+    return ngram_novelty(_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
+def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate mining (operators/text_analysis.py
+    structural_templates): letter runs -> 'w', digit runs -> '0',
+    whitespace squeezed; documents from the same fill-in template
+    collapse to one skeleton that near-dup shingling misses (slot
+    values differ everywhere).  The oracle replays the regex skeleton
+    and the count/distinct/min/total aggregation."""
+    from tube_spark.operators.text_analysis import structural_templates
+
+    return structural_templates(_docs(spark, sf_dir), min_docs=2)
+
+
 def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain scene-cut detection over real MJPEG-AVI
     containers (operators/multimodal.py detect_scene_cuts): doc_ids
@@ -3133,6 +3200,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "cusum_drift": q_cusum_drift,
         "weighted_jaccard": q_weighted_jaccard,
         "personalized_pagerank": q_personalized_pagerank,
+        "ddsketch_quantiles": q_ddsketch_quantiles,
+        "ngram_novelty": q_ngram_novelty,
+        "template_mining": q_template_mining,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3210,12 +3280,16 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r12 window queue (3 entries, the tail of the r10 backlog) —
-    # promote all 3 in r12 (demote any 3 green r11 rows, e.g. the head
-    # of the k_core..k_truss block); backlog after r12 = 0
+    # r12 window queue — promote the 3 r10-backlog entries plus the
+    # round-11 additions below them (demote matching green r11 rows,
+    # e.g. the head of the k_core..k_truss block)
     "triangle_stats",
     "triangle_sample",
     "lpa_communities",
+    # round-11 additions (r12/r13 queue)
+    "ddsketch_quantiles",
+    "ngram_novelty",
+    "template_mining",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -3889,6 +3963,92 @@ def _cusum_oracle_sql(k: float = 0.5, h: float = 5.0) -> str:
             FROM cp_s"""
 
 
+def _ddsketch_oracle_sql(sub_bits: int = 5) -> str:
+    """Replays operators/ddsketch.py end to end in integers: micro-unit
+    quantization, bit-length octave (length(bin(v)) — same exact-log2
+    rule as the HLL oracle), mantissa sub-bucket via dynamic shifts,
+    per-group cumulative rank selection at ceil(q*n), integer bucket
+    midpoint; plus the exact rank-quantile witness column."""
+    m = sub_bits
+    two_m = 1 << m
+    return f"""
+            WITH dd_v AS (
+                SELECT event_type,
+                       round(value * 1e6)::BIGINT AS vi,
+                       value
+                FROM events
+                WHERE value IS NOT NULL AND value >= 0
+            ),
+            dd_b AS (
+                SELECT event_type,
+                       CASE
+                           WHEN vi <= 0 THEN -1
+                           WHEN vi < {two_m} THEN vi
+                           ELSE (length(bin(vi)) - 1 - {m} + 1) * {two_m}
+                                + ((vi >> (length(bin(vi)) - 1 - {m}))
+                                   - {two_m})
+                       END AS bucket
+                FROM dd_v
+            ),
+            dd_cnt AS (
+                SELECT event_type, bucket, count(*) AS cnt
+                FROM dd_b GROUP BY 1, 2
+            ),
+            dd_cum AS (
+                SELECT event_type, bucket,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM dd_cnt
+            ),
+            dd_q AS (
+                -- DOUBLE, not DECIMAL: ceil(0.9 * 10) is 10 in IEEE
+                -- doubles (0.9 rounds up) but 9 in decimal — Spark
+                -- computes doubles, so the oracle must too
+                SELECT * FROM (VALUES (0.5::DOUBLE), (0.9::DOUBLE),
+                                      (0.99::DOUBLE)) t(q)
+            ),
+            dd_sel AS (
+                SELECT event_type, q, min(bucket) AS bucket, max(n) AS n
+                FROM dd_cum CROSS JOIN dd_q
+                WHERE cum >= ceil(q * n)::BIGINT
+                GROUP BY 1, 2
+            ),
+            dd_est AS (
+                SELECT event_type, round(q, 4) AS q,
+                       CASE
+                           WHEN bucket <= -1 THEN 0.0
+                           WHEN bucket < {two_m} THEN bucket / 1e6
+                           ELSE ((({two_m} + bucket % {two_m})
+                                  * (1::BIGINT << (bucket // {two_m} - 1))
+                                  + (({two_m} + bucket % {two_m})
+                                     * (1::BIGINT << (bucket // {two_m} - 1))
+                                     + (1::BIGINT << (bucket // {two_m} - 1))
+                                     - 1)) // 2) / 1e6
+                       END AS est_value,
+                       n::BIGINT AS n_values
+                FROM dd_sel
+            ),
+            dd_rank AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM dd_v
+            ),
+            dd_exact AS (
+                SELECT event_type, round(q, 4) AS q,
+                       value AS exact_value
+                FROM dd_rank CROSS JOIN dd_q
+                WHERE rn = ceil(q * n)::BIGINT
+            )
+            SELECT e.event_type, e.q,
+                   round(e.est_value, 6) AS est_value,
+                   e.n_values, x.exact_value
+            FROM dd_est e JOIN dd_exact x USING (event_type, q)"""
+
+
 def _hll_oracle_sql(p: int = 10, seed: str = "hll") -> str:
     """Replays operators/hll.py hll_grouped bit-for-bit: the 60-bit md5
     hash, low-bits register index / high-bits rank split (rank via the
@@ -4427,6 +4587,50 @@ def _all_oracle_sql() -> dict[str, str]:
         "cusum_drift": _cusum_oracle_sql(0.5, 5.0),
         "weighted_jaccard": _weighted_jaccard_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(3),
+        "ddsketch_quantiles": _ddsketch_oracle_sql(5),
+        "ngram_novelty": f"""
+            WITH nv_gr AS (
+                SELECT doc_id, list_distinct(list_transform(
+                           generate_series(1, greatest(len({_TOK}) - 2, 0)),
+                           i -> array_to_string(({_TOK})[i:i+2], ' ')
+                       )) AS grams
+                FROM documents
+            ),
+            nv_g AS (
+                SELECT doc_id, unnest(grams) AS gram FROM nv_gr
+            ),
+            nv_first AS (
+                SELECT gram, min(doc_id) AS first_id FROM nv_g GROUP BY 1
+            ),
+            nv_doc AS (
+                SELECT g.doc_id, count(*) AS n_grams,
+                       sum(CASE WHEN f.first_id = g.doc_id
+                                THEN 1 ELSE 0 END) AS n_novel
+                FROM nv_g g JOIN nv_first f USING (gram)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+                   CASE WHEN coalesce(n.n_grams, 0) > 0
+                        THEN round(n.n_novel * 1.0 / n.n_grams, 6)
+                   END AS novelty
+            FROM documents d LEFT JOIN nv_doc n USING (doc_id)""",
+        "template_mining": r"""
+            WITH tm AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           lower(text), '[a-z]+', 'w', 'g'),
+                           '[0-9]+', '0', 'g'),
+                           '\s+', ' ', 'g')) AS skeleton
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT skeleton,
+                   count(*)::BIGINT AS n_docs,
+                   count(DISTINCT text)::BIGINT AS n_texts,
+                   min(doc_id) AS example_doc_id,
+                   sum(length(text))::BIGINT AS total_chars
+            FROM tm GROUP BY 1 HAVING count(*) >= 2""",
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -233,3 +233,116 @@ def repetition_stats(
             | (F.col("dup_3gram_frac") > dup3_max),
         )
     return out
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against the earlier corpus: the
+    share of a document's distinct word n-grams whose FIRST occurrence
+    (minimum ``id_col`` over the whole corpus) is this document.
+
+    The curation signal behind "is the crawl still adding new text or
+    re-serving what we have" and per-source novelty curves — dedup
+    asks "is this a copy of one other doc", novelty asks "how much of
+    this doc exists ANYWHERE earlier".  Returns
+    ``(id, n_grams, n_novel, novelty)`` with ``n_grams`` = distinct
+    grams; documents shorter than ``n`` tokens keep their row with
+    zero grams and NULL novelty (never silently dropped).
+
+    Scale shape: one explode + one (gram -> min id) agg + one
+    (id, first-flag) count — the minhash-family gram volume, state one
+    row per DISTINCT gram, no pairwise anything.  The gram agg
+    map-side-combines; skewed hot grams cost one combiner cell each.
+    """
+    from tube_spark.functions.text import tokens, word_shingles
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        word_shingles(tokens(F.col(text_col)), n).alias("__grams"),
+    )
+    grams = base.select(
+        "__id", F.explode("__grams").alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("__id").alias("__first"))
+    per_doc = (
+        grams.join(first, "gram")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("__first") == F.col("__id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        base.select("__id")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.round(F.col("n_novel") / F.col("n_grams"), 6),
+            ).alias("novelty"),
+        )
+    )
+
+
+def structural_templates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Template/boilerplate mining by STRUCTURAL skeleton: lowercase
+    the text, collapse every letter run to ``w`` and digit run to
+    ``0``, squeeze whitespace — documents generated from the same
+    template (error pages, listing boilerplate, form letters) collapse
+    to one skeleton even though exact/near-dup misses them (their slot
+    VALUES differ everywhere, so shingle overlap is low).  Returns one
+    row per skeleton seen in >= ``min_docs`` documents:
+    ``(skeleton, n_docs, n_texts, example_doc_id, total_chars)`` with
+    ``n_texts`` = distinct raw texts (1 means exact dups, > 1 means a
+    true fill-in template) and the minimum id as the stable example.
+
+    Map-only skeletonization (fuses into the scan) + one count agg —
+    the text_stats scale shape.  DuckDB twin of the skeleton:
+    ``trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+    '[a-z]+', 'w', 'g'), '[0-9]+', '0', 'g'), '\\s+', ' ', 'g'))``.
+    """
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    skel = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[a-z]+", "w"),
+                "[0-9]+",
+                "0",
+            ),
+            "\\s+",
+            " ",
+        )
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            skel.alias("skeleton"),
+            F.col(text_col).alias("__text"),
+        )
+        .groupBy("skeleton")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__text").alias("n_texts"),
+            F.min("__id").alias("example_doc_id"),
+            F.sum(F.length("__text")).alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
