@@ -110,6 +110,11 @@ BENCH_QUERIES = [
     "cusum_drift",
     "weighted_jaccard",
     "personalized_pagerank",
+    # round-11 additions (quantile sketch, novelty curve, template
+    # mining, frame pixel decode is pytest-only)
+    "ddsketch_quantiles",
+    "ngram_novelty",
+    "template_mining",
 ]
 
 

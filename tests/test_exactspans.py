@@ -132,3 +132,52 @@ def test_exact_spans_consistent_with_window_approximation(spark):
         for r in span_dup_stats(docs, k=4, min_docs=2).collect()
     }
     assert stats[1] > 0 and stats[2] > 0 and stats[3] == 0
+
+
+def test_max_pair_matches_guard_quarantines_hostile_pair(spark):
+    # a self-repetitive pair's gram join is |A|x|B| — the guard skips
+    # it entirely (never partially resolves) while ordinary pairs are
+    # untouched, and the quarantine list reports the exact volume
+    from tube_spark.operators.exactspans import (
+        exact_duplicate_spans,
+        exact_spans_overweight_pairs,
+    )
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards quietly mixed bright blue potions downstairs"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 2000),
+            (2, "x" * 2000),
+            (3, "AAA " + shared + "BBB"),
+            (4, "CCC " + shared + "DDD"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+
+    unguarded_ok = exact_duplicate_spans(
+        docs.filter("doc_id >= 3"), pairs.filter("id_a = 3"), min_len=40
+    ).collect()
+    assert len(unguarded_ok) == 1  # one maximal shared span
+
+    guarded = exact_duplicate_spans(
+        docs, pairs, min_len=40, max_pair_matches=100_000
+    ).collect()
+    # hostile pair gone, ordinary pair bit-identical
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded_ok))
+
+    over = exact_spans_overweight_pairs(
+        docs, pairs, min_len=40, max_pair_matches=100_000
+    ).collect()
+    assert len(over) == 1
+    r = over[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["est_matches"] == (2000 - 39) ** 2  # exact, not an estimate
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_duplicate_spans(docs, pairs, max_pair_matches=0)

@@ -48,6 +48,7 @@ def exact_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 40,
+    max_pair_matches: int | None = None,
 ) -> DataFrame:
     """``(id_a, id_b, pos_a, pos_b, span_len)`` — one row per MAXIMAL
     shared substring of length >= ``min_len`` (characters) per
@@ -61,6 +62,21 @@ def exact_duplicate_spans(
     or right at those positions.  Containment across DIFFERENT
     occurrence pairs (a long span in one place, its substring somewhere
     else) is preserved — that is information, not noise.
+
+    ``max_pair_matches`` guards the one hostile case: a pair of
+    SELF-REPETITIVE documents (runs of one character, a 40-gram looping
+    thousands of times) makes its own gram join quadratic — measured:
+    two 2,000-char single-char docs are 3.8M matches / ~20 s, 5,000
+    chars 25M / ~34 s, growing as |A|x|B| (BENCH_NOTES r11).  When set,
+    each pair's EXACT match volume (sum over shared grams of
+    count_a x count_b — computed from distinct-gram counts, one row per
+    distinct gram, so the hostile doc costs ONE row here) is checked
+    first and overweight pairs are SKIPPED ENTIRELY rather than
+    partially resolved: every span the operator does report keeps the
+    exact-maximality contract.  Use ``exact_spans_overweight_pairs``
+    for the quarantine list (such docs are degenerate-repetition cases
+    for ``repetition_stats``, not near-dup resolution).  Default None
+    preserves the unguarded behavior.
     """
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
@@ -95,6 +111,17 @@ def exact_duplicate_spans(
             )
         ).alias("__p0", "gram"),
     ).select("__id", (F.col("__p0") + 1).alias("pos"), "gram")
+    if max_pair_matches is not None:
+        if max_pair_matches < 1:
+            raise ValueError(
+                f"max_pair_matches must be >= 1, got {max_pair_matches}"
+            )
+        keep = _pair_volumes(p, grams).filter(
+            F.col("est_matches") <= max_pair_matches
+        )
+        p = p.join(keep, ["id_a", "id_b"], "left_semi").localCheckpoint(
+            eager=False
+        )
     ga = p.join(
         grams.select(
             F.col("__id").alias("id_a"),
@@ -124,6 +151,75 @@ def exact_duplicate_spans(
             (F.count(F.lit(1)) + L - 1).cast("long").alias("span_len"),
         )
         .select("id_a", "id_b", "pos_a", "pos_b", "span_len")
+    )
+
+
+def _pair_volumes(p: DataFrame, grams: DataFrame) -> DataFrame:
+    """EXACT per-pair match-join volume ``(id_a, id_b, est_matches)``
+    from distinct-gram counts: sum over shared grams of
+    count_a x count_b.  One row per (doc, distinct gram) — a
+    pathological single-character document contributes ONE row, so the
+    guard itself never pays the quadratic cost it prevents.  Pairs with
+    no shared gram emit no row (they produce no spans either way)."""
+    cnt = grams.groupBy("__id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    va = p.join(
+        cnt.select(
+            F.col("__id").alias("id_a"), "gram", F.col("c").alias("ca")
+        ),
+        "id_a",
+    )
+    return (
+        va.join(
+            cnt.select(
+                F.col("__id").alias("id_b"), "gram", F.col("c").alias("cb")
+            ),
+            ["id_b", "gram"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("est_matches"))
+    )
+
+
+def exact_spans_overweight_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    max_pair_matches: int = 10_000_000,
+) -> DataFrame:
+    """The quarantine list for the ``max_pair_matches`` guard:
+    ``(id_a, id_b, est_matches)`` for every candidate pair whose exact
+    gram-join volume exceeds the budget — the pairs
+    ``exact_duplicate_spans(..., max_pair_matches=...)`` skips.  These
+    are degenerate-repetition documents (route them to
+    ``repetition_stats`` / quality gates), not near-dup candidates a
+    span resolver should chew on."""
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = int(min_len)
+    p = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
+    ids = p.select(F.col("id_a").alias("__id")).unionByName(
+        p.select(F.col("id_b").alias("__id"))
+    ).distinct()
+    t = (
+        docs.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        )
+        .join(ids, "__id", "left_semi")
+        .filter(F.length("__text") >= L)
+    )
+    grams = t.select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(__text) - {L} + 1), "
+                f"i -> substring(__text, i, {L}))"
+            )
+        ).alias("gram"),
+    )
+    return _pair_volumes(p, grams).filter(
+        F.col("est_matches") > max_pair_matches
     )
 
 
