@@ -2261,6 +2261,42 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(_docs(spark, sf_dir), "doc_id", "text", n=3)
 
 
+def q_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest-neighbor alignment (operators/similarity.py
+    reciprocal_nn) between the even-label and odd-label halves of the
+    embeddings table — the bitext/cross-modal pairing primitive: a
+    pair survives only when each side is the other's top-1, killing
+    one-way hub matches.  Exact brute-force tier (the IVF store is the
+    scale path); the oracle replays both directional argmaxes and the
+    mutual join."""
+    from tube_spark.operators.similarity import reciprocal_nn
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return reciprocal_nn(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+    )
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining over the documents corpus
+    (operators/mining.py collocations): top-100 adjacent word pairs by
+    LIFT = N*c(ab)/(c(a)*c(b)) with a min-count cut — phrase/vocab
+    discovery.  Lift, not PMI: the log is rank-neutral and a
+    cross-engine libm log would poison the oracle; one IEEE division
+    rounds portably.  The oracle replays tokenization, lead-window
+    bigrams, the count cut, and the deterministic ranked cut."""
+    from tube_spark.operators.mining import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, k=100)
+
+
 def q_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template/boilerplate mining (operators/text_analysis.py
     structural_templates): letter runs -> 'w', digit runs -> '0',
@@ -3203,6 +3239,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ddsketch_quantiles": q_ddsketch_quantiles,
         "ngram_novelty": q_ngram_novelty,
         "template_mining": q_template_mining,
+        "collocations": q_collocations,
+        "reciprocal_nn": q_reciprocal_nn,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3290,6 +3328,8 @@ _EXTRA_QUERY_NAMES = (
     "ddsketch_quantiles",
     "ngram_novelty",
     "template_mining",
+    "collocations",
+    "reciprocal_nn",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -4631,6 +4671,80 @@ def _all_oracle_sql() -> dict[str, str]:
                    min(doc_id) AS example_doc_id,
                    sum(length(text))::BIGINT AS total_chars
             FROM tm GROUP BY 1 HAVING count(*) >= 2""",
+        "collocations": f"""
+            WITH co_tok AS (
+                SELECT doc_id,
+                       unnest({_TOK}) AS tok,
+                       generate_subscripts({_TOK}, 1) AS pos
+                FROM documents
+            ),
+            co_uni AS (
+                SELECT tok, count(*) AS c FROM co_tok GROUP BY 1
+            ),
+            co_n AS (
+                SELECT count(*)::BIGINT AS n_tokens FROM co_tok
+            ),
+            co_big AS (
+                SELECT tok AS term_a,
+                       lead(tok) OVER (PARTITION BY doc_id
+                                       ORDER BY pos) AS term_b
+                FROM co_tok
+            ),
+            co_cab AS (
+                SELECT term_a, term_b, count(*) AS c_ab
+                FROM co_big WHERE term_b IS NOT NULL
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ),
+            co_sc AS (
+                SELECT b.term_a, b.term_b,
+                       b.c_ab::BIGINT AS c_ab,
+                       ua.c::BIGINT AS c_a,
+                       ub.c::BIGINT AS c_b,
+                       round(n.n_tokens * b.c_ab * 1.0
+                             / (ua.c * ub.c), 6) AS lift
+                FROM co_cab b
+                JOIN co_uni ua ON ua.tok = b.term_a
+                JOIN co_uni ub ON ub.tok = b.term_b
+                CROSS JOIN co_n n
+            )
+            SELECT rank, term_a, term_b, c_ab, c_a, c_b, lift
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY lift DESC, term_a, term_b) AS rank
+                FROM co_sc
+            ) WHERE rank <= 100""",
+        "reciprocal_nn": """
+            WITH rn_e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v
+                FROM embeddings
+            ),
+            rn_a AS (SELECT vec_id AS id_a, v AS va FROM rn_e
+                     WHERE label % 2 = 0),
+            rn_b AS (SELECT vec_id AS id_b, v AS vb FROM rn_e
+                     WHERE label % 2 = 1),
+            rn_sc AS (
+                SELECT a.id_a, b.id_b,
+                       list_dot_product(a.va, b.vb)
+                         / (sqrt(list_dot_product(a.va, a.va))
+                            * sqrt(list_dot_product(b.vb, b.vb))) AS cos_raw
+                FROM rn_a a CROSS JOIN rn_b b
+            ),
+            rn_na AS (
+                SELECT id_a, id_b, cos_raw FROM (
+                    SELECT *, row_number() OVER (PARTITION BY id_a
+                                ORDER BY cos_raw DESC, id_b) AS r
+                    FROM rn_sc
+                ) WHERE r = 1
+            ),
+            rn_nb AS (
+                SELECT id_a, id_b FROM (
+                    SELECT *, row_number() OVER (PARTITION BY id_b
+                                ORDER BY cos_raw DESC, id_a) AS r
+                    FROM rn_sc
+                ) WHERE r = 1
+            )
+            SELECT a.id_a, a.id_b, round(a.cos_raw, 6) AS cosine
+            FROM rn_na a JOIN rn_nb b USING (id_a, id_b)""",
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

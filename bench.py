@@ -115,6 +115,9 @@ BENCH_QUERIES = [
     "ddsketch_quantiles",
     "ngram_novelty",
     "template_mining",
+    "collocations",
+    # reciprocal_nn stays OUT: labeled O(n^2) exact baseline, 18 s at
+    # sf0.1 (the ann_recall_report rule — see BENCH_NOTES r11)
 ]
 
 

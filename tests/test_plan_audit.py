@@ -100,6 +100,7 @@ BNLJ_OK = {
     "triangle_sample",  # same shape on the sparsified graph
     "neardup_transitivity",  # the same census cross-join shape over the LSH pair graph
     "random_walks",  # walks-per-node fanout: cross join with a bounded range() local relation
+    "collocations",  # one-row corpus-total-tokens broadcast for the lift division
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key
@@ -120,6 +121,7 @@ BNLJ_AGG_OK = {
 BNLJ_EXACT_BASELINE = {
     "embedding_near_dup_exact",
     "ann_recall_report",  # contains exact_near_pairs + exact top-k branches
+    "reciprocal_nn",  # exact mutual-NN baseline: side_b broadcast IS half the corpus (IVF store is the scale path — see the operator docstring)
 }
 
 # queries that execute driver-side work or streams when *built* — they

@@ -193,3 +193,96 @@ def association_rules(
             "lift"
         ),
     )
+
+
+def collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Collocation mining: adjacent word pairs that co-occur far more
+    than their unigram frequencies predict — the signal behind
+    multi-word vocabulary entries ("new york", "machine learning"),
+    tokenizer merge seeding, and phrase-aware dedup keys.
+
+    Association is scored as LIFT rather than PMI:
+
+        lift(a, b) = N * c(a,b) / (c(a) * c(b))
+
+    (PMI is log(lift); the log adds nothing to the RANKING and a
+    cross-engine libm log would poison the oracle, so the monotone
+    rational form is the portable choice — one division, exact under
+    IEEE, rounded to 6.)  Counts are corpus-wide token occurrences
+    (c(a), c(b)) and adjacent-bigram occurrences (c(a,b)); N = total
+    tokens.  Pairs below ``min_count`` bigram occurrences are noise
+    and cut BEFORE scoring (classic collocation practice — lift of a
+    once-seen pair of two rare words is huge and meaningless).  Top
+    ``k`` by (lift desc, pair asc) — fully deterministic.
+
+    Scale shape: one token explode feeding BOTH the unigram and the
+    (lead-window) bigram map-side aggs; scoring joins the bigram frame
+    (already <= distinct-bigram sized, further cut by min_count)
+    against two broadcast-sized unigram projections.  No pairwise
+    blowup anywhere — c(a,b) only exists for ADJACENT pairs.
+    """
+    from pyspark.sql import Window
+
+    from tube_spark.functions.text import tokens
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.partitionBy("__id").orderBy("pos")
+    big = (
+        tok.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    scored = (
+        big.join(
+            F.broadcast(uni.select(F.col("tok"), F.col("c").alias("c_a"))),
+            "tok",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("tok").alias("nxt"), F.col("c").alias("c_b"))
+            ),
+            "nxt",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("tok").alias("term_a"),
+            F.col("nxt").alias("term_b"),
+            F.col("c_ab"),
+            F.col("c_a"),
+            F.col("c_b"),
+            F.round(
+                F.col("n_tokens") * F.col("c_ab") / (F.col("c_a") * F.col("c_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    # top-k via orderBy().limit(k): Spark plans TakeOrderedAndProject
+    # (per-partition heaps + a k-row merge), never funneling the whole
+    # bigram frame through one task the global-window form would need;
+    # the rank window then runs over k rows only
+    top = scored.orderBy(
+        F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    ).limit(k)
+    wr = Window.orderBy(
+        F.col("lift").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(wr)
+    ).select("rank", "term_a", "term_b", "c_ab", "c_a", "c_b", "lift")

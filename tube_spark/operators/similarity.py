@@ -507,3 +507,57 @@ def exact_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def reciprocal_nn(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MUTUAL nearest neighbors across two embedding sides — the core
+    primitive of bitext/parallel-corpus mining (align sentences across
+    languages), cross-modal pairing (caption <-> image), and snapshot
+    entity alignment: a pair survives only when each side is the
+    OTHER's top-1, which kills the asymmetric hub matches a one-way
+    top-1 floods you with.
+
+    Returns ``(id_a, id_b, cosine)``, one row per mutual pair (each id
+    appears at most once per side by construction).  Deterministic:
+    ties break by the opposite id ascending, exactly like
+    ``cosine_topk``.
+
+    This is the EXACT brute-force tier (one cross join with ``side_b``
+    broadcast — pass the smaller table as ``side_b``); at corpus scale
+    swap the per-side top-1 search to the IVF store
+    (``operators/vectorstore.py``) and keep the mutual join, which is
+    the cheap part (two |A|+|B|-sized frames).
+    """
+    a = side_a.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = side_b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    scored = a.crossJoin(F.broadcast(b)).withColumn(
+        "cosine", cosine(F.col("__va"), F.col("__vb"))
+    )
+    wa = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc()
+    )
+    nn_a = (
+        scored.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") == 1)
+        .select("id_a", "id_b", "cosine")
+    )
+    nn_b = (
+        scored.withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") == 1)
+        .select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b"))
+    )
+    return nn_a.join(nn_b, ["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
