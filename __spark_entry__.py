@@ -3115,6 +3115,151 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule signals (operators/quality_rules.py
+    gopher_signals — Rae et al. 2021 Appendix A) over synthetic pages
+    built from the documents corpus: each doc gains a duplicated body
+    line (id%4), a bullet line (id%3), an ellipsis trailer (id%5) and
+    a hash-symbol tag line (id%7), so every rule's numerator moves.
+    Map-only expression pipeline; the oracle replays page synthesis
+    and every signal (word/line splits, symbol and duplicate-line
+    arithmetic, required-stopword hits, the composite pass flag)."""
+    from tube_spark.operators.quality_rules import gopher_signals
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    page = F.concat(
+        base,
+        F.when(d % 4 == 0, F.concat(F.lit("\n"), base)).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("\n- item number "), d.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("\nto be continued ...")).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit("\n# tag "), d.cast("string"), F.lit(" #")),
+        ).otherwise(F.lit("")),
+    )
+    return gopher_signals(docs.select("doc_id", page.alias("text")))
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (operators/quality_rules.py
+    c4_line_filter — Raffel et al. 2020 §2.2) over synthetic pages:
+    a proper opening sentence, the raw doc body (no terminal
+    punctuation — always dropped), a javascript line (even ids) vs a
+    keepable sentence (odd ids), a too-short line (id%3), a quoted
+    closer (id%5), a lorem-ipsum page poison (id%11) and a curly-brace
+    page poison (id%13).  The oracle replays line split, every
+    line-level predicate, the cleaned-text re-join, and the page
+    gate."""
+    from tube_spark.operators.quality_rules import c4_line_filter
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    page = F.concat(
+        F.lit("The opening sentence of document "),
+        d.cast("string"),
+        F.lit(" has plenty of words."),
+        F.lit("\n"),
+        base,
+        F.when(
+            d % 2 == 0,
+            F.lit("\nThis line mentions javascript frameworks and gets dropped."),
+        ).otherwise(F.lit("\nAnother proper sentence appears right here today!")),
+        F.when(d % 3 == 0, F.lit("\nToo short.")).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("\nDocument "),
+                d.cast("string"),
+                F.lit(' closes with a quoted ending of sorts."'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.lit("\nSprinkle some lorem ipsum into the page body here."),
+        ).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nconfig = { nested: true }")).otherwise(
+            F.lit("")
+        ),
+    )
+    return c4_line_filter(docs.select("doc_id", page.alias("text")))
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/entities.py
+    sorted_neighborhood_pairs — Hernandez & Stolfo 1995) over part
+    names: rank all parts by (p_name, p_partkey) via the distributed
+    prefix count (range partition + broadcast offsets — never a
+    single-task global window) and pair each with the next 3 in
+    order, then score each pair with JVM levenshtein.  Complements
+    equal-key blocking: typo'd keys land in different equality blocks
+    but stay sort-adjacent.  The oracle replays the rank, the
+    neighbor join, and the edit distances."""
+    from tube_spark.operators.entities import sorted_neighborhood_pairs
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    pairs = sorted_neighborhood_pairs(part, "p_partkey", F.col("p_name"), window=4)
+    na = part.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("__name_a")
+    )
+    nb = part.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("__name_b")
+    )
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "rank_a",
+            "rank_b",
+            F.levenshtein("__name_a", "__name_b").cast("long").alias("lev_dist"),
+        )
+    )
+
+
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph degree summary + Newman assortativity
+    (operators/graphstats.py) over the SAME part co-occurrence graph
+    as the triangle census (deterministic 25% order sample, hot-group
+    cap 10) — the cheap pre-flight every graph stage wants: size,
+    density, degree skew, and whether hubs attach to hubs (r > 0) or
+    to leaves (r < 0), which predicts how hard the orientation and
+    hub-cap tricks will pay.  Pearson over both edge orientations;
+    the oracle shares the graph CTE with the census so the graphs can
+    never diverge."""
+    from tube_spark.operators.graphstats import graph_degree_stats
+    from tube_spark.operators.triangles import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return graph_degree_stats(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution
+    (operators/text_analysis.py zipf_fit): OLS of ln(tf) on ln(rank)
+    for the top-1000 terms — slope ≈ -1 and r² near 1 for natural
+    text; templated/generated corpora bend the curve.  Closed-form
+    OLS via covar_pop/var_pop (the n-vs-n-1 convention cancels), so
+    the oracle replays the whole fit; ln enters only the final
+    rounded doubles, never an ordering."""
+    from tube_spark.operators.text_analysis import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3241,6 +3386,11 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "template_mining": q_template_mining,
         "collocations": q_collocations,
         "reciprocal_nn": q_reciprocal_nn,
+        "gopher_rules": q_gopher_rules,
+        "c4_filter": q_c4_filter,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "graph_degree_stats": q_graph_degree_stats,
+        "zipf_fit": q_zipf_fit,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3330,6 +3480,11 @@ _EXTRA_QUERY_NAMES = (
     "template_mining",
     "collocations",
     "reciprocal_nn",
+    "gopher_rules",
+    "c4_filter",
+    "sorted_neighborhood",
+    "graph_degree_stats",
+    "zipf_fit",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -4745,6 +4900,211 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT a.id_a, a.id_b, round(a.cos_raw, 6) AS cosine
             FROM rn_na a JOIN rn_nb b USING (id_a, id_b)""",
+        "gopher_rules": r"""
+            WITH gp AS (
+                SELECT doc_id,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN chr(10) || coalesce(text, '')
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || '- item number '
+                                    || doc_id::VARCHAR
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN chr(10) || 'to be continued ...'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || '# tag ' || doc_id::VARCHAR
+                                    || ' #'
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            gw AS (
+                SELECT doc_id, t,
+                       list_filter(regexp_split_to_array(t, '\s+'),
+                                   x -> x <> '') AS words,
+                       list_filter(list_transform(string_split(t, chr(10)),
+                                   x -> trim(x)), x -> x <> '') AS lines
+                FROM gp
+            ),
+            gs AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       greatest(len(words), 1) AS nw1,
+                       coalesce(list_sum(list_transform(words,
+                           x -> length(x))), 0) AS sum_len,
+                       len(list_filter(words,
+                           x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+                       length(t) - length(replace(t, '#', '')) AS hash_chars,
+                       (length(t) - length(replace(t, '...', ''))) / 3
+                           AS ellipses,
+                       greatest(len(lines), 1) AS nl1,
+                       len(list_filter(lines,
+                           x -> substr(x, 1, 1) IN ('-', '*'))) AS bullets,
+                       len(list_filter(lines,
+                           x -> ends_with(x, '...'))) AS ell_lines,
+                       coalesce(list_sum(list_transform(lines,
+                           x -> length(x))), 0) AS line_chars,
+                       coalesce(list_sum(list_transform(
+                           list_filter(lines, x -> len(list_filter(lines,
+                               y -> y = x)) > 1),
+                           x -> length(x))), 0) AS dup_chars,
+                       len(list_intersect(list_transform(words,
+                           x -> lower(x)),
+                           ['the','be','to','of','and','that','have','with']))
+                           AS stop_hits
+                FROM gw
+            ),
+            gr AS (
+                SELECT doc_id, n_words, stop_hits,
+                       sum_len / nw1 AS mean_word_len,
+                       alpha_words / nw1 AS alpha_ratio,
+                       (hash_chars + ellipses) / nw1 AS symbol_ratio,
+                       bullets / nl1 AS bullet_ratio,
+                       ell_lines / nl1 AS ellipsis_ratio,
+                       dup_chars / greatest(line_chars, 1) AS dup_ratio
+                FROM gs
+            )
+            SELECT doc_id,
+                   n_words::BIGINT AS n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(alpha_ratio, 6) AS alpha_word_ratio,
+                   round(symbol_ratio, 6) AS symbol_word_ratio,
+                   round(bullet_ratio, 6) AS bullet_line_ratio,
+                   round(ellipsis_ratio, 6) AS ellipsis_line_ratio,
+                   round(dup_ratio, 6) AS dup_line_char_ratio,
+                   stop_hits::BIGINT AS stop_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3 AND 10
+                    AND symbol_ratio <= 0.1
+                    AND bullet_ratio <= 0.9
+                    AND ellipsis_ratio <= 0.3
+                    AND alpha_ratio >= 0.8
+                    AND stop_hits >= 2
+                    AND dup_ratio <= 0.2) AS gopher_pass
+            FROM gr""",
+        "c4_filter": r"""
+            WITH c4p AS (
+                SELECT doc_id,
+                       'The opening sentence of document '
+                       || doc_id::VARCHAR || ' has plenty of words.'
+                       || chr(10) || coalesce(text, '')
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || 'This line mentions javascript'
+                                    || ' frameworks and gets dropped.'
+                               ELSE chr(10) || 'Another proper sentence'
+                                    || ' appears right here today!' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || 'Too short.' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN chr(10) || 'Document ' || doc_id::VARCHAR
+                                    || ' closes with a quoted ending of'
+                                    || ' sorts."'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN chr(10) || 'Sprinkle some lorem ipsum'
+                                    || ' into the page body here.'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN chr(10) || 'config = { nested: true }'
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            c4l AS (
+                SELECT doc_id, t,
+                       list_filter(list_transform(string_split(t, chr(10)),
+                                   x -> trim(x)), x -> x <> '') AS lines
+                FROM c4p
+            ),
+            c4k AS (
+                SELECT doc_id, t, lines,
+                       list_filter(lines, x ->
+                           substr(x, length(x), 1) IN ('.', '!', '?', '"')
+                           AND len(list_filter(
+                                   regexp_split_to_array(x, '\s+'),
+                                   w -> w <> '')) >= 5
+                           AND NOT contains(lower(x), 'javascript')) AS kept
+                FROM c4l
+            )
+            SELECT doc_id,
+                   len(lines)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept,
+                   array_to_string(kept, chr(10)) AS text_clean,
+                   (len(kept) >= 3
+                    AND NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{')) AS page_pass
+            FROM c4k""",
+        "sorted_neighborhood": """
+            WITH snr AS (
+                SELECT p_partkey, p_name,
+                       row_number() OVER (ORDER BY p_name, p_partkey) - 1
+                           AS rnk
+                FROM part
+            )
+            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                   a.rnk AS rank_a, b.rnk AS rank_b,
+                   levenshtein(a.p_name, b.p_name)::BIGINT AS lev_dist
+            FROM snr a JOIN snr b
+              ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3""",
+        "graph_degree_stats": _part_graph_cte()
+        + """,
+            gd_deg AS (
+                SELECT n, count(*) AS degree FROM (
+                    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+                ) GROUP BY 1
+            ),
+            gd_dir AS (
+                SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b AS u, a AS v FROM e
+            ),
+            gd_pair AS (
+                SELECT gd_dir.u, du.degree AS deg_u, dv.degree AS deg_v
+                FROM gd_dir
+                JOIN gd_deg du ON du.n = gd_dir.u
+                JOIN gd_deg dv ON dv.n = gd_dir.v
+            )
+            SELECT count(DISTINCT u)::BIGINT AS n_nodes,
+                   (count(*) / 2)::BIGINT AS n_edges,
+                   round(count(*) / count(DISTINCT u), 6) AS avg_degree,
+                   max(deg_u)::BIGINT AS max_degree,
+                   round(sum(deg_u) / count(DISTINCT u)
+                         - (count(*) / count(DISTINCT u))
+                           * (count(*) / count(DISTINCT u)), 6)
+                       AS degree_variance,
+                   round(covar_pop(deg_u, deg_v)
+                         / nullif(stddev_pop(deg_u)
+                                  * stddev_pop(deg_v), 0), 6)
+                       AS degree_assortativity
+            FROM gd_pair""",
+        "zipf_fit": f"""
+            WITH zc AS (
+                SELECT tok AS term, count(*) AS tf FROM (
+                    SELECT unnest({_TOK}) AS tok FROM documents
+                ) GROUP BY 1
+            ),
+            zt AS (
+                SELECT tf,
+                       row_number() OVER (ORDER BY tf DESC, term) AS rnk
+                FROM zc ORDER BY tf DESC, term LIMIT 1000
+            ),
+            zx AS (
+                SELECT ln(rnk::DOUBLE) AS x, ln(tf::DOUBLE) AS y FROM zt
+            ),
+            zf AS (
+                SELECT count(*)::BIGINT AS n_fit,
+                       covar_pop(x, y) / nullif(var_pop(x), 0) AS slope,
+                       avg(x) AS mx, avg(y) AS my,
+                       covar_pop(x, y) / nullif(stddev_pop(x)
+                                                * stddev_pop(y), 0) AS r
+                FROM zx
+            )
+            SELECT (SELECT count(*) FROM zc)::BIGINT AS n_terms,
+                   n_fit,
+                   round(slope, 6) AS zipf_slope,
+                   round(my - slope * mx, 6) AS zipf_intercept,
+                   round(r * r, 6) AS zipf_r2
+            FROM zf""",
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -346,3 +346,70 @@ def structural_templates(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS of
+    ln(frequency) on ln(rank) for the ``top_n`` most frequent terms.
+
+    A natural corpus follows ln(tf) ~ intercept - s·ln(rank) with
+    s ≈ 1 and r² near 1 (Zipf 1949; Piantadosi 2014 for the modern
+    treatment); machine-generated / templated / keyword-stuffed
+    corpora bend the curve — slope and r² are standard corpus-health
+    numbers next to ngram_novelty and repetition_stats.
+
+    One row: n_terms (distinct vocabulary), n_fit (terms entering the
+    fit), zipf_slope (the NEGATIVE s, i.e. the raw OLS coefficient),
+    zipf_intercept, zipf_r2.  Degenerate vocabularies (< 2 distinct
+    fit terms → zero rank variance) yield NULL slope/intercept/r2
+    rather than a fabricated fit.
+
+    Shape: one explode + map-side-combinable count, a bounded top-n
+    cut (TakeOrderedAndProject — no global sort materialization), then
+    a single agg over ≤ top_n rows; OLS is closed-form
+    (covar_pop/var_pop — the n-vs-n-1 convention cancels in the
+    ratio, so the DuckDB twin matches bit-for-bit).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    n_terms = counts.agg(F.count(F.lit(1)).alias("n_terms"))
+    top = counts.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(top_n)
+    # the frame is <= top_n rows — the unpartitioned window is bounded
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("tf").desc(), F.col("term").asc())),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("tf").cast("double")).alias("y"),
+    )
+    # try_divide: a 0/1-term vocabulary has zero rank variance — NULL
+    # fit, not an ANSI divide-by-zero error
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.try_divide(F.covar_pop("x", "y"), F.var_pop("x")).alias("slope"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        # explicit Pearson behind try_divide: a frequency-uniform corpus
+        # has zero y-variance and ANSI-mode corr() raises DIVIDE_BY_ZERO
+        # where the SQL convention is NULL
+        F.try_divide(
+            F.covar_pop("x", "y"), F.stddev_pop("x") * F.stddev_pop("y")
+        ).alias("r"),
+    ).select(
+        "n_fit",
+        F.round("slope", 6).alias("zipf_slope"),
+        F.round(F.col("my") - F.col("slope") * F.col("mx"), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.col("r") * F.col("r"), 6).alias("zipf_r2"),
+    )
+    return n_terms.crossJoin(fit).select(
+        "n_terms", "n_fit", "zipf_slope", "zipf_intercept", "zipf_r2"
+    )
