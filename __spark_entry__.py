@@ -3260,6 +3260,76 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_docs(spark, sf_dir), top_n=1000)
 
 
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop reachability per node (operators/graphstats.py
+    khop_reach) over the census part co-occurrence graph: distinct
+    nodes within <= 2 hops, self excluded — the exact small-k
+    neighborhood function (hyperball is the HLL-counter scale form).
+    Frontier extension is one equi-join + distinct; the pair frame is
+    wedge-volume, the same cost class the census already bounds with
+    the hot-group cap.  The oracle replays the frontier union."""
+    from tube_spark.operators.graphstats import khop_reach
+    from tube_spark.operators.triangles import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return khop_reach(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")), k=2
+    )
+
+
+def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood estimation (operators/graphstats.py
+    hyperball — Boldi & Vigna 2013), 2 rounds at p=7, over the same
+    part co-occurrence graph: per-node HLL ball counters merged along
+    edges (elementwise max — idempotent, order-free), estimating
+    |{v} ∪ B(v, 2)| with m=128 registers per node instead of the exact
+    frontier's Σ|B| pair rows — the 100 TB path for the neighborhood
+    function / effective-diameter curve.  Counters use the portable
+    60-bit md5 register split, so the oracle replays the init, BOTH
+    merge rounds, and the estimator bit-for-bit."""
+    from tube_spark.operators.graphstats import hyperball
+    from tube_spark.operators.triangles import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return hyperball(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        rounds=2,
+        p=7,
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade
+    (operators/quality_rules.py readability) over synthetic pages with
+    1-3 sentences (80-char slices of the doc text closed with . ! ?
+    by doc_id mod 3).  Sentence split, whitespace words, and
+    vowel-group syllables are all on the shared regex subset; the
+    oracle replays the page synthesis, every count, and the two
+    score formulas."""
+    from tube_spark.operators.quality_rules import readability
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    page = F.concat(
+        F.substring(base, 1, 80),
+        F.lit(". "),
+        F.when(
+            d % 3 >= 1, F.concat(F.substring(base, 81, 80), F.lit("! "))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 2, F.concat(F.substring(base, 161, 80), F.lit("? "))
+        ).otherwise(F.lit("")),
+    )
+    return readability(docs.select("doc_id", page.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3391,6 +3461,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "sorted_neighborhood": q_sorted_neighborhood,
         "graph_degree_stats": q_graph_degree_stats,
         "zipf_fit": q_zipf_fit,
+        "khop_reach": q_khop_reach,
+        "hyperball": q_hyperball,
+        "readability": q_readability,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3485,6 +3558,9 @@ _EXTRA_QUERY_NAMES = (
     "sorted_neighborhood",
     "graph_degree_stats",
     "zipf_fit",
+    "khop_reach",
+    "hyperball",
+    "readability",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -4307,6 +4383,74 @@ def _hll_oracle_sql(p: int = 10, seed: str = "hll") -> str:
             FROM hll_fin f JOIN hll_ex e USING (lang)"""
 
 
+def _hyperball_oracle_sql(rounds: int = 2, p: int = 5, seed: str = "hb") -> str:
+    """Replays operators/graphstats.py hyperball bit-for-bit over the
+    census part co-occurrence graph: singleton register init from the
+    portable 60-bit md5 hash of the node id, ``rounds`` unrolled
+    merge rounds (union own registers with every in-neighbor's, max
+    per (node, j)), and the hll.py estimator arithmetic per node."""
+    from tube_spark.operators.hll import _alpha
+
+    m = 1 << p
+    w_bits = 60 - p
+    alpha = repr(_alpha(m))
+    ctes = [
+        _part_graph_cte(),
+        """
+            hb_dir AS (
+                SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b AS u, a AS v FROM e
+            )""",
+        f"""
+            hb_r0 AS (
+                SELECT node,
+                       (h % {m})::INTEGER AS j,
+                       (CASE WHEN h // {m} > 0
+                             THEN {w_bits} - length(bin(h // {m})) + 1
+                             ELSE {w_bits} + 1 END)::INTEGER AS m_rank
+                FROM (
+                    SELECT node,
+                           ('0x' || substr(md5('{seed}|' || node::VARCHAR),
+                                           1, 15))::BIGINT AS h
+                    FROM (SELECT DISTINCT u AS node FROM hb_dir)
+                )
+            )""",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""
+            hb_r{t} AS (
+                SELECT node, j, max(m_rank) AS m_rank FROM (
+                    SELECT node, j, m_rank FROM hb_r{t - 1}
+                    UNION ALL
+                    SELECT d.u AS node, r.j, r.m_rank
+                    FROM hb_dir d JOIN hb_r{t - 1} r ON r.node = d.v
+                ) GROUP BY 1, 2
+            )""")
+    ctes.append(f"""
+            hb_agg AS (
+                SELECT node,
+                       sum(power(2.0, -m_rank)) AS s_present,
+                       count(*) AS n_present
+                FROM hb_r{rounds} GROUP BY 1
+            ),
+            hb_est AS (
+                SELECT node,
+                       ({m} - n_present) AS n_zero,
+                       {alpha}::DOUBLE * {m} * {m}
+                           / (s_present + ({m} - n_present)) AS raw
+                FROM hb_agg
+            )""")
+    return (
+        ",".join(ctes)
+        + f"""
+            SELECT node, {m} AS m, n_zero::BIGINT AS n_zero,
+                   round(CASE WHEN raw <= 2.5 * {m} AND n_zero > 0
+                         THEN {m}.0 * ln({m}.0 / n_zero)
+                         ELSE raw END, 4) AS estimate
+            FROM hb_est"""
+    )
+
+
 def _exact_spans_oracle_sql(L: int = 20) -> str:
     """Replays operators/exactspans.py exactly: candidate pairs (the
     portable LSH pipeline UNION the consecutive-id probe), a character
@@ -5105,6 +5249,70 @@ def _all_oracle_sql() -> dict[str, str]:
                    round(my - slope * mx, 6) AS zipf_intercept,
                    round(r * r, 6) AS zipf_r2
             FROM zf""",
+        "khop_reach": _part_graph_cte()
+        + """,
+            kr_dir AS (
+                SELECT a AS u, b AS v FROM e
+                UNION ALL SELECT b AS u, a AS v FROM e
+            ),
+            kr2 AS (
+                SELECT u, v FROM kr_dir
+                UNION
+                SELECT x.u, y.v FROM kr_dir x JOIN kr_dir y ON x.v = y.u
+                WHERE y.v <> x.u
+            ),
+            kr_deg AS (
+                SELECT u, count(*) AS degree FROM kr_dir GROUP BY 1
+            )
+            SELECT r.u AS node, d.degree::BIGINT AS degree,
+                   count(*)::BIGINT AS reach
+            FROM kr2 r JOIN kr_deg d USING (u)
+            GROUP BY r.u, d.degree""",
+        "hyperball": _hyperball_oracle_sql(rounds=2, p=7),
+        "readability": r"""
+            WITH rd_p AS (
+                SELECT doc_id,
+                       substr(coalesce(text, ''), 1, 80) || '. '
+                       || CASE WHEN doc_id % 3 >= 1
+                               THEN substr(coalesce(text, ''), 81, 80)
+                                    || '! '
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 2
+                               THEN substr(coalesce(text, ''), 161, 80)
+                                    || '? '
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            rd_w AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           regexp_split_to_array(t, '[.!?]+'),
+                           x -> trim(x)), x -> x <> '') AS sentences,
+                       list_filter(regexp_split_to_array(t, '\s+'),
+                                   x -> x <> '') AS words
+                FROM rd_p
+            ),
+            rd_s AS (
+                SELECT doc_id,
+                       len(sentences) AS n_sentences,
+                       len(words) AS n_words,
+                       coalesce(list_sum(list_transform(words,
+                           x -> greatest(len(list_filter(
+                               regexp_split_to_array(lower(x), '[^aeiouy]+'),
+                               g -> g <> '')), 1))), 0) AS n_syll,
+                       greatest(len(sentences), 1) AS ns1,
+                       greatest(len(words), 1) AS nw1
+                FROM rd_w
+            )
+            SELECT doc_id,
+                   n_sentences::BIGINT AS n_sentences,
+                   n_words::BIGINT AS n_words,
+                   n_syll::BIGINT AS n_syllables,
+                   round(206.835 - 1.015 * (nw1 / ns1)
+                         - 84.6 * (n_syll / nw1), 6) AS flesch_ease,
+                   round(0.39 * (nw1 / ns1) + 11.8 * (n_syll / nw1)
+                         - 15.59, 6) AS fk_grade
+            FROM rd_s""",
         "doc_keywords": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOK}) AS term FROM documents

@@ -9,14 +9,17 @@ the single number that predicts whether degree-ordered orientation
 Assortativity is Newman 2002/2003 ("Mixing patterns in networks"):
 the Pearson correlation of endpoint degrees over the DIRECTED edge
 list obtained by writing each undirected edge in both orientations.
-Pearson is scale-invariant, so sample-vs-population variance conventions
-cancel and Spark's ``corr`` matches DuckDB's ``corr`` bit-for-bit at
-double precision.
+Pearson is scale-invariant (the sample-vs-population convention
+cancels); it is computed as explicit covar/stddev·stddev behind
+try_divide so degree-regular graphs yield SQL-style NULL instead of
+an ANSI divide-by-zero.
 
-Cost shape: one canonicalize + distinct, one degree agg, one broadcast
-degree join per endpoint (degree table is |V| rows — broadcast only
-when small; at 100 TB the equi-join shuffles on node id, which is the
-right plan), then a single global agg.  No iteration, no windows.
+Cost shape: one canonicalize + distinct, one degree agg, one degree
+join per endpoint (degree table is |V| rows — broadcast when small;
+at 100 TB the equi-join shuffles on node id, which is the right
+plan), then a single global agg.  ``khop_reach`` / ``hyperball``
+extend the family to the neighborhood function (exact small-k form
+and the HLL-counter scale form).
 """
 
 from __future__ import annotations
@@ -57,18 +60,12 @@ def graph_degree_stats(edges: DataFrame) -> DataFrame:
     agg) re-planned the upstream edge construction per branch — 32
     static scans at sf0.01; this shape plans 6.
     """
-    e = edges.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).filter(F.col("a") != F.col("b")).distinct()
-    directed = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
-        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    # Pin the directed frame: deg and paired both branch off it, and
+    # Pinned directed frame: deg and paired both branch off it, and
     # without the pin Catalyst replays the whole upstream edge
     # construction per branch (measured: 24 static scans at sf0.01 on
     # the co-occurrence graph vs 4 pinned).  localCheckpoint, not
     # cache: blocks release on GC — the shards.py/packing.py pattern.
-    directed = directed.localCheckpoint(eager=False)
+    directed = _directed(edges)
     deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     du = deg.select(F.col("u"), F.col("degree").alias("deg_u"))
     dv = deg.select(F.col("u").alias("v"), F.col("degree").alias("deg_v"))
@@ -98,3 +95,112 @@ def graph_degree_stats(edges: DataFrame) -> DataFrame:
         ).alias("degree_variance"),
         F.round("assort", 6).alias("degree_assortativity"),
     )
+
+
+def _directed(edges: DataFrame) -> DataFrame:
+    """Canonical distinct undirected edges written in both orientations
+    (u, v), pinned (one construction, every consumer branches off the
+    checkpoint — the graph_degree_stats scan-replay fix)."""
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    return (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+
+
+def khop_reach(edges: DataFrame, k: int = 2) -> DataFrame:
+    """Exact per-node k-hop reachability: (node, degree, reach) where
+    ``reach`` = distinct nodes at distance 1..k (self excluded).
+
+    The exact small-k form of the neighborhood function — the quantity
+    ``hyperball`` estimates when k or the graph make exactness
+    unaffordable.  Per extra hop: one equi-join frontier extension +
+    one distinct.  The pair frame is Σ_v |B(v, k)| rows — the same
+    wedge-volume cost class as the triangle census at k=2 — so at
+    100 TB this runs on a degree-capped or sampled graph (the census
+    pattern) and ``hyperball`` carries the general case with m
+    registers per node instead of |B| rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    directed = _directed(edges)
+    reach = directed
+    for _ in range(k - 1):
+        ext = (
+            reach.withColumnRenamed("v", "w")
+            .join(directed.withColumnRenamed("u", "w"), on="w")
+            .select("u", "v")
+            .filter(F.col("u") != F.col("v"))
+        )
+        reach = reach.unionAll(ext).distinct()
+    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        reach.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("reach"))
+        .join(deg, on="u")
+        .select(F.col("u").alias("node"), "degree", "reach")
+    )
+
+
+def hyperball(
+    edges: DataFrame, rounds: int = 2, p: int = 6, seed: str = "hb"
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): per-node ball-size estimates via
+    HLL counters — (node, m, n_zero, estimate) where ``estimate``
+    approximates |B(v, rounds)| = |{v} ∪ nodes within <= rounds hops|.
+
+    The scale path for the neighborhood function / effective-diameter
+    curve: exact k-hop frontiers (``khop_reach``) hold Σ|B(v,k)| pair
+    rows — super-quadratic on dense graphs — while the counter state
+    here is <= m = 2^p rows per node at ANY k.  Per round: one
+    register-frame equi-join along edges + one (node, j) max agg
+    (HLL merge = elementwise max: idempotent, order-free), rounds
+    pinned by the CheckpointRotor (the k-core/LPA storage contract).
+
+    Deterministic: counters hash node ids with the portable 60-bit
+    md5 hash (operators/hll.py register split), so the whole
+    trajectory — init, merges, estimator — is a pure function of
+    (graph, rounds, p, seed) and replays bit-for-bit in SQL.
+    """
+    from tube_spark.operators.hll import hll_estimate_by
+    from tube_spark.plans.lifecycle import CheckpointRotor
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    from tube_spark.functions.text import portable_hash60
+
+    m = 1 << p
+    w_bits = 60 - p
+    directed = _directed(edges)
+    nodes = directed.select(F.col("u").alias("node")).distinct()
+    h = portable_hash60(
+        F.concat_ws("|", F.lit(seed), F.col("node").cast("string"))
+    )
+    w = F.expr(f"__hb_h div {m}")
+    rank = F.when(
+        w > 0, F.lit(w_bits) - F.length(F.bin(w)) + 1
+    ).otherwise(F.lit(w_bits) + 1)
+    regs = nodes.select(F.col("node"), h.alias("__hb_h")).select(
+        "node",
+        F.pmod("__hb_h", F.lit(m)).cast("int").alias("j"),
+        rank.cast("int").alias("m_rank"),
+    ).localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    rotor = CheckpointRotor(spark)
+    for _ in range(rounds):
+        rotor.begin()
+        nbr = directed.join(
+            regs.withColumnRenamed("node", "v"), on="v"
+        ).select(F.col("u").alias("node"), "j", "m_rank")
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "j")
+            .agg(F.max("m_rank").alias("m_rank"))
+            .localCheckpoint(eager=False)
+        )
+        regs.count()
+        rotor.commit()
+    return hll_estimate_by(regs, "node", p)

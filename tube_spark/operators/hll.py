@@ -158,7 +158,17 @@ def hll_grouped(
         .groupBy("g", "j")
         .agg(F.max("rank").alias("m_rank"))
     )
-    per_g = regs.groupBy("g").agg(
+    return hll_estimate_by(regs, "g", p).withColumnRenamed("g", group_col)
+
+
+def hll_estimate_by(registers: DataFrame, group_col: str, p: int = 8) -> DataFrame:
+    """Per-group estimates ``(group, m, n_zero, estimate)`` from a
+    register frame ``(group, j, m_rank)`` — the estimator arithmetic
+    shared by ``hll_grouped`` and any operator that maintains register
+    frames itself (e.g. graphstats.hyperball's per-node ball
+    counters)."""
+    m = 1 << p
+    per_g = registers.groupBy(group_col).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m_rank"))).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
@@ -170,7 +180,7 @@ def hll_grouped(
         F.lit(float(m)) * F.log(F.lit(m).cast("double") / n_zero),
     ).otherwise(raw)
     return per_g.select(
-        F.col("g").alias(group_col),
+        F.col(group_col),
         F.lit(m).alias("m"),
         n_zero.cast("long").alias("n_zero"),
         F.round(est, 4).alias("estimate"),

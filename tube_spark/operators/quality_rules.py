@@ -211,3 +211,57 @@ def c4_line_filter(
         F.array_join(kept, "\n").alias("text_clean"),
         page_pass.alias("page_pass"),
     )
+
+
+def readability(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade level (Flesch 1948;
+    Kincaid et al. 1975) — the classic curation-side complexity scores
+    next to the Gopher/C4 gates.
+
+    Deterministic approximations chosen for engine portability:
+    sentences = maximal runs split on ``[.!?]+`` with non-empty trimmed
+    remainder (min 1); words = whitespace tokens (min 1); syllables
+    per word = count of ``[aeiouy]+`` vowel groups in the lowercased
+    word, min 1 (the standard heuristic — within one syllable for most
+    English words, and exactly replayable in SQL, unlike dictionary
+    lookups).
+
+    Output: (id, n_sentences, n_words, n_syllables, flesch_ease,
+    fk_grade), ratios rounded to 6.  Map-only expression pipeline —
+    split + per-element lambdas + arithmetic, no shuffle, no UDF.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    sentences = F.filter(
+        F.transform(F.split(t, "[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    words = _words(t)
+    syl = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, x: acc
+        + F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.lower(x), "[^aeiouy]+"), lambda g: g != F.lit("")
+                )
+            ),
+            F.lit(1),
+        ),
+    )
+    n_sent = F.greatest(F.size(sentences), F.lit(1))
+    n_words = F.greatest(F.size(words), F.lit(1))
+    wps = n_words / n_sent
+    spw = syl / n_words
+    ease = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    grade = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return df.select(
+        F.col(id_col),
+        F.size(sentences).cast("long").alias("n_sentences"),
+        F.size(words).cast("long").alias("n_words"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(ease, 6).alias("flesch_ease"),
+        F.round(grade, 6).alias("fk_grade"),
+    )
