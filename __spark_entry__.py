@@ -3330,6 +3330,29 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(docs.select("doc_id", page.alias("text")))
 
 
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-function curve + 90% effective diameter
+    (operators/graphstats.py neighborhood_function — the readout
+    HyperBall exists for, Boldi & Vigna 2013 §4): per round t,
+    Σ_v |B(v, t)| estimated from the per-node HLL ball counters, the
+    ratio to the final mass, and the first round reaching 90%.
+    3 rounds at p=7 over the census part co-occurrence graph; the
+    oracle replays every counter round, every per-node estimate, the
+    per-round sums, and the 90% readout."""
+    from tube_spark.operators.graphstats import neighborhood_function
+    from tube_spark.operators.triangles import cooccurrence_edges
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
+    return neighborhood_function(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        max_rounds=3,
+        p=7,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3464,6 +3487,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "khop_reach": q_khop_reach,
         "hyperball": q_hyperball,
         "readability": q_readability,
+        "effective_diameter": q_effective_diameter,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3541,9 +3565,12 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r12 window queue — promote the 3 r10-backlog entries plus the
-    # round-11 additions below them (demote matching green r11 rows,
-    # e.g. the head of the k_core..k_truss block)
+    # r12 window queue — 17 entries after the round-11 additions:
+    # promote the first 10 (triangle_stats .. c4_filter, clearing the
+    # r10 backlog), demote 10 matching green r11 rows (suggest the
+    # exact_spans..dsir_weights block, which will have r11 driver
+    # rows); r13 promotes the remaining 7 (sorted_neighborhood ..
+    # effective_diameter).  Backlog after r13 = 0.
     "triangle_stats",
     "triangle_sample",
     "lpa_communities",
@@ -3561,6 +3588,7 @@ _EXTRA_QUERY_NAMES = (
     "khop_reach",
     "hyperball",
     "readability",
+    "effective_diameter",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -3715,10 +3743,12 @@ _QUERY_ORDER = (
     # mixture_plan block (green r10 rows) demotes to
     # _EXTRA_QUERY_NAMES, staying differentially verified by pytest
     # (tests/test_extra_queries.py).
-    # r12 schedule: promote the remaining 3 queue entries
-    # (triangle_stats, triangle_sample, lpa_communities); demote any 3
-    # green r11 rows (suggest the head of the k_core..k_truss block).
-    # Backlog after r12 = 0.
+    # r12 schedule: promote the first 10 of the extras queue
+    # (triangle_stats .. c4_filter — the 3 r10-backlog entries plus 7
+    # round-11 additions); demote 10 green r11 rows (suggest this
+    # exact_spans..dsir_weights block).  r13 promotes the remaining 7
+    # (sorted_neighborhood .. effective_diameter); backlog after
+    # r13 = 0.
     "exact_spans",
     "hll_cardinality",
     "link_prediction",
@@ -4383,17 +4413,14 @@ def _hll_oracle_sql(p: int = 10, seed: str = "hll") -> str:
             FROM hll_fin f JOIN hll_ex e USING (lang)"""
 
 
-def _hyperball_oracle_sql(rounds: int = 2, p: int = 5, seed: str = "hb") -> str:
-    """Replays operators/graphstats.py hyperball bit-for-bit over the
-    census part co-occurrence graph: singleton register init from the
-    portable 60-bit md5 hash of the node id, ``rounds`` unrolled
-    merge rounds (union own registers with every in-neighbor's, max
-    per (node, j)), and the hll.py estimator arithmetic per node."""
-    from tube_spark.operators.hll import _alpha
-
+def _hb_round_ctes(rounds: int, p: int, seed: str) -> list[str]:
+    """CTE chain replaying operators/graphstats.py HyperBall counters
+    over the census part co-occurrence graph: singleton register init
+    from the portable 60-bit md5 hash of the node id, then ``rounds``
+    unrolled merge rounds (union own registers with every
+    in-neighbor's, max per (node, j)) — hb_r0 .. hb_r{rounds}."""
     m = 1 << p
     w_bits = 60 - p
-    alpha = repr(_alpha(m))
     ctes = [
         _part_graph_cte(),
         """
@@ -4426,28 +4453,76 @@ def _hyperball_oracle_sql(rounds: int = 2, p: int = 5, seed: str = "hb") -> str:
                     FROM hb_dir d JOIN hb_r{t - 1} r ON r.node = d.v
                 ) GROUP BY 1, 2
             )""")
-    ctes.append(f"""
-            hb_agg AS (
-                SELECT node,
-                       sum(power(2.0, -m_rank)) AS s_present,
-                       count(*) AS n_present
-                FROM hb_r{rounds} GROUP BY 1
-            ),
-            hb_est AS (
-                SELECT node,
-                       ({m} - n_present) AS n_zero,
-                       {alpha}::DOUBLE * {m} * {m}
-                           / (s_present + ({m} - n_present)) AS raw
-                FROM hb_agg
-            )""")
+    return ctes
+
+
+def _hb_estimate_sql(reg_cte: str, p: int) -> str:
+    """Per-node estimator arithmetic (hll.py hll_estimate_by) over a
+    register CTE — SELECT node, raw, n_zero -> rounded estimate."""
+    from tube_spark.operators.hll import _alpha
+
+    m = 1 << p
+    alpha = repr(_alpha(m))
+    return f"""
+                SELECT node, ({m} - n_present) AS n_zero,
+                       round(CASE WHEN {alpha}::DOUBLE * {m} * {m}
+                                       / (s_present + ({m} - n_present))
+                                  <= 2.5 * {m} AND ({m} - n_present) > 0
+                             THEN {m}.0 * ln({m}.0 / ({m} - n_present))
+                             ELSE {alpha}::DOUBLE * {m} * {m}
+                                  / (s_present + ({m} - n_present))
+                             END, 4) AS estimate
+                FROM (
+                    SELECT node,
+                           sum(power(2.0, -m_rank)) AS s_present,
+                           count(*) AS n_present
+                    FROM {reg_cte} GROUP BY 1
+                )"""
+
+
+def _hyperball_oracle_sql(rounds: int = 2, p: int = 5, seed: str = "hb") -> str:
+    """Per-node HyperBall ball estimates — q_hyperball's twin."""
+    m = 1 << p
+    ctes = _hb_round_ctes(rounds, p, seed)
     return (
         ",".join(ctes)
         + f"""
-            SELECT node, {m} AS m, n_zero::BIGINT AS n_zero,
-                   round(CASE WHEN raw <= 2.5 * {m} AND n_zero > 0
-                         THEN {m}.0 * ln({m}.0 / n_zero)
-                         ELSE raw END, 4) AS estimate
-            FROM hb_est"""
+            SELECT node, {m} AS m, n_zero::BIGINT AS n_zero, estimate
+            FROM ({_hb_estimate_sql(f'hb_r{rounds}', p)})"""
+    )
+
+
+def _nf_oracle_sql(max_rounds: int = 3, p: int = 7, seed: str = "hb") -> str:
+    """Neighborhood-function curve — q_effective_diameter's twin: the
+    same unrolled counter rounds, a per-round estimate sum, and the
+    90%-of-final effective-diameter readout."""
+    ctes = _hb_round_ctes(max_rounds, p, seed)
+    for t in range(max_rounds + 1):
+        ctes.append(f"""
+            hb_nf{t} AS (
+                SELECT {t} AS round, round(sum(estimate), 4) AS nf_est
+                FROM ({_hb_estimate_sql(f'hb_r{t}', p)})
+            )""")
+    union = "\n                UNION ALL ".join(
+        f"SELECT * FROM hb_nf{t}" for t in range(max_rounds + 1)
+    )
+    ctes.append(f"""
+            hb_nf AS (
+                {union}
+            ),
+            hb_tot AS (SELECT max(nf_est) AS total FROM hb_nf),
+            hb_first AS (
+                SELECT min(round) AS first90
+                FROM hb_nf, hb_tot WHERE nf_est / total >= 0.9
+            )""")
+    return (
+        ",".join(ctes)
+        + """
+            SELECT round, nf_est,
+                   round(nf_est / total, 6) AS nf_ratio,
+                   (round = first90) AS is_effective
+            FROM hb_nf, hb_tot, hb_first
+            ORDER BY round"""
     )
 
 
@@ -5208,19 +5283,19 @@ def _all_oracle_sql() -> dict[str, str]:
                 JOIN gd_deg du ON du.n = gd_dir.u
                 JOIN gd_deg dv ON dv.n = gd_dir.v
             )
-            SELECT count(DISTINCT u)::BIGINT AS n_nodes,
-                   (count(*) / 2)::BIGINT AS n_edges,
-                   round(count(*) / count(DISTINCT u), 6) AS avg_degree,
-                   max(deg_u)::BIGINT AS max_degree,
-                   round(sum(deg_u) / count(DISTINCT u)
-                         - (count(*) / count(DISTINCT u))
-                           * (count(*) / count(DISTINCT u)), 6)
+            SELECT (SELECT count(*) FROM gd_deg)::BIGINT AS n_nodes,
+                   (SELECT (sum(degree) / 2)::BIGINT FROM gd_deg) AS n_edges,
+                   (SELECT round(sum(degree) / count(*), 6) FROM gd_deg)
+                       AS avg_degree,
+                   (SELECT max(degree) FROM gd_deg)::BIGINT AS max_degree,
+                   (SELECT round(sum(degree * degree) / count(*)
+                           - (sum(degree) / count(*))
+                             * (sum(degree) / count(*)), 6) FROM gd_deg)
                        AS degree_variance,
-                   round(covar_pop(deg_u, deg_v)
-                         / nullif(stddev_pop(deg_u)
-                                  * stddev_pop(deg_v), 0), 6)
-                       AS degree_assortativity
-            FROM gd_pair""",
+                   (SELECT round(covar_pop(deg_u, deg_v)
+                           / nullif(stddev_pop(deg_u)
+                                    * stddev_pop(deg_v), 0), 6)
+                    FROM gd_pair) AS degree_assortativity""",
         "zipf_fit": f"""
             WITH zc AS (
                 SELECT tok AS term, count(*) AS tf FROM (
@@ -5269,6 +5344,7 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM kr2 r JOIN kr_deg d USING (u)
             GROUP BY r.u, d.degree""",
         "hyperball": _hyperball_oracle_sql(rounds=2, p=7),
+        "effective_diameter": _nf_oracle_sql(max_rounds=3, p=7),
         "readability": r"""
             WITH rd_p AS (
                 SELECT doc_id,

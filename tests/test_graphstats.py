@@ -137,3 +137,33 @@ class TestReadability:
         out = {r["doc_id"]: r for r in readability(df).collect()}
         assert out[1]["flesch_ease"] > out[2]["flesch_ease"]
         assert out[1]["fk_grade"] < out[2]["fk_grade"]
+
+
+class TestNeighborhoodFunction:
+    def test_curve_shape_and_effective_round(self, spark):
+        from tube_spark.operators.graphstats import neighborhood_function
+
+        # 40-ring: balls grow by 2 per round, far from saturation
+        e = _edges(spark, [(i, (i + 1) % 40) for i in range(40)])
+        rows = neighborhood_function(e, max_rounds=3, p=8).collect()
+        assert [r["round"] for r in rows] == [0, 1, 2, 3]
+        ests = [r["nf_est"] for r in rows]
+        assert all(b >= a for a, b in zip(ests, ests[1:]))  # monotone
+        assert rows[-1]["nf_ratio"] == 1.0
+        # exactly one effective round, and it's the first >= 0.9
+        eff = [r["round"] for r in rows if r["is_effective"]]
+        first = min(r["round"] for r in rows if r["nf_ratio"] >= 0.9)
+        assert eff == [first]
+
+    def test_saturating_clique(self, spark):
+        from tube_spark.operators.graphstats import neighborhood_function
+
+        e = _edges(
+            spark, [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        )
+        rows = {r["round"]: r for r in neighborhood_function(
+            e, max_rounds=2, p=8
+        ).collect()}
+        # round 1 already holds the whole clique; round 2 is a no-op
+        assert rows[1]["nf_est"] == rows[2]["nf_est"]
+        assert rows[1]["is_effective"]

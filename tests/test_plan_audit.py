@@ -101,6 +101,8 @@ BNLJ_OK = {
     "neardup_transitivity",  # the same census cross-join shape over the LSH pair graph
     "random_walks",  # walks-per-node fanout: cross join with a bounded range() local relation
     "collocations",  # one-row corpus-total-tokens broadcast for the lift division
+    "zipf_fit",  # two one-row aggregates (vocab count x OLS fit) cross-joined
+    "graph_degree_stats",  # one-row degree-moments x one-row Pearson cross-join
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key

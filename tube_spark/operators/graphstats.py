@@ -50,42 +50,45 @@ def graph_degree_stats(edges: DataFrame) -> DataFrame:
     (explicit Pearson behind try_divide: ANSI-mode corr() would raise
     DIVIDE_BY_ZERO instead).
 
-    ONE aggregation over the degree-annotated directed-edge frame —
-    node-grain stats are recovered from edge grain without a second
-    branch (every node u appears deg(u) times as a source, so
-    count = Σ_nodes d, sum(deg_u) = Σ_nodes d², countDistinct(u) = |V|,
-    and the variance falls out of the moments as exact-integer-sum
-    arithmetic — MORE portable than var_pop's streaming accumulation).
-    The naive three-branch form (deg agg + edge count + assortativity
-    agg) re-planned the upstream edge construction per branch — 32
-    static scans at sf0.01; this shape plans 6.
+    Two aggregation branches over PINNED frames (directed edges and
+    the degree table — localCheckpoint, not cache: blocks release on
+    GC, the shards.py/packing.py pattern; without the pins Catalyst
+    replays the whole edge construction per branch — 32 static scans
+    at sf0.01):
+
+    * node-grain moments straight off the degree table as exact
+      integer sums (n_nodes = count, 2·n_edges = Σd, variance =
+      Σd²/n − (Σd/n)² — more portable than var_pop's streaming
+      accumulation, and no COUNT DISTINCT expand over the edge frame:
+      the first single-agg form paid a 2× expand on 2|E| rows and
+      measured SLOWER at sf1 than the exact 2-hop frontier);
+    * the Pearson alone on edge grain (degree-annotated directed
+      edges).
     """
-    # Pinned directed frame: deg and paired both branch off it, and
-    # without the pin Catalyst replays the whole upstream edge
-    # construction per branch (measured: 24 static scans at sf0.01 on
-    # the co-occurrence graph vs 4 pinned).  localCheckpoint, not
-    # cache: blocks release on GC — the shards.py/packing.py pattern.
     directed = _directed(edges)
-    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    deg = (
+        directed.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        F.sum("degree").alias("sum_d"),
+        F.max("degree").alias("max_degree"),
+        F.sum(F.col("degree") * F.col("degree")).alias("sum_d2"),
+    )
     du = deg.select(F.col("u"), F.col("degree").alias("deg_u"))
     dv = deg.select(F.col("u").alias("v"), F.col("degree").alias("deg_v"))
     paired = directed.join(du, on="u").join(dv, on="v")
-    n_dir = F.count(F.lit(1))
-    n_nodes = F.count_distinct(F.col("u"))
-    sum_d2 = F.sum("deg_u")
-    agg = paired.agg(
-        n_nodes.alias("n_nodes"),
-        (n_dir / 2).cast("long").alias("n_edges"),
-        n_dir.alias("n_dir"),
-        F.max("deg_u").alias("max_degree"),
-        sum_d2.alias("sum_d2"),
+    assort = paired.agg(
         F.try_divide(
             F.covar_pop("deg_u", "deg_v"),
             F.stddev_pop("deg_u") * F.stddev_pop("deg_v"),
-        ).alias("assort"),
+        ).alias("assort")
     )
-    avg_deg = F.col("n_dir") / F.col("n_nodes")
-    return agg.select(
+    avg_deg = F.col("sum_d") / F.col("n_nodes")
+    return summary.crossJoin(assort).select(
         "n_nodes",
         "n_edges",
         F.round(avg_deg, 6).alias("avg_degree"),
@@ -204,3 +207,87 @@ def hyperball(
         regs.count()
         rotor.commit()
     return hll_estimate_by(regs, "node", p)
+
+
+def neighborhood_function(
+    edges: DataFrame, max_rounds: int = 4, p: int = 7, seed: str = "hb"
+) -> DataFrame:
+    """The neighborhood function N(t) and effective-diameter curve
+    (Boldi & Vigna 2013 §4 — what HyperBall exists to compute):
+    one row per round t = 0..max_rounds with
+
+      nf_est        Σ_v |B(v, t)| estimate (sum of per-node ball sizes)
+      nf_ratio      nf_est(t) / nf_est(max_rounds)
+      is_effective  first t with nf_ratio >= 0.9 — the standard 90%
+                    effective-diameter readout
+
+    Same per-round counter state as ``hyperball`` (m registers per
+    node); each round additionally pays one per-node estimator agg
+    (|V| rows) — negligible next to the merge join.  Deterministic and
+    fully SQL-replayable round by round.
+
+    Storage note: unlike ``hyperball`` (CheckpointRotor frees each
+    superseded round), EVERY round's register checkpoint stays live
+    here — the curve reads all of them — so peak state is
+    (max_rounds+1)·|V|·m rows.  That is the point of the curve; when
+    only the final ball matters, use ``hyperball``.
+    """
+    from tube_spark.operators.hll import hll_estimate_by
+    from tube_spark.functions.text import portable_hash60
+
+    if max_rounds < 0:
+        raise ValueError(f"max_rounds must be >= 0, got {max_rounds}")
+    m = 1 << p
+    w_bits = 60 - p
+    directed = _directed(edges)
+    nodes = directed.select(F.col("u").alias("node")).distinct()
+    h = portable_hash60(
+        F.concat_ws("|", F.lit(seed), F.col("node").cast("string"))
+    )
+    w = F.expr(f"__hb_h div {m}")
+    rank = F.when(
+        w > 0, F.lit(w_bits) - F.length(F.bin(w)) + 1
+    ).otherwise(F.lit(w_bits) + 1)
+    regs = nodes.select(F.col("node"), h.alias("__hb_h")).select(
+        "node",
+        F.pmod("__hb_h", F.lit(m)).cast("int").alias("j"),
+        rank.cast("int").alias("m_rank"),
+    ).localCheckpoint(eager=False)
+
+    def _nf(frame: DataFrame, t: int) -> DataFrame:
+        return hll_estimate_by(frame, "node", p).agg(
+            F.lit(t).alias("round"),
+            F.round(F.sum("estimate"), 4).alias("nf_est"),
+        )
+
+    curves = [_nf(regs, 0)]
+    for t in range(1, max_rounds + 1):
+        nbr = directed.join(
+            regs.withColumnRenamed("node", "v"), on="v"
+        ).select(F.col("u").alias("node"), "j", "m_rank")
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "j")
+            .agg(F.max("m_rank").alias("m_rank"))
+            .localCheckpoint(eager=False)
+        )
+        curves.append(_nf(regs, t))
+    curve = curves[0]
+    for c in curves[1:]:
+        curve = curve.unionByName(c)
+    from pyspark.sql import Window
+
+    total = F.max("nf_est").over(Window.partitionBy())  # max_rounds row
+    w_ord = Window.partitionBy().orderBy("round")
+    out = curve.select(
+        "round",
+        "nf_est",
+        F.round(F.col("nf_est") / total, 6).alias("nf_ratio"),
+    )
+    # first round reaching 90% of the final mass; the curve frame is
+    # max_rounds+1 rows, so the unpartitioned windows are bounded
+    reached = F.col("nf_ratio") >= 0.9
+    first90 = F.min(F.when(reached, F.col("round"))).over(Window.partitionBy())
+    return out.withColumn(
+        "is_effective", (F.col("round") == first90).alias("is_effective")
+    ).orderBy("round")
