@@ -3353,6 +3353,62 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release report (operators/privacy.py
+    anonymity_report — Sweeney 2002, Machanavajjhala 2007) over
+    customers: quasi-identifiers (nation, market segment, 1000-unit
+    balance band), sensitive attribute = exact balance, k=5, l=3.
+    One map-side-combinable groupBy; the oracle replays the banding,
+    the class counts, and both gates."""
+    from tube_spark.operators.privacy import anonymity_report
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_acctbal",
+    )
+    return anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment", "bal_band"],
+        sensitive_col="c_acctbal",
+        k=5,
+        l=3,
+    )
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition
+    (operators/seasonal.py): per event_type daily value series split
+    into centered-7-day-MA trend, zero-centered day-of-week seasonal,
+    and residual.  The phase is datediff-mod-7 integer arithmetic
+    (the SQL dow functions disagree on week start); edge days keep
+    NULL components instead of folding seasonality into a partial
+    trend.  The oracle replays the daily rollup, the bounded window,
+    the per-phase means, the re-centering, and the subtraction."""
+    from tube_spark.operators.seasonal import seasonal_decompose
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seasonal_decompose(events, "event_type", "ts", "value", period=7)
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped first/last-touch attribution
+    (operators/attribution.py): purchases credit the click/view
+    touches of the SAME 30-minute-gap session (the engine's
+    sessionization definition, shared so the frames can never
+    disagree); deterministic (ts, event_id) tie-breaks; dark
+    conversions (touchless sessions) keep their rows.  The oracle
+    replays the session window, both touch rankings, and the
+    revenue rollup."""
+    from tube_spark.operators.attribution import session_attribution
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return session_attribution(events)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3488,6 +3544,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "hyperball": q_hyperball,
         "readability": q_readability,
         "effective_diameter": q_effective_diameter,
+        "k_anonymity": q_k_anonymity,
+        "seasonal_decompose": q_seasonal_decompose,
+        "attribution": q_attribution,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3565,12 +3624,12 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r12 window queue — 17 entries after the round-11 additions:
+    # r12 window queue — 20 entries after the round-11 additions:
     # promote the first 10 (triangle_stats .. c4_filter, clearing the
     # r10 backlog), demote 10 matching green r11 rows (suggest the
     # exact_spans..dsir_weights block, which will have r11 driver
-    # rows); r13 promotes the remaining 7 (sorted_neighborhood ..
-    # effective_diameter).  Backlog after r13 = 0.
+    # rows); r13 promotes the remaining 10 (sorted_neighborhood ..
+    # attribution).  Backlog after r13 = 0.
     "triangle_stats",
     "triangle_sample",
     "lpa_communities",
@@ -3589,6 +3648,9 @@ _EXTRA_QUERY_NAMES = (
     "hyperball",
     "readability",
     "effective_diameter",
+    "k_anonymity",
+    "seasonal_decompose",
+    "attribution",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -3746,9 +3808,8 @@ _QUERY_ORDER = (
     # r12 schedule: promote the first 10 of the extras queue
     # (triangle_stats .. c4_filter — the 3 r10-backlog entries plus 7
     # round-11 additions); demote 10 green r11 rows (suggest this
-    # exact_spans..dsir_weights block).  r13 promotes the remaining 7
-    # (sorted_neighborhood .. effective_diameter); backlog after
-    # r13 = 0.
+    # exact_spans..dsir_weights block).  r13 promotes the remaining 10
+    # (sorted_neighborhood .. attribution); backlog after r13 = 0.
     "exact_spans",
     "hll_cardinality",
     "link_prediction",
@@ -5345,6 +5406,89 @@ def _all_oracle_sql() -> dict[str, str]:
             GROUP BY r.u, d.degree""",
         "hyperball": _hyperball_oracle_sql(rounds=2, p=7),
         "effective_diameter": _nf_oracle_sql(max_rounds=3, p=7),
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   floor(c_acctbal / 1000)::BIGINT AS bal_band,
+                   count(*)::BIGINT AS n_records,
+                   count(DISTINCT c_acctbal)::BIGINT AS n_sensitive,
+                   count(*) >= 5 AS meets_k,
+                   count(DISTINCT c_acctbal) >= 3 AS meets_l
+            FROM customer
+            GROUP BY 1, 2, 3""",
+        "seasonal_decompose": """
+            WITH sd_d AS (
+                SELECT event_type AS key, ts::DATE AS day,
+                       round(sum(value), 6) AS observed
+                FROM events GROUP BY 1, 2
+            ),
+            sd_t AS (
+                SELECT key, day, observed,
+                       ((day - DATE '1970-01-01') % 7)::INTEGER AS phase,
+                       CASE WHEN count(*) OVER w = 7
+                            THEN avg(observed) OVER w END AS tr
+                FROM sd_d
+                WINDOW w AS (PARTITION BY key ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ),
+            sd_s AS (
+                SELECT key, phase, avg(observed - tr) AS s_raw
+                FROM sd_t WHERE tr IS NOT NULL GROUP BY 1, 2
+            ),
+            sd_c AS (
+                SELECT key, phase,
+                       s_raw - avg(s_raw) OVER (PARTITION BY key) AS seas
+                FROM sd_s
+            )
+            SELECT t.key, t.day, t.phase, t.observed,
+                   round(t.tr, 6) AS trend,
+                   CASE WHEN t.tr IS NOT NULL
+                        THEN round(c.seas, 6) END AS seasonal,
+                   CASE WHEN t.tr IS NOT NULL
+                        THEN round(t.observed - t.tr - c.seas, 6)
+                   END AS residual
+            FROM sd_t t LEFT JOIN sd_c c USING (key, phase)""",
+        "attribution": """
+            WITH at_e AS (
+                SELECT event_id, user_id, ts, event_type, value,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            at_s AS (
+                SELECT *,
+                       sum(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM at_e
+            ),
+            at_c AS (
+                SELECT user_id, session_id,
+                       count(*)::BIGINT AS n_conversions,
+                       round(sum(value), 6) AS revenue
+                FROM at_s WHERE event_type = 'purchase' GROUP BY 1, 2
+            ),
+            at_t AS (
+                SELECT user_id, session_id, event_type,
+                       row_number() OVER (PARTITION BY user_id, session_id
+                           ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id, session_id
+                           ORDER BY ts DESC, event_id DESC) AS rl,
+                       count(*) OVER (PARTITION BY user_id, session_id)
+                           AS n_touches
+                FROM at_s WHERE event_type IN ('click', 'view')
+            )
+            SELECT c.user_id, c.session_id::BIGINT AS session_id,
+                   c.n_conversions, c.revenue,
+                   coalesce(f.n_touches, 0)::BIGINT AS n_touches,
+                   f.event_type AS first_touch_type,
+                   l.event_type AS last_touch_type
+            FROM at_c c
+            LEFT JOIN (SELECT user_id, session_id, event_type, n_touches
+                       FROM at_t WHERE rf = 1) f USING (user_id, session_id)
+            LEFT JOIN (SELECT user_id, session_id, event_type
+                       FROM at_t WHERE rl = 1) l USING (user_id, session_id)""",
         "readability": r"""
             WITH rd_p AS (
                 SELECT doc_id,
