@@ -3409,6 +3409,78 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_attribution(events)
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (operators/behavior.py event_transitions): consecutive
+    event-type pairs under deterministic (ts, event_id) ordering,
+    counts + row-normalized probabilities.  One lag window (shuffle
+    on user) + one count agg; the normalizing window partitions by
+    the event-type enum, so it is bounded.  The oracle replays the
+    lag pairs and the normalization."""
+    from tube_spark.operators.behavior import event_transitions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return event_transitions(events)
+
+
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation (operators/behavior.py rfm_scores —
+    Hughes 1994) over purchase events: per user, last conversion
+    time / count / total value, each ntile(4)-scored with
+    deterministic (metric, user) ordering, plus the concatenated
+    segment code.  Report grain: the rollup reduces to |users| rows
+    before any corpus-wide window.  The oracle replays the rollup,
+    all three ntiles, and the segment."""
+    from tube_spark.operators.behavior import rfm_scores
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return rfm_scores(events)
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B statistic (operators/behavior.py ab_test) on
+    purchase value with a deterministic synthetic assignment
+    (user_id parity -> control/treatment): per-arm n / mean /
+    population variance and the Welch-denominator z statistic —
+    plain arithmetic end to end (the p-value mapping is a caller-side
+    table lookup; engines disagree on erf).  One conditional-sum
+    aggregation; the oracle replays every sum and the z formula."""
+    from tube_spark.operators.behavior import ab_test
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    arms = events.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+        "value",
+    )
+    return ab_test(arms, "arm", "value", "control", "treatment")
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the documents table's labeled
+    lang vs text_stats' stopword-vote lang_pred
+    (operators/text_analysis.py lang_id_col), with per-cell counts —
+    the standard evaluation view of the heuristic classifier, and a
+    drift alarm when the corpus mix shifts.  One map-only score pass
+    + one groupBy; the oracle replays the stopword votes, the
+    deterministic tie-break, and the cell counts."""
+    from tube_spark.operators.text_analysis import text_stats
+
+    docs = _docs(spark, sf_dir)
+    stats = text_stats(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(stats, on="doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3547,6 +3619,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "k_anonymity": q_k_anonymity,
         "seasonal_decompose": q_seasonal_decompose,
         "attribution": q_attribution,
+        "event_transitions": q_event_transitions,
+        "rfm_scores": q_rfm_scores,
+        "ab_test": q_ab_test,
+        "lang_confusion": q_lang_confusion,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3624,12 +3700,13 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r12 window queue — 20 entries after the round-11 additions:
+    # r12 window queue — 24 entries after the round-11 additions:
     # promote the first 10 (triangle_stats .. c4_filter, clearing the
     # r10 backlog), demote 10 matching green r11 rows (suggest the
     # exact_spans..dsir_weights block, which will have r11 driver
-    # rows); r13 promotes the remaining 10 (sorted_neighborhood ..
-    # attribution).  Backlog after r13 = 0.
+    # rows); r13 promotes 10 more (sorted_neighborhood .. attribution),
+    # r14 the remaining 4 (event_transitions .. lang_confusion).
+    # Backlog after r14 = 0.
     "triangle_stats",
     "triangle_sample",
     "lpa_communities",
@@ -3651,6 +3728,10 @@ _EXTRA_QUERY_NAMES = (
     "k_anonymity",
     "seasonal_decompose",
     "attribution",
+    "event_transitions",
+    "rfm_scores",
+    "ab_test",
+    "lang_confusion",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -3808,8 +3889,9 @@ _QUERY_ORDER = (
     # r12 schedule: promote the first 10 of the extras queue
     # (triangle_stats .. c4_filter — the 3 r10-backlog entries plus 7
     # round-11 additions); demote 10 green r11 rows (suggest this
-    # exact_spans..dsir_weights block).  r13 promotes the remaining 10
-    # (sorted_neighborhood .. attribution); backlog after r13 = 0.
+    # exact_spans..dsir_weights block).  r13 promotes 10 more
+    # (sorted_neighborhood .. attribution), r14 the remaining 4
+    # (event_transitions .. lang_confusion); backlog after r14 = 0.
     "exact_spans",
     "hll_cardinality",
     "link_prediction",
@@ -5489,6 +5571,113 @@ def _all_oracle_sql() -> dict[str, str]:
                        FROM at_t WHERE rf = 1) f USING (user_id, session_id)
             LEFT JOIN (SELECT user_id, session_id, event_type
                        FROM at_t WHERE rl = 1) l USING (user_id, session_id)""",
+        "event_transitions": """
+            WITH et_p AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS from_type,
+                       event_type AS to_type
+                FROM events
+            ),
+            et_c AS (
+                SELECT from_type, to_type, count(*)::BIGINT AS n
+                FROM et_p WHERE from_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+            FROM et_c""",
+        "rfm_scores": """
+            WITH rf_u AS (
+                SELECT user_id, max(ts) AS last_ts,
+                       count(*)::BIGINT AS frequency,
+                       round(sum(value), 6) AS monetary
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            rf_s AS (
+                SELECT user_id, last_ts, frequency, monetary,
+                       ntile(4) OVER (ORDER BY last_ts, user_id) AS r_score,
+                       ntile(4) OVER (ORDER BY frequency, user_id) AS f_score,
+                       ntile(4) OVER (ORDER BY monetary, user_id) AS m_score
+                FROM rf_u
+            )
+            SELECT user_id, last_ts, frequency, monetary,
+                   r_score, f_score, m_score,
+                   r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+                       AS segment
+            FROM rf_s""",
+        "ab_test": """
+            WITH ab AS (
+                SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                            ELSE 'treatment' END AS arm,
+                       value AS x
+                FROM events WHERE event_type = 'purchase'
+            ),
+            ab_g AS (
+                SELECT sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                           ::BIGINT AS n_a,
+                       sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                           ::BIGINT AS n_b,
+                       sum(CASE WHEN arm = 'control' THEN x ELSE 0.0 END)
+                           AS s_a,
+                       sum(CASE WHEN arm = 'treatment' THEN x ELSE 0.0 END)
+                           AS s_b,
+                       sum(CASE WHEN arm = 'control' THEN x * x
+                                ELSE 0.0 END) AS q_a,
+                       sum(CASE WHEN arm = 'treatment' THEN x * x
+                                ELSE 0.0 END) AS q_b
+                FROM ab
+            ),
+            ab_m AS (
+                SELECT n_a, n_b,
+                       s_a / nullif(n_a, 0) AS mean_a,
+                       s_b / nullif(n_b, 0) AS mean_b,
+                       greatest(q_a / nullif(n_a, 0)
+                                - (s_a / nullif(n_a, 0))
+                                  * (s_a / nullif(n_a, 0)), 0.0) AS var_a,
+                       greatest(q_b / nullif(n_b, 0)
+                                - (s_b / nullif(n_b, 0))
+                                  * (s_b / nullif(n_b, 0)), 0.0) AS var_b
+                FROM ab_g
+            )
+            SELECT n_a, n_b,
+                   round(mean_a, 6) AS mean_a,
+                   round(mean_b, 6) AS mean_b,
+                   round(var_a, 6) AS var_a,
+                   round(var_b, 6) AS var_b,
+                   round((mean_a - mean_b)
+                         / nullif(sqrt(var_a / n_a + var_b / n_b), 0), 6)
+                       AS z_stat
+            FROM ab_m""",
+        "lang_confusion": f"""
+            WITH lc_t AS (
+                SELECT doc_id, lang, {_TOK} AS toks FROM documents
+            ),
+            lc_s AS (
+                SELECT doc_id, lang,
+                       len(list_intersect(toks, ['the','and','of','to','in',
+                           'is','that','for','with','as'])) AS sc_en,
+                       len(list_intersect(toks, ['el','la','de','que','y','en',
+                           'los','del','las','por'])) AS sc_es,
+                       len(list_intersect(toks, ['le','la','de','et','les',
+                           'des','en','un','du','une'])) AS sc_fr,
+                       len(list_intersect(toks, ['der','die','und','das','von',
+                           'den','mit','für','auf','ist'])) AS sc_de
+                FROM lc_t
+            ),
+            lc_p AS (
+                SELECT lang,
+                       CASE WHEN greatest(sc_en, sc_es, sc_fr, sc_de) = 0
+                                THEN 'und'
+                            WHEN sc_de = greatest(sc_en, sc_es, sc_fr, sc_de)
+                                THEN 'de'
+                            WHEN sc_en = greatest(sc_en, sc_es, sc_fr, sc_de)
+                                THEN 'en'
+                            WHEN sc_es = greatest(sc_en, sc_es, sc_fr, sc_de)
+                                THEN 'es'
+                            ELSE 'fr' END AS lang_pred
+                FROM lc_s
+            )
+            SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
+            FROM lc_p GROUP BY 1, 2""",
         "readability": r"""
             WITH rd_p AS (
                 SELECT doc_id,
