@@ -118,6 +118,26 @@ BENCH_QUERIES = [
     "collocations",
     # reciprocal_nn stays OUT: labeled O(n^2) exact baseline, 18 s at
     # sf0.1 (the ann_recall_report rule — see BENCH_NOTES r11)
+    # round-11 batch 3/4 (curation rules, blocking, graph stats,
+    # governance, time series, behavior — BENCH_NOTES r11 ratios)
+    "gopher_rules",
+    "c4_filter",
+    "readability",
+    "zipf_fit",
+    "sorted_neighborhood",
+    "graph_degree_stats",
+    "khop_reach",
+    "hyperball",
+    # effective_diameter stays OUT: the 3-round curve is the labeled
+    # heavy diagnostics tier (110 s at sf1 — BENCH_NOTES r11); the
+    # 2-round hyperball row above carries the counter-merge signal
+    "k_anonymity",
+    "seasonal_decompose",
+    "attribution",
+    "event_transitions",
+    "rfm_scores",
+    "ab_test",
+    "lang_confusion",
 ]
 
 
