@@ -1,0 +1,136 @@
+"""Persistent near-dup index (operators/neardup_index.py): probe-
+against-history semantics, frozen config, and the no-store-shuffle
+plan contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tube_spark.operators.neardup_index import NearDupIndex
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the tall green tree near the old stone wall by the river "
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _cleanup(spark, name):
+    spark.sql(f"DROP TABLE IF EXISTS {name}_buckets")
+    spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+
+
+@pytest.fixture()
+def history(spark, tmp_path):
+    name = "ndix_t"
+    idx = NearDupIndex(str(tmp_path), name=name, bands=16, num_hashes=64)
+    hist = _docs(spark, [
+        (1, BASE * 3),
+        (2, "completely different content about spark shuffles and parquet "
+            "row groups and adaptive query execution plans " * 3),
+        (3, "a third unrelated document mentioning bloom filters and "
+            "hyperloglog sketches and reservoir sampling methods " * 3),
+    ])
+    idx.build(hist)
+    yield idx
+    _cleanup(spark, name)
+
+
+class TestNearDupIndex:
+    def test_probe_finds_near_dup_of_history(self, spark, history):
+        delta = _docs(spark, [
+            # near-dup of doc 1: one word changed per repetition
+            (101, (BASE.replace("lazy", "sleepy")) * 3),
+            (102, "entirely novel text about krill and baleen whales in "
+                  "the southern ocean feeding grounds " * 3),
+        ])
+        hits = history.probe(delta, threshold=0.5).collect()
+        pairs = {(r["new_id"], r["indexed_id"]) for r in hits}
+        assert (101, 1) in pairs
+        assert all(r["new_id"] != 102 for r in hits)
+        est = {r["new_id"]: r["est_jaccard"] for r in hits}
+        assert est[101] >= 0.5
+
+    def test_probe_is_readonly_and_append_commits(self, spark, history):
+        delta = _docs(spark, [(201, BASE * 3)])
+        assert history.probe(delta, threshold=0.9).count() >= 1
+        # not appended yet: a second probe of the same doc still only
+        # matches the original history rows, never 201 itself
+        again = history.probe(delta, threshold=0.9)
+        assert again.filter(F.col("indexed_id") == 201).count() == 0
+        history.append(delta)
+        after = history.probe(_docs(spark, [(202, BASE * 3)]), threshold=0.9)
+        assert after.filter(F.col("indexed_id") == 201).count() == 1
+        assert history._manifest()["generations"][-1] == {
+            "op": "append", "n_docs": 1,
+        }
+
+    def test_frozen_config_enforced(self, spark, history, tmp_path):
+        other = NearDupIndex(str(tmp_path), name="ndix_t", bands=8)
+        with pytest.raises(ValueError, match="config mismatch"):
+            other.probe(_docs(spark, [(1, "x")]))
+        with pytest.raises(ValueError, match="config mismatch"):
+            other.append(_docs(spark, [(1, "x")]))
+
+    def test_build_required_before_probe(self, spark, tmp_path):
+        idx = NearDupIndex(str(tmp_path), name="ndix_nope")
+        with pytest.raises(ValueError, match="no manifest"):
+            idx.probe(_docs(spark, [(1, "x")]))
+
+    def test_store_side_never_reshuffles(self, spark, history):
+        """Differential plan check: probing a bucketed store must plan
+        strictly fewer hash exchanges than the same probe against
+        unbucketed copies — the store-side Exchanges are the ones that
+        disappear (both scans show Bucketed: true)."""
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            delta = _docs(spark, [(301, BASE * 3)])
+            probe = history.probe(delta, threshold=0.5)
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Bucketed: true") >= 2, plan[:3000]
+
+            # same joins against unbucketed snapshots of the store
+            flat_b = spark.table("ndix_t_buckets").localCheckpoint()
+            flat_s = spark.table("ndix_t_sigs").localCheckpoint()
+            sig, bkt = history._sign(delta, "doc_id", "text")
+            from tube_spark.operators.dedup import minhash_est_jaccard
+
+            cand = (
+                bkt.withColumnRenamed("id", "new_id")
+                .join(flat_b.withColumnRenamed("id", "indexed_id"), on="bb")
+                .select("new_id", "indexed_id")
+                .distinct()
+            )
+            flat = (
+                cand.join(
+                    sig.select(
+                        F.col("id").alias("new_id"), F.col("sig").alias("sig_a")
+                    ),
+                    "new_id",
+                )
+                .join(
+                    flat_s.select(
+                        F.col("id").alias("indexed_id"),
+                        F.col("sig").alias("sig_b"),
+                    ),
+                    "indexed_id",
+                )
+                .withColumn("est_jaccard", minhash_est_jaccard(64))
+                .filter(F.col("est_jaccard") >= 0.5)
+            )
+            flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+            n_bucketed = plan.count("Exchange hashpartitioning")
+            n_flat = flat_plan.count("Exchange hashpartitioning")
+            assert n_bucketed < n_flat, (n_bucketed, n_flat)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+
+    def test_divisibility_validation(self, tmp_path):
+        with pytest.raises(ValueError):
+            NearDupIndex(str(tmp_path), num_hashes=64, bands=10)
