@@ -167,6 +167,12 @@ class NearDupIndex:
         their bucketed layout (no Exchange on the store side)."""
         self._check_config()
         spark: SparkSession = docs.sparkSession
+        # appends may have come from another session (a streaming
+        # micro-batch clone — streaming/neardup.py); refresh drops this
+        # session's cached file listing so the probe sees them.  Cost:
+        # one re-list per probe, which the probe job pays anyway.
+        spark.catalog.refreshTable(self._buckets.table)
+        spark.catalog.refreshTable(self._sigs.table)
         sig, bkt = self._sign(docs, id_col, text_col)
         sig = sig.localCheckpoint(eager=False)
         bkt = bkt.localCheckpoint(eager=False)

@@ -1,0 +1,105 @@
+"""Streaming near-dup ingestion: the probe-then-append crawl loop.
+
+Each arriving micro-batch of documents is (1) probed against the
+persistent near-dup index (operators/neardup_index.py) — hits are
+appended to a parquet hit log — then (2) appended into the index so
+LATER batches dedup against it.  Within a batch, self-duplicates are
+the batch operators' job (the batch is small; history is the 100 TB
+side), so this loop only answers delta-vs-history.
+
+Replay contract: index append is NOT idempotent (appending the same
+band rows twice doubles candidate fan-out and index size), so the
+processor carries a ``last_batch_id`` watermark in its own state file
+— the CMS/addition contract (streaming/cms.py), not the Bloom
+OR-merge one.  A redelivered batch id is skipped wholesale: no double
+append, no duplicate hit-log rows.
+
+The hit log is partitioned by batch id (one overwrite-able directory
+per batch — the streaming/jsonl.py idempotent-epoch pattern), so a
+crash between hit-log write and watermark commit re-emits only that
+batch's directory, identically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tube_spark.operators.neardup_index import NearDupIndex
+
+
+class StreamingNearDup:
+    def __init__(
+        self,
+        index: NearDupIndex,
+        hits_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.7,
+    ) -> None:
+        self.index = index
+        self.hits_dir = hits_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+
+    @property
+    def _state_path(self) -> str:
+        return os.path.join(self.hits_dir, "_neardup_stream_state.json")
+
+    def _last_batch_id(self) -> int:
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                return json.load(f)["last_batch_id"]
+        return -1
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if batch_id <= self._last_batch_id():
+            return  # redelivery: append is additive, skip wholesale
+        hits = self.index.probe(batch, self.id_col, self.text_col, self.threshold)
+        # one directory per batch: a replayed crash rewrites the same
+        # directory with identical content instead of duplicating rows;
+        # the batch_id column is carried by the directory name (writing
+        # it into the files too would collide with partition discovery)
+        hits.write.mode("overwrite").parquet(
+            os.path.join(self.hits_dir, f"batch_id={batch_id}")
+        )
+        self.index.append(batch, self.id_col, self.text_col)
+        os.makedirs(self.hits_dir, exist_ok=True)
+        with open(self._state_path, "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
+
+    def hits(self, spark: SparkSession) -> DataFrame:
+        """All hit-log rows so far (new_id, indexed_id, est_jaccard,
+        batch_id)."""
+        return spark.read.option("basePath", self.hits_dir).parquet(
+            os.path.join(self.hits_dir, "batch_id=*")
+        )
+
+
+def streaming_neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    proc: StreamingNearDup,
+    checkpoint_dir: str | None = None,
+    schema=None,
+):
+    """Structured Streaming wiring (availableNow + foreachBatch):
+    watch ``source_dir`` for new document parquet files, run the
+    probe-then-append loop per micro-batch, then stop.  The index
+    must already exist (``NearDupIndex.build`` on the seed corpus)."""
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(proc.process_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
