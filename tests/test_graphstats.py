@@ -167,3 +167,32 @@ class TestNeighborhoodFunction:
         # round 1 already holds the whole clique; round 2 is a no-op
         assert rows[1]["nf_est"] == rows[2]["nf_est"]
         assert rows[1]["is_effective"]
+
+
+class TestHyperballPacked:
+    def test_bit_identical_to_row_form(self, spark):
+        from tube_spark.operators.graphstats import hyperball, hyperball_packed
+
+        pairs = [(i, (i + 1) % 40) for i in range(40)] + [
+            (i, (i + 7) % 40) for i in range(40)
+        ]
+        e = _edges(spark, pairs)
+        row = sorted(
+            (r["node"], r["m"], r["n_zero"], r["estimate"])
+            for r in hyperball(e, rounds=2, p=6).collect()
+        )
+        packed = sorted(
+            (r["node"], r["m"], r["n_zero"], r["estimate"])
+            for r in hyperball_packed(e, rounds=2, p=6).collect()
+        )
+        assert row == packed
+
+    def test_round0_and_rounds_monotone(self, spark):
+        from tube_spark.operators.graphstats import hyperball_packed
+
+        e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+        e0 = {r["node"]: r["estimate"] for r in hyperball_packed(e, rounds=0, p=8).collect()}
+        e1 = {r["node"]: r["estimate"] for r in hyperball_packed(e, rounds=1, p=8).collect()}
+        for n in e0:
+            assert 0.9 <= e0[n] <= 1.1
+            assert e1[n] >= e0[n]

@@ -291,3 +291,106 @@ def neighborhood_function(
     return out.withColumn(
         "is_effective", (F.col("round") == first90).alias("is_effective")
     ).orderBy("round")
+
+
+def hyperball_packed(
+    edges: DataFrame, rounds: int = 2, p: int = 6, seed: str = "hb"
+) -> DataFrame:
+    """HyperBall with PACKED per-node counters: one row per node
+    holding all m = 2^p registers as ``array<int>`` — the
+    Boldi-Vigna message shape, vs ``hyperball``'s (node, j, m_rank)
+    register rows.
+
+    Identical output to ``hyperball`` (same hash, same registers,
+    same estimator — equality-asserted in tests): the merge
+    ``max(r_a[i], r_b[i])`` commutes with packing.  A merge round
+    moves |directed| messages either way; a packed message is one row
+    with a 4m-byte array, and the per-(node, j) max agg becomes a
+    per-node elementwise ``np.maximum`` over Arrow batches
+    (applyInPandas — built-ins have no grouped elementwise-array-max
+    aggregate).  Estimator runs JVM-side on the packed array: an
+    absent register is rank 0 and 2^-0 = 1, exactly the n_zero term
+    of the row form, so s = Σ 2^-r over all m needs no
+    present/absent split.
+
+    MEASURED VERDICT (BENCH_NOTES r11): below register saturation the
+    ROW form wins (sf1 rounds=2/p=7: 26.7 s vs 46.1 s packed) — row
+    messages are SPARSE (only non-zero registers ship, ≈ ball size)
+    while packing ships all m every time, and per-node Arrow groups
+    pay Python overhead the codegen max agg doesn't.  Packing is the
+    saturated-regime (balls ≳ m, large radius) alternative only;
+    ``hyperball`` is the default.
+    """
+    import pandas as pd
+
+    from tube_spark.operators.hll import _alpha
+    from tube_spark.plans.lifecycle import CheckpointRotor
+    from tube_spark.functions.text import portable_hash60
+
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    m = 1 << p
+    w_bits = 60 - p
+    directed = _directed(edges)
+    nodes = directed.select(F.col("u").alias("node")).distinct()
+    h = portable_hash60(
+        F.concat_ws("|", F.lit(seed), F.col("node").cast("string"))
+    )
+    w = F.expr(f"__hb_h div {m}")
+    rank = F.when(
+        w > 0, F.lit(w_bits) - F.length(F.bin(w)) + 1
+    ).otherwise(F.lit(w_bits) + 1)
+    regs = (
+        nodes.select(F.col("node"), h.alias("__hb_h"))
+        .select(
+            "node",
+            F.pmod("__hb_h", F.lit(m)).cast("int").alias("j"),
+            rank.cast("int").alias("m_rank"),
+        )
+        .select(
+            "node",
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                " i -> CASE WHEN i = j THEN m_rank ELSE 0 END)"
+            ).alias("regs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _elementwise_max(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        merged = np.maximum.reduce(np.stack(pdf["regs"].values))
+        return pd.DataFrame({"node": [pdf["node"].iloc[0]], "regs": [merged]})
+
+    spark = edges.sparkSession
+    rotor = CheckpointRotor(spark)
+    schema = "node long, regs array<int>"
+    for _ in range(rounds):
+        rotor.begin()
+        nbr = directed.join(
+            regs.withColumnRenamed("node", "v"), on="v"
+        ).select(F.col("u").alias("node"), "regs")
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node")
+            .applyInPandas(_elementwise_max, schema)
+            .localCheckpoint(eager=False)
+        )
+        regs.count()
+        rotor.commit()
+    s = F.aggregate(
+        "regs", F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r)
+    )
+    n_zero = F.size(F.filter("regs", lambda r: r == F.lit(0)))
+    raw = F.lit(_alpha(m) * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (n_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(m).cast("double") / n_zero),
+    ).otherwise(raw)
+    return regs.select(
+        "node",
+        F.lit(m).alias("m"),
+        n_zero.cast("long").alias("n_zero"),
+        F.round(est, 4).alias("estimate"),
+    )
