@@ -3481,6 +3481,47 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit analysis (operators/stats_tests.py
+    benford_digits — Newcomb 1881 / Benford 1938) over lineitem
+    extended prices: per-digit observed vs log10(1+1/d) expected
+    shares plus the chi² statistic — the classic fabricated-data
+    screen.  One groupBy over 9 digit classes; the oracle replays the
+    digit extraction (shared double log10 arithmetic), the shares,
+    and every chi² term with identical embedded constants."""
+    from tube_spark.operators.stats_tests import benford_digits
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return benford_digits(li, "l_extendedprice")
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of order revenue over ordering customers
+    (operators/stats_tests.py gini_coefficient — the rank formula
+    with deterministic tie-breaks).  Report grain: the per-customer
+    rollup reduces to |customers| rows before the rank window.  The
+    oracle replays the rollup, the rank, and the closed-form
+    coefficient."""
+    from tube_spark.operators.stats_tests import gini_coefficient
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return gini_coefficient(orders, "o_custkey", "o_totalprice")
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of market segment × nation over
+    customers (operators/stats_tests.py chi_square_independence):
+    margins, expected counts, the chi² sum — with structurally-empty
+    cells contributing their full expected mass (omitting them
+    understates the statistic) — and the (r−1)(c−1) degrees of
+    freedom.  The oracle replays margins, expectations, and the
+    empty-cell correction."""
+    from tube_spark.operators.stats_tests import chi_square_independence
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return chi_square_independence(cust, "c_mktsegment", "c_nationkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3623,6 +3664,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "rfm_scores": q_rfm_scores,
         "ab_test": q_ab_test,
         "lang_confusion": q_lang_confusion,
+        "benford_law": q_benford_law,
+        "revenue_gini": q_revenue_gini,
+        "chi_square": q_chi_square,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3700,12 +3744,12 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r12 window queue — 24 entries after the round-11 additions:
+    # r12 window queue — 27 entries after the round-11 additions:
     # promote the first 10 (triangle_stats .. c4_filter, clearing the
     # r10 backlog), demote 10 matching green r11 rows (suggest the
     # exact_spans..dsir_weights block, which will have r11 driver
     # rows); r13 promotes 10 more (sorted_neighborhood .. attribution),
-    # r14 the remaining 4 (event_transitions .. lang_confusion).
+    # r14 the remaining 7 (event_transitions .. chi_square).
     # Backlog after r14 = 0.
     "triangle_stats",
     "triangle_sample",
@@ -3732,6 +3776,9 @@ _EXTRA_QUERY_NAMES = (
     "rfm_scores",
     "ab_test",
     "lang_confusion",
+    "benford_law",
+    "revenue_gini",
+    "chi_square",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -3890,8 +3937,8 @@ _QUERY_ORDER = (
     # (triangle_stats .. c4_filter — the 3 r10-backlog entries plus 7
     # round-11 additions); demote 10 green r11 rows (suggest this
     # exact_spans..dsir_weights block).  r13 promotes 10 more
-    # (sorted_neighborhood .. attribution), r14 the remaining 4
-    # (event_transitions .. lang_confusion); backlog after r14 = 0.
+    # (sorted_neighborhood .. attribution), r14 the remaining 7
+    # (event_transitions .. chi_square); backlog after r14 = 0.
     "exact_spans",
     "hll_cardinality",
     "link_prediction",
@@ -4554,6 +4601,48 @@ def _hll_oracle_sql(p: int = 10, seed: str = "hll") -> str:
             )
             SELECT f.lang, f.m, f.n_zero, f.estimate, e.exact
             FROM hll_fin f JOIN hll_ex e USING (lang)"""
+
+
+def _benford_oracle_sql() -> str:
+    """Replays operators/stats_tests.py benford_digits over lineitem
+    extended prices — the expected-share constants are the SAME
+    python-computed log10(1+1/d) doubles the operator embeds, so the
+    two engines compare literals, not libm calls."""
+    import math
+
+    vals = ",".join(
+        f"({d}, {math.log10(1 + 1 / d)!r}::DOUBLE)" for d in range(1, 10)
+    )
+    return f"""
+            WITH bf AS (
+                SELECT floor(abs(l_extendedprice)
+                       / power(10, floor(log10(abs(l_extendedprice)))))
+                       ::INTEGER AS digit
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND abs(l_extendedprice) > 0
+                  AND NOT isnan(l_extendedprice)
+            ),
+            bc AS (
+                SELECT digit, count(*)::BIGINT AS n FROM bf GROUP BY 1
+            ),
+            be AS (SELECT * FROM (VALUES {vals}) v(digit, ep)),
+            bj AS (
+                SELECT bc.digit, bc.n, be.ep,
+                       sum(bc.n) OVER () AS t
+                FROM bc JOIN be USING (digit)
+            ),
+            bx AS (
+                SELECT digit, n, ep, t,
+                       t * (n / t - ep) * (n / t - ep) / ep AS chi_term
+                FROM bj
+            )
+            SELECT digit, n,
+                   round(n / t, 6) AS observed_p,
+                   round(ep, 6) AS expected_p,
+                   round(chi_term, 6) AS chi2_term,
+                   round(sum(chi_term) OVER (), 6) AS chi2_total
+            FROM bx"""
 
 
 def _hb_round_ctes(rounds: int, p: int, seed: str) -> list[str]:
@@ -5678,6 +5767,47 @@ def _all_oracle_sql() -> dict[str, str]:
             )
             SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
             FROM lc_p GROUP BY 1, 2""",
+        "benford_law": _benford_oracle_sql(),
+        "revenue_gini": """
+            WITH gn_u AS (
+                SELECT o_custkey, coalesce(sum(o_totalprice), 0) AS x
+                FROM orders GROUP BY 1
+            ),
+            gn_r AS (
+                SELECT x,
+                       row_number() OVER (ORDER BY x, o_custkey) AS i
+                FROM gn_u
+            )
+            SELECT count(*)::BIGINT AS n,
+                   round(sum(x), 2) AS total,
+                   round(2.0 * sum(i * x) / (count(*) * sum(x))
+                         - (count(*) + 1) / count(*), 6) AS gini
+            FROM gn_r""",
+        "chi_square": """
+            WITH cs_c AS (
+                SELECT c_mktsegment, c_nationkey, count(*) AS o
+                FROM customer GROUP BY 1, 2
+            ),
+            cs_m AS (
+                SELECT c_mktsegment, c_nationkey, o,
+                       sum(o) OVER (PARTITION BY c_mktsegment) AS ra,
+                       sum(o) OVER (PARTITION BY c_nationkey) AS cb,
+                       sum(o) OVER () AS nn
+                FROM cs_c
+            ),
+            cs_a AS (
+                SELECT max(nn) AS n,
+                       count(DISTINCT c_mktsegment) AS n_a,
+                       count(DISTINCT c_nationkey) AS n_b,
+                       sum((o - ra * cb / nn) * (o - ra * cb / nn)
+                           / (ra * cb / nn)) AS chi_obs,
+                       sum(ra * cb / nn) AS e_obs
+                FROM cs_m
+            )
+            SELECT n::BIGINT AS n, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                   ((n_a - 1) * (n_b - 1))::BIGINT AS dof,
+                   round(chi_obs + (n - e_obs), 6) AS chi2
+            FROM cs_a""",
         "readability": r"""
             WITH rd_p AS (
                 SELECT doc_id,
