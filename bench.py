@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "rfm_scores",
     "ab_test",
     "lang_confusion",
+    "benford_law",
+    "revenue_gini",
+    "chi_square",
 ]
 
 
