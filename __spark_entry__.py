@@ -3744,24 +3744,12 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r12 window queue — 27 entries after the round-11 additions:
-    # promote the first 10 (triangle_stats .. c4_filter, clearing the
-    # r10 backlog), demote 10 matching green r11 rows (suggest the
-    # exact_spans..dsir_weights block, which will have r11 driver
-    # rows); r13 promotes 10 more (sorted_neighborhood .. attribution),
-    # r14 the remaining 7 (event_transitions .. chi_square).
-    # Backlog after r14 = 0.
-    "triangle_stats",
-    "triangle_sample",
-    "lpa_communities",
-    # round-11 additions (r12/r13 queue)
-    "ddsketch_quantiles",
-    "ngram_novelty",
-    "template_mining",
-    "collocations",
-    "reciprocal_nn",
-    "gopher_rules",
-    "c4_filter",
+    # r13 window queue — 17 round-11 entries remain after the r12
+    # rotation promoted triangle_stats .. c4_filter: r13 promotes the
+    # first 10 (sorted_neighborhood .. attribution), demoting 10 green
+    # r12 rows (suggest the triangle_stats..c4_filter block); r14 the
+    # remaining 7 (event_transitions .. chi_square).  Backlog after
+    # r14 = 0 (plus any r12 additions appended below this block).
     "sorted_neighborhood",
     "graph_degree_stats",
     "zipf_fit",
@@ -3779,6 +3767,20 @@ _EXTRA_QUERY_NAMES = (
     "benford_law",
     "revenue_gini",
     "chi_square",
+    # -- round-12 rotation: the exact_spans..dsir_weights block (green
+    # CORRECTNESS_r11 driver rows) demoted to the extras tier
+    # (pytest-verified) to make room for the first 10 of the r12 queue
+    # (triangle_stats .. c4_filter) --
+    "exact_spans",
+    "hll_cardinality",
+    "link_prediction",
+    "cusum_drift",
+    "weighted_jaccard",
+    "personalized_pagerank",
+    "doc_keywords",
+    "random_walks",
+    "bigram_perplexity",
+    "dsir_weights",
     # -- round-11 rotation: the merge_upsert..mixture_plan block (green
     # CORRECTNESS_r10 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r11 queue
@@ -3927,28 +3929,27 @@ _QUERY_ORDER = (
     "embedding_near_dup_exact",
     "corpus_curation",
     "multimodal_decode",
-    # -- round-11 rotation (executes the r10 schedule comment): the
-    # first 10 entries of the r10 queue (exact_spans .. dsir_weights)
-    # take slots 31-40 for their first driver rows; the merge_upsert ..
-    # mixture_plan block (green r10 rows) demotes to
-    # _EXTRA_QUERY_NAMES, staying differentially verified by pytest
-    # (tests/test_extra_queries.py).
-    # r12 schedule: promote the first 10 of the extras queue
-    # (triangle_stats .. c4_filter — the 3 r10-backlog entries plus 7
-    # round-11 additions); demote 10 green r11 rows (suggest this
-    # exact_spans..dsir_weights block).  r13 promotes 10 more
-    # (sorted_neighborhood .. attribution), r14 the remaining 7
-    # (event_transitions .. chi_square); backlog after r14 = 0.
-    "exact_spans",
-    "hll_cardinality",
-    "link_prediction",
-    "cusum_drift",
-    "weighted_jaccard",
-    "personalized_pagerank",
-    "doc_keywords",
-    "random_walks",
-    "bigram_perplexity",
-    "dsir_weights",
+    # -- round-12 rotation (executes the r11 schedule comment): the
+    # first 10 entries of the r11 queue (triangle_stats .. c4_filter —
+    # the 3 r10-backlog entries plus 7 round-11 additions) take slots
+    # 31-40 for their first driver rows; the exact_spans .. dsir_weights
+    # block (green r11 rows) demotes to _EXTRA_QUERY_NAMES, staying
+    # differentially verified by pytest (tests/test_extra_queries.py).
+    # r13 schedule: promote the next 10 of the extras queue
+    # (sorted_neighborhood .. attribution); demote 10 green r12 rows
+    # (suggest this triangle_stats..c4_filter block).  r14 promotes the
+    # remaining 7 (event_transitions .. chi_square); backlog after r14
+    # = 0 plus any r12 additions.
+    "triangle_stats",
+    "triangle_sample",
+    "lpa_communities",
+    "ddsketch_quantiles",
+    "ngram_novelty",
+    "template_mining",
+    "collocations",
+    "reciprocal_nn",
+    "gopher_rules",
+    "c4_filter",
     # -- round-10 promotions: first driver rows for the round-9 work --
     "k_core",
     "epoch_shuffle",
@@ -4622,6 +4623,7 @@ def _benford_oracle_sql() -> str:
                 WHERE l_extendedprice IS NOT NULL
                   AND abs(l_extendedprice) > 0
                   AND NOT isnan(l_extendedprice)
+                  AND isfinite(l_extendedprice)
             ),
             bc AS (
                 SELECT digit, count(*)::BIGINT AS n FROM bf GROUP BY 1
@@ -5797,8 +5799,12 @@ def _all_oracle_sql() -> dict[str, str]:
             ),
             cs_a AS (
                 SELECT max(nn) AS n,
-                       count(DISTINCT c_mktsegment) AS n_a,
-                       count(DISTINCT c_nationkey) AS n_b,
+                       count(DISTINCT c_mktsegment)
+                       + max(CASE WHEN c_mktsegment IS NULL
+                             THEN 1 ELSE 0 END) AS n_a,
+                       count(DISTINCT c_nationkey)
+                       + max(CASE WHEN c_nationkey IS NULL
+                             THEN 1 ELSE 0 END) AS n_b,
                        sum((o - ra * cb / nn) * (o - ra * cb / nn)
                            / (ra * cb / nn)) AS chi_obs,
                        sum(ra * cb / nn) AS e_obs

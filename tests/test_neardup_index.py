@@ -19,11 +19,6 @@ def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def _cleanup(spark, name):
-    spark.sql(f"DROP TABLE IF EXISTS {name}_buckets")
-    spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
-
-
 @pytest.fixture()
 def history(spark, tmp_path):
     name = "ndix_t"
@@ -37,7 +32,7 @@ def history(spark, tmp_path):
     ])
     idx.build(hist)
     yield idx
-    _cleanup(spark, name)
+    idx.drop(spark)
 
 
 class TestNearDupIndex:
@@ -94,8 +89,9 @@ class TestNearDupIndex:
             assert plan.count("Bucketed: true") >= 2, plan[:3000]
 
             # same joins against unbucketed snapshots of the store
-            flat_b = spark.table("ndix_t_buckets").localCheckpoint()
-            flat_s = spark.table("ndix_t_sigs").localCheckpoint()
+            tables = history.tables()
+            flat_b = spark.table(tables["buckets"]).localCheckpoint()
+            flat_s = spark.table(tables["sigs"]).localCheckpoint()
             sig, bkt = history._sign(delta, "doc_id", "text")
             from tube_spark.operators.dedup import minhash_est_jaccard
 
@@ -134,3 +130,92 @@ class TestNearDupIndex:
     def test_divisibility_validation(self, tmp_path):
         with pytest.raises(ValueError):
             NearDupIndex(str(tmp_path), num_hashes=64, bands=10)
+
+    def test_same_name_different_base_dirs_do_not_collide(
+        self, spark, tmp_path
+    ):
+        # ADVICE r11: table names derived from `name` alone let two
+        # indexes in different base_dirs silently share catalog tables
+        a = NearDupIndex(str(tmp_path / "a"), name="ndix_dup")
+        b = NearDupIndex(str(tmp_path / "b"), name="ndix_dup")
+        try:
+            a.build(_docs(spark, [(1, BASE * 3)]))
+            b.build(_docs(spark, [(2, "unrelated words about whales and "
+                                      "krill in the ocean " * 3)]))
+            assert set(a.tables().values()).isdisjoint(b.tables().values())
+            # a's store is untouched by b's build: probing a near-dup
+            # of doc 1 still hits, and never yields b's doc 2
+            hits = a.probe(
+                _docs(spark, [(10, BASE * 3)]), threshold=0.9
+            ).collect()
+            assert {r["indexed_id"] for r in hits} == {1}
+        finally:
+            a.drop(spark)
+            b.drop(spark)
+
+    def test_append_if_absent_compensates_half_commit(self, spark, history):
+        delta = _docs(spark, [(401, BASE.replace("river", "creek") * 3)])
+        history.append(delta)  # the "half-committed" prior attempt
+        tables = history.tables()
+        rows_b = spark.table(tables["buckets"]).filter("id = 401").count()
+        rows_s = spark.table(tables["sigs"]).filter("id = 401").count()
+        assert rows_b > 0 and rows_s == 1
+        history.append(delta, if_absent=True)  # the compensated replay
+        spark.catalog.refreshTable(tables["buckets"])
+        spark.catalog.refreshTable(tables["sigs"])
+        assert spark.table(tables["buckets"]).filter("id = 401").count() == rows_b
+        assert spark.table(tables["sigs"]).filter("id = 401").count() == 1
+
+
+class TestCompaction:
+    def test_compact_swaps_generation_and_preserves_results(
+        self, spark, history
+    ):
+        for i in range(3):
+            history.append(
+                _docs(spark, [(500 + i, BASE.replace("dog", f"dog{i}") * 3)])
+            )
+        before_tables = history.tables()
+        probe_docs = _docs(spark, [(900, BASE * 3)])
+        before = sorted(
+            (r["new_id"], r["indexed_id"], r["est_jaccard"])
+            for r in history.probe(probe_docs, threshold=0.4).collect()
+        )
+        m = history.compact(spark)
+        after_tables = history.tables()
+        assert after_tables != before_tables
+        assert m["table_gen"] == 1
+        assert m["appends_since_compact"] == 0
+        # superseded tables are dropped after the manifest commit
+        existing = {t.name for t in spark.catalog.listTables()}
+        assert not set(v.split(".")[-1] for v in before_tables.values()) & existing
+        after = sorted(
+            (r["new_id"], r["indexed_id"], r["est_jaccard"])
+            for r in history.probe(probe_docs, threshold=0.4).collect()
+        )
+        assert after == before
+
+    def test_auto_compact_triggers_at_threshold(self, spark, history):
+        assert history._manifest().get("table_gen", 0) == 0
+        history.append(
+            _docs(spark, [(601, BASE.replace("cat", "kit") * 3)]),
+            auto_compact_at=2,
+        )
+        assert history._manifest()["table_gen"] == 0  # 1 append < 2
+        history.append(
+            _docs(spark, [(602, BASE.replace("cat", "pup") * 3)]),
+            auto_compact_at=2,
+        )
+        m = history._manifest()
+        assert m["table_gen"] == 1
+        assert m["generations"][-1]["op"] == "compact"
+        # appended rows survived the rewrite
+        hits = history.probe(
+            _docs(spark, [(700, BASE.replace("cat", "pup") * 3)]),
+            threshold=0.9,
+        ).collect()
+        assert 602 in {r["indexed_id"] for r in hits}
+
+    def test_auto_compact_validation(self, spark, history):
+        with pytest.raises(ValueError, match="auto_compact_at"):
+            history.append(_docs(spark, [(1, "x")]), auto_compact_at=0)

@@ -40,6 +40,19 @@ class TestBenford:
         for r in out:
             assert r["observed_p"] == pytest.approx(r["expected_p"], abs=1e-4)
 
+    def test_infinities_excluded(self, spark):
+        # +/-inf have no leading digit: they must not emit a digit-0
+        # row or inflate the total behind observed_p (ADVICE r11)
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (float("inf"),), (float("-inf"),)],
+            "v double",
+        )
+        rows = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+        assert set(rows) == {1, 2}
+        assert sum(r["n"] for r in rows.values()) == 2
+        assert rows[1]["observed_p"] == pytest.approx(0.5)
+        assert all(r["chi2_term"] is not None for r in rows.values())
+
     def test_uniform_digits_high_chi2(self, spark):
         df = spark.createDataFrame(
             [(float(d),) for d in range(1, 10) for _ in range(100)], "v double"
@@ -96,6 +109,30 @@ class TestChiSquare:
         r = chi_square_independence(df, "a", "b").collect()[0]
         # perfect association in a 2x2: chi2 = n
         assert r["chi2"] == pytest.approx(100.0, abs=1e-9)
+
+    def test_null_level_counts_toward_dof(self, spark):
+        # NULL forms its own contingency level (the cells and chi2
+        # already include it) — dof must count it too (ADVICE r11:
+        # count_distinct skipped NULL, so a 3x3 table with NULL levels
+        # reported dof=1 instead of 4)
+        rows = (
+            [("x", "p")] * 10 + [("x", None)] * 10 + [(None, "p")] * 10
+            + [("y", "q")] * 10 + [(None, None)] * 10 + [("y", None)] * 10
+            + [("x", "q")] * 5 + [("y", "p")] * 5 + [(None, "q")] * 5
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi_square_independence(df, "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"], r["dof"]) == (3, 3, 4)
+
+    def test_internal_names_do_not_collide_with_user_schema(self, spark):
+        # user columns named like the old internals (o/ra/cb/nn) must
+        # not raise AMBIGUOUS_REFERENCE (ADVICE r11)
+        df = spark.createDataFrame(
+            [("x", "p", 1, 2), ("y", "q", 3, 4)],
+            "cb string, nn string, o long, ra long",
+        )
+        r = chi_square_independence(df, "cb", "nn").collect()[0]
+        assert (r["n"], r["n_a"], r["n_b"]) == (2, 2, 2)
 
     def test_empty_cells_contribute_expected_mass(self, spark):
         # 2x2 with one structurally empty cell: hand-computed chi2

@@ -24,13 +24,11 @@ def _docs(spark, rows):
 
 @pytest.fixture()
 def seeded(spark, tmp_path):
-    name = "ndix_st"
-    idx = NearDupIndex(str(tmp_path / "ix"), name=name)
+    idx = NearDupIndex(str(tmp_path / "ix"), name="ndix_st")
     idx.build(_docs(spark, [(1, BASE * 3), (2, OTHER * 3)]))
     proc = StreamingNearDup(idx, str(tmp_path / "hits"), threshold=0.6)
     yield idx, proc
-    spark.sql(f"DROP TABLE IF EXISTS {name}_buckets")
-    spark.sql(f"DROP TABLE IF EXISTS {name}_sigs")
+    idx.drop(spark)
 
 
 class TestStreamingNearDup:
@@ -61,6 +59,55 @@ class TestStreamingNearDup:
         proc.process_batch(b, 0)  # redelivered
         assert sorted(proc.hits(spark).collect()) == rows_before
         assert len(idx._manifest()["generations"]) == gens_before
+
+    def test_replay_after_crash_between_append_and_watermark(
+        self, spark, seeded
+    ):
+        """ADVICE r11: a crash after index.append but before the
+        watermark write must not double the index rows or log
+        self-hits on replay."""
+        idx, proc = seeded
+        proc.process_batch(_docs(spark, [(100, BASE * 3)]), 0)
+        batch = _docs(spark, [(110, BASE.replace("fox", "hen") * 3),
+                              (210, OTHER.replace("row", "col") * 3)])
+        # simulate the half-commit: intent recorded, append landed,
+        # watermark never written (the crash window)
+        st = proc._state()
+        st["pending"] = {"batch_id": 1}
+        proc._write_state(st)
+        idx.append(batch)
+        tables = idx.tables()
+        rows_before = spark.table(tables["buckets"]).filter(
+            F.col("id").isin(110, 210)
+        ).count()
+        proc.process_batch(batch, 1)  # the redelivery
+        # no blind double append
+        spark.catalog.refreshTable(tables["buckets"])
+        assert spark.table(tables["buckets"]).filter(
+            F.col("id").isin(110, 210)
+        ).count() == rows_before
+        # no self-hits: the batch is in the index at probe time, but
+        # the hit log keeps the delta-vs-history contract
+        h1 = proc.hits(spark).filter("batch_id = 1").collect()
+        assert all(r["indexed_id"] not in (110, 210) for r in h1)
+        assert {r["new_id"] for r in h1} >= {110}  # real history hit kept
+        assert proc._state() == {"last_batch_id": 1}
+
+    def test_replay_after_crash_before_append(self, spark, seeded):
+        """Crash after the intent write but BEFORE the append: the
+        compensated replay must still append the whole batch."""
+        idx, proc = seeded
+        batch = _docs(spark, [(120, BASE.replace("dog", "owl") * 3)])
+        st = proc._state()
+        st["pending"] = {"batch_id": 0}
+        proc._write_state(st)
+        proc.process_batch(batch, 0)  # redelivery; append never ran
+        h0 = {(r["new_id"], r["indexed_id"])
+              for r in proc.hits(spark).filter("batch_id = 0").collect()}
+        assert (120, 1) in h0
+        after = idx.probe(_docs(spark, [(130, BASE.replace("dog", "owl") * 3)]),
+                          threshold=0.9)
+        assert 120 in {r["indexed_id"] for r in after.collect()}
 
     def test_wired_stream_drains_files(self, spark, seeded, tmp_path):
         idx, proc = seeded

@@ -9,8 +9,8 @@ is the disk shape that makes the probe O(delta):
 
 * **Index state** = two BUCKETED catalog tables (sinks/writer.py
   BucketedTableSink) + a frozen-config manifest:
-    - ``<name>_buckets`` (id, bb)   bucketed on ``bb``
-    - ``<name>_sigs``    (id, sig)  bucketed on ``id``
+    - ``<prefix>_buckets_g<k>`` (id, bb)   bucketed on ``bb``
+    - ``<prefix>_sigs_g<k>``    (id, sig)  bucketed on ``id``
   ``bb = band * BAND_M + band_hash`` folds the band into ONE join
   column — a (band, bh) composite key would defeat the layout (hash
   partitioning on ``bh`` does not satisfy a two-column clustered
@@ -20,6 +20,12 @@ is the disk shape that makes the probe O(delta):
   both hit a pre-hashed layout, so the HISTORY side is never
   reshuffled — only the delta moves (tests assert the store side of
   both joins plans no Exchange).
+* **Table naming**: ``<prefix>`` = name + a digest of the absolute
+  ``base_dir``, and the manifest records the committed table names —
+  two indexes with the same ``name`` in different base_dirs can never
+  share catalog tables (their manifests are independent, so sharing
+  tables silently corrupted both).  ``g<k>`` is the compaction
+  generation (below).
 * **Frozen config**: shingle n, num_hashes, bands, seed and bucket
   count are written to the manifest at build; ``append``/``probe``
   with a mismatched operator config raises — mixed-parameter
@@ -32,7 +38,21 @@ is the disk shape that makes the probe O(delta):
   (probe-then-append is the daily crawl loop).
 * **append(delta)**: appends band rows + signatures (saveAsTable
   append keeps the bucket spec) and records the generation in the
-  manifest.
+  manifest.  ``if_absent=True`` makes the append a compensation: ids
+  already present per table are anti-joined away, so replaying a
+  half-committed append (crash between table write and watermark)
+  cannot double rows — each saveAsTable append is all-or-nothing at
+  job commit, so presence is checked per table.
+* **compact()**: every append accretes one file set per bucket (the
+  same segment-accretion shape that degraded BM25 search 3.2x at 8
+  segments — operators/searchindex.py), so the store is periodically
+  rewritten into a fresh ``g<k+1>`` table pair and committed by the
+  manifest pointer — a crash before the manifest commit leaves
+  orphan staging tables the replay overwrites; readers resolve table
+  names from the manifest at call time, so the swap is atomic to
+  them.  ``append(auto_compact_at=N)`` applies the rule without an
+  operator remembering (append's manifest commit lands first, so a
+  crash mid-compaction loses only the compaction, never the append).
 
 Composes with the rest of the dedup family: probe hits feed
 ``connected_components`` / keep-best survivor election; the
@@ -42,6 +62,7 @@ pre-filter when only exact membership matters.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
@@ -78,10 +99,10 @@ class NearDupIndex:
             "seed": seed,
             "n_buckets": n_buckets,
         }
-        self._buckets = BucketedTableSink(
-            f"{name}_buckets", ("bb",), n_buckets=n_buckets
-        )
-        self._sigs = BucketedTableSink(f"{name}_sigs", ("id",), n_buckets=n_buckets)
+        scope = hashlib.md5(
+            os.path.abspath(base_dir).encode("utf-8")
+        ).hexdigest()[:8]
+        self._prefix = f"{name}_{scope}"
 
     @property
     def _manifest_path(self) -> str:
@@ -105,7 +126,32 @@ class NearDupIndex:
                 f"{m['config']}, operator configured with {self.config} — "
                 "mixed-parameter signatures never collide; rebuild or match"
             )
+        # pre-generation manifests carried no table names (tables were
+        # derived from `name` alone); resolve to that legacy layout
+        m.setdefault(
+            "tables",
+            {"buckets": f"{self.name}_buckets", "sigs": f"{self.name}_sigs"},
+        )
         return m
+
+    def _gen_tables(self, gen: int) -> dict:
+        return {
+            "buckets": f"{self._prefix}_buckets_g{gen}",
+            "sigs": f"{self._prefix}_sigs_g{gen}",
+        }
+
+    def _sinks(self, tables: dict) -> tuple[BucketedTableSink, BucketedTableSink]:
+        nb = self.config["n_buckets"]
+        return (
+            BucketedTableSink(tables["buckets"], ("bb",), n_buckets=nb),
+            BucketedTableSink(tables["sigs"], ("id",), n_buckets=nb),
+        )
+
+    def tables(self) -> dict:
+        """The committed {'buckets': ..., 'sigs': ...} catalog table
+        names (from the manifest — the compaction generation moves
+        them)."""
+        return dict(self._check_config()["tables"])
 
     def _sign(self, docs: DataFrame, id_col: str, text_col: str):
         c = self.config
@@ -129,30 +175,117 @@ class NearDupIndex:
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> dict:
         """Create the index from scratch (overwrites any prior state)."""
+        spark = docs.sparkSession
+        prior = self._manifest()
         sig, bkt = self._sign(docs, id_col, text_col)
-        self._buckets.write(bkt, mode="overwrite")
-        self._sigs.write(sig, mode="overwrite")
-        n_docs = self._sigs.read(docs.sparkSession).count()
+        tables = self._gen_tables(0)
+        b_sink, s_sink = self._sinks(tables)
+        b_sink.write(bkt, mode="overwrite")
+        s_sink.write(sig, mode="overwrite")
+        n_docs = s_sink.read(spark).count()
         os.makedirs(self.base_dir, exist_ok=True)
-        manifest = {"config": self.config, "generations": [{"op": "build", "n_docs": n_docs}]}
+        manifest = {
+            "config": self.config,
+            "tables": tables,
+            "table_gen": 0,
+            "appends_since_compact": 0,
+            "generations": [{"op": "build", "n_docs": n_docs}],
+        }
         with open(self._manifest_path, "w") as f:
             json.dump(manifest, f)
+        if prior is not None:
+            # a rebuilt index at a higher compaction generation leaves
+            # the superseded tables orphaned — drop them post-commit
+            for t in (prior.get("tables") or {}).values():
+                if t not in tables.values():
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
         return manifest
 
     def append(
-        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        if_absent: bool = False,
+        auto_compact_at: int | None = None,
     ) -> dict:
         """Add the delta's signatures/buckets to the index (same frozen
-        config; saveAsTable append preserves the bucket spec)."""
+        config; saveAsTable append preserves the bucket spec).
+
+        ``if_absent=True`` anti-joins each frame against its store
+        table first — the replay-compensation path for a redelivered
+        batch whose earlier append may have half-committed (each
+        table's append is all-or-nothing at job commit, so per-table
+        id presence is the exact predicate).  ``auto_compact_at=N``
+        triggers ``compact()`` once this append commits and N appends
+        have accumulated since the last rewrite."""
+        if auto_compact_at is not None and auto_compact_at < 1:
+            raise ValueError(
+                f"auto_compact_at must be >= 1, got {auto_compact_at}"
+            )
         m = self._check_config()
+        spark = docs.sparkSession
+        b_sink, s_sink = self._sinks(m["tables"])
         sig, bkt = self._sign(docs, id_col, text_col)
-        self._buckets.write(bkt, mode="append")
-        self._sigs.write(sig, mode="append")
+        if if_absent:
+            spark.catalog.refreshTable(b_sink.table)
+            spark.catalog.refreshTable(s_sink.table)
+            bkt = bkt.join(
+                b_sink.read(spark).select("id").distinct(), "id", "left_anti"
+            )
+            sig = sig.join(s_sink.read(spark).select("id"), "id", "left_anti")
+        b_sink.write(bkt, mode="append")
+        s_sink.write(sig, mode="append")
         n_docs = docs.select(id_col).distinct().count()
-        m["generations"].append({"op": "append", "n_docs": n_docs})
+        entry = {"op": "append", "n_docs": n_docs}
+        if if_absent:
+            entry["if_absent"] = True
+        m["generations"].append(entry)
+        m["appends_since_compact"] = int(m.get("appends_since_compact", 0)) + 1
         with open(self._manifest_path, "w") as f:
             json.dump(m, f)
+        if (
+            auto_compact_at is not None
+            and m["appends_since_compact"] >= auto_compact_at
+        ):
+            m = self.compact(spark)
         return m
+
+    def compact(self, spark: SparkSession, cleanup: bool = True) -> dict:
+        """Rewrite both store tables into a fresh ``g<k+1>`` generation
+        (one file set per bucket again) and commit via the manifest
+        pointer; ``cleanup`` drops the superseded tables after the
+        commit.  Probe plans are unchanged (same bucket spec) — what
+        compaction removes is the per-append file accretion inside
+        each bucket, the BM25-measured scan/open overhead."""
+        m = self._check_config()
+        old = m["tables"]
+        gen = int(m.get("table_gen", 0)) + 1
+        new = self._gen_tables(gen)
+        old_b, old_s = self._sinks(old)
+        new_b, new_s = self._sinks(new)
+        spark.catalog.refreshTable(old_b.table)
+        spark.catalog.refreshTable(old_s.table)
+        new_b.write(old_b.read(spark), mode="overwrite")
+        new_s.write(old_s.read(spark), mode="overwrite")
+        m["tables"] = new
+        m["table_gen"] = gen
+        m["appends_since_compact"] = 0
+        m["generations"].append({"op": "compact", "table_gen": gen})
+        with open(self._manifest_path, "w") as f:
+            json.dump(m, f)  # the commit point: readers swap here
+        if cleanup:
+            spark.sql(f"DROP TABLE IF EXISTS {old['buckets']}")
+            spark.sql(f"DROP TABLE IF EXISTS {old['sigs']}")
+        return m
+
+    def drop(self, spark: SparkSession) -> None:
+        """Remove the index: committed tables and manifest."""
+        m = self._manifest()
+        if m is not None:
+            for t in (m.get("tables") or self._gen_tables(0)).values():
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            os.remove(self._manifest_path)
 
     def probe(
         self,
@@ -165,21 +298,22 @@ class NearDupIndex:
         whose estimated Jaccard against an indexed document clears the
         threshold.  Read-only; history tables are consumed through
         their bucketed layout (no Exchange on the store side)."""
-        self._check_config()
+        m = self._check_config()
         spark: SparkSession = docs.sparkSession
+        b_sink, s_sink = self._sinks(m["tables"])
         # appends may have come from another session (a streaming
         # micro-batch clone — streaming/neardup.py); refresh drops this
         # session's cached file listing so the probe sees them.  Cost:
         # one re-list per probe, which the probe job pays anyway.
-        spark.catalog.refreshTable(self._buckets.table)
-        spark.catalog.refreshTable(self._sigs.table)
+        spark.catalog.refreshTable(b_sink.table)
+        spark.catalog.refreshTable(s_sink.table)
         sig, bkt = self._sign(docs, id_col, text_col)
         sig = sig.localCheckpoint(eager=False)
         bkt = bkt.localCheckpoint(eager=False)
         cand = (
             bkt.withColumnRenamed("id", "new_id")
             .join(
-                self._buckets.read(spark).withColumnRenamed("id", "indexed_id"),
+                b_sink.read(spark).withColumnRenamed("id", "indexed_id"),
                 on="bb",
             )
             .select("new_id", "indexed_id")
@@ -189,7 +323,7 @@ class NearDupIndex:
         return (
             cand.join(sig.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_a")), "new_id")
             .join(
-                self._sigs.read(spark).select(
+                s_sink.read(spark).select(
                     F.col("id").alias("indexed_id"), F.col("sig").alias("sig_b")
                 ),
                 "indexed_id",

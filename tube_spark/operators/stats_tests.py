@@ -41,8 +41,15 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     share.
     """
     x = F.abs(F.col(value_col))
+    # x < +inf excludes both infinities (x is the absolute value and
+    # NaN is already gone) — an infinite value has no leading digit,
+    # and letting it through emitted a digit-0 row with NULL expected_p
+    # whose chi2_term silently dropped while its count inflated totals
     ok = df.filter(
-        F.col(value_col).isNotNull() & (x > 0) & ~F.isnan(F.col(value_col))
+        F.col(value_col).isNotNull()
+        & (x > 0)
+        & ~F.isnan(F.col(value_col))
+        & (x < F.lit(float("inf")))
     )
     digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
     counts = ok.select(digit.alias("digit")).groupBy("digit").agg(
@@ -113,29 +120,39 @@ def chi_square_independence(
     (an absent cell contributes its full expected count — omitting
     them understates the statistic).  NULL categories form their own
     level (SQL grouping semantics).  dof = (r−1)(c−1)."""
-    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("o"))
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
     wa = Window.partitionBy(col_a)
     wb = Window.partitionBy(col_b)
     wall = Window.partitionBy()
     with_m = cells.select(
         col_a,
         col_b,
-        "o",
-        F.sum("o").over(wa).alias("ra"),
-        F.sum("o").over(wb).alias("cb"),
-        F.sum("o").over(wall).alias("nn"),
+        "__o",
+        F.sum("__o").over(wa).alias("__ra"),
+        F.sum("__o").over(wb).alias("__cb"),
+        F.sum("__o").over(wall).alias("__nn"),
     )
-    e = F.col("ra") * F.col("cb") / F.col("nn")
+    e = F.col("__ra") * F.col("__cb") / F.col("__nn")
+    # NULL-inclusive level count: count_distinct skips NULL, but NULL
+    # forms its own contingency level here — add it back iff present,
+    # so dof = (r-1)(c-1) matches the cells the chi2 actually sums
+    def _levels(c: str):
+        return F.count_distinct(F.col(c)) + F.coalesce(
+            F.max(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+        )
+
     # observed-cell terms: (o - e)^2 / e ... the empty-cell mass is
     # total expected (= n) minus expected mass on observed cells
     agg = with_m.agg(
-        F.max("nn").alias("n"),
-        F.count_distinct(F.col(col_a)).alias("n_a"),
-        F.count_distinct(F.col(col_b)).alias("n_b"),
-        F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi_obs"),
-        F.sum(e).alias("e_obs"),
+        F.max("__nn").alias("n"),
+        _levels(col_a).alias("n_a"),
+        _levels(col_b).alias("n_b"),
+        F.sum((F.col("__o") - e) * (F.col("__o") - e) / e).alias(
+            "__chi_obs"
+        ),
+        F.sum(e).alias("__e_obs"),
     )
-    chi2 = F.col("chi_obs") + (F.col("n") - F.col("e_obs"))
+    chi2 = F.col("__chi_obs") + (F.col("n") - F.col("__e_obs"))
     return agg.select(
         F.col("n").cast("long").alias("n"),
         F.col("n_a").cast("long").alias("n_a"),

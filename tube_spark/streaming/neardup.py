@@ -11,8 +11,22 @@ Replay contract: index append is NOT idempotent (appending the same
 band rows twice doubles candidate fan-out and index size), so the
 processor carries a ``last_batch_id`` watermark in its own state file
 — the CMS/addition contract (streaming/cms.py), not the Bloom
-OR-merge one.  A redelivered batch id is skipped wholesale: no double
-append, no duplicate hit-log rows.
+OR-merge one.  A fully-committed batch id is skipped wholesale: no
+double append, no duplicate hit-log rows.
+
+The append itself is guarded by a WRITE-AHEAD intent: the batch id is
+recorded as ``pending`` in the state file BEFORE the index append, and
+promoted to ``last_batch_id`` only after.  A crash between append and
+watermark therefore replays as a DETECTED half-commit, and the replay
+compensates instead of re-running blind:
+
+* the probe's hits are anti-joined against the batch's own ids — the
+  index may already contain the batch, and without the filter the
+  replay would log self-hits, breaking the delta-vs-history contract;
+* the append runs with ``if_absent=True`` (anti-join per store table),
+  so ids the half-commit already landed are not appended twice — each
+  table's saveAsTable append is all-or-nothing at job commit, so
+  per-table id presence is the exact compensation predicate.
 
 The hit log is partitioned by batch id (one overwrite-able directory
 per batch — the streaming/jsonl.py idempotent-epoch pattern), so a
@@ -50,18 +64,35 @@ class StreamingNearDup:
     def _state_path(self) -> str:
         return os.path.join(self.hits_dir, "_neardup_stream_state.json")
 
-    def _last_batch_id(self) -> int:
+    def _state(self) -> dict:
         if os.path.exists(self._state_path):
             with open(self._state_path) as f:
-                return json.load(f)["last_batch_id"]
-        return -1
+                return json.load(f)
+        return {"last_batch_id": -1}
+
+    def _write_state(self, state: dict) -> None:
+        os.makedirs(self.hits_dir, exist_ok=True)
+        with open(self._state_path, "w") as f:
+            json.dump(state, f)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        if batch_id <= self._last_batch_id():
-            return  # redelivery: append is additive, skip wholesale
+        state = self._state()
+        if batch_id <= state.get("last_batch_id", -1):
+            return  # fully-committed redelivery: skip wholesale
+        pending = state.get("pending")
+        half_committed = bool(pending) and pending.get("batch_id") == batch_id
         hits = self.index.probe(batch, self.id_col, self.text_col, self.threshold)
+        if half_committed:
+            # the crashed attempt may have appended this batch before
+            # its watermark landed, so the index can contain the batch
+            # itself — drop those self-hits to keep the hit log
+            # delta-vs-history (identical to the crash-free output)
+            own = batch.select(
+                F.col(self.id_col).alias("indexed_id")
+            ).distinct()
+            hits = hits.join(own, "indexed_id", "left_anti")
         # one directory per batch: a replayed crash rewrites the same
         # directory with identical content instead of duplicating rows;
         # the batch_id column is carried by the directory name (writing
@@ -69,10 +100,20 @@ class StreamingNearDup:
         hits.write.mode("overwrite").parquet(
             os.path.join(self.hits_dir, f"batch_id={batch_id}")
         )
-        self.index.append(batch, self.id_col, self.text_col)
-        os.makedirs(self.hits_dir, exist_ok=True)
-        with open(self._state_path, "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
+        if half_committed:
+            # compensated re-append: only ids the half-commit missed
+            self.index.append(
+                batch, self.id_col, self.text_col, if_absent=True
+            )
+        else:
+            # write-ahead intent BEFORE the non-idempotent append: a
+            # crash after the append but before the watermark replays
+            # as a detected half-commit (branch above), never as a
+            # blind double append
+            state["pending"] = {"batch_id": batch_id}
+            self._write_state(state)
+            self.index.append(batch, self.id_col, self.text_col)
+        self._write_state({"last_batch_id": batch_id})
 
     def hits(self, spark: SparkSession) -> DataFrame:
         """All hit-log rows so far (new_id, indexed_id, est_jaccard,
