@@ -2072,7 +2072,13 @@ def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     of >= 20 characters with exact 1-based positions.  The oracle
     replays the LSH pipeline, the L-gram index (static series cross
     join), the pair-local gram match, and the diagonal
-    gaps-and-islands run detection."""
+    gaps-and-islands run detection.
+
+    The hostile-pair guard is wired at the measured 10M budget
+    (exact_spans_with_quarantine is the pipeline twin that also emits
+    the skipped-pair list): pair volumes here peak at ~507 at sf0.01,
+    so the guard is structurally a no-op on this data and the
+    unguarded oracle stays exact."""
     from tube_spark.operators.dedup import minhash_lsh_pairs
     from tube_spark.operators.exactspans import exact_duplicate_spans
 
@@ -2088,7 +2094,8 @@ def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return exact_duplicate_spans(
-        docs, lsh.unionByName(probe), min_len=20
+        docs, lsh.unionByName(probe), min_len=20,
+        max_pair_matches=10_000_000,
     )
 
 

@@ -181,3 +181,36 @@ def test_max_pair_matches_guard_quarantines_hostile_pair(spark):
 
     with _pytest.raises(ValueError):
         exact_duplicate_spans(docs, pairs, max_pair_matches=0)
+
+
+def test_guard_is_on_by_default_and_pipeline_surface(spark):
+    # r11 verdict: the guard must be wired into the public surface, not
+    # just exist — the DEFAULT call must quarantine a hostile pair (a
+    # 4000-char self-repetitive doc pair exceeds the 10M default:
+    # (4000-39)^2 ~ 15.7M matches), and the pipeline twin must hand
+    # back the skipped pairs
+    from tube_spark.operators.exactspans import exact_spans_with_quarantine
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards quietly mixed bright blue potions downstairs"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 4000),
+            (2, "x" * 4000),
+            (3, "AAA " + shared + "BBB"),
+            (4, "CCC " + shared + "DDD"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    spans, quarantined = exact_spans_with_quarantine(docs, pairs, min_len=40)
+    got = spans.collect()
+    # hostile pair quarantined (not resolved), benign pair exact
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(3, 4)}
+    # maximal span = " " + shared (both prefixes end in a space)
+    assert len(got) == 1 and got[0]["span_len"] == len(shared) + 1
+    q = quarantined.collect()
+    assert [(r["id_a"], r["id_b"]) for r in q] == [(1, 2)]
+    assert q[0]["est_matches"] == (4000 - 39) ** 2

@@ -48,7 +48,7 @@ def exact_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 40,
-    max_pair_matches: int | None = None,
+    max_pair_matches: int | None = 10_000_000,
 ) -> DataFrame:
     """``(id_a, id_b, pos_a, pos_b, span_len)`` — one row per MAXIMAL
     shared substring of length >= ``min_len`` (characters) per
@@ -74,9 +74,12 @@ def exact_duplicate_spans(
     first and overweight pairs are SKIPPED ENTIRELY rather than
     partially resolved: every span the operator does report keeps the
     exact-maximality contract.  Use ``exact_spans_overweight_pairs``
-    for the quarantine list (such docs are degenerate-repetition cases
-    for ``repetition_stats``, not near-dup resolution).  Default None
-    preserves the unguarded behavior.
+    for the quarantine list, or ``exact_spans_with_quarantine`` for
+    both halves in one call (such docs are degenerate-repetition cases
+    for ``repetition_stats``, not near-dup resolution).  The guard is
+    ON BY DEFAULT at the measured 10M budget (the 99M-match hostile
+    pair took 190 s; real near-dup pairs at sf0.01 peak at ~500);
+    pass ``None`` to explicitly opt out.
     """
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
@@ -223,12 +226,37 @@ def exact_spans_overweight_pairs(
     )
 
 
+def exact_spans_with_quarantine(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 40,
+    max_pair_matches: int = 10_000_000,
+) -> tuple[DataFrame, DataFrame]:
+    """The curation-pipeline surface: ``(spans, quarantined)`` in one
+    call — ``spans`` resolves every candidate pair within the budget
+    exactly (``exact_duplicate_spans`` semantics), ``quarantined`` is
+    the ``(id_a, id_b, est_matches)`` list of overweight pairs that
+    were skipped.  A curation run writes both: spans feed the dedup
+    decision, the quarantine list routes its documents to the
+    repetition/quality gates instead of silently vanishing."""
+    spans = exact_duplicate_spans(
+        docs, pairs, id_col, text_col, min_len, max_pair_matches
+    )
+    quarantined = exact_spans_overweight_pairs(
+        docs, pairs, id_col, text_col, min_len, max_pair_matches
+    )
+    return spans, quarantined
+
+
 def exact_dup_coverage(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 40,
+    max_pair_matches: int | None = 10_000_000,
 ) -> DataFrame:
     """Per-document EXACT duplicated-character statistics over the
     candidate pair set: ``(id, n_chars, dup_chars, dup_fraction)``
@@ -237,8 +265,12 @@ def exact_dup_coverage(
     either side of any pair).  The verification tier for
     ``spandedup.span_dup_stats``: the window approximation's
     ``dup_fraction`` upper-bounds noise, this one is exact on the
-    nominated pairs."""
-    spans = exact_duplicate_spans(docs, pairs, id_col, text_col, min_len)
+    nominated pairs.  ``max_pair_matches`` passes through to the span
+    resolver (same default guard): a quarantined pair contributes no
+    coverage — its documents belong to the repetition gate."""
+    spans = exact_duplicate_spans(
+        docs, pairs, id_col, text_col, min_len, max_pair_matches
+    )
     sides = spans.select(
         F.col("id_a").alias("__id"),
         F.col("pos_a").alias("start"),
