@@ -271,6 +271,38 @@ def _is_agg_bounded(node, allowed_keys: set[str]) -> bool:
     return False
 
 
+def _force_compile_codegen_stages(spark, exec_plan, name) -> int:
+    """Janino-compile every WholeStageCodegen stage of the plan NOW.
+
+    Spark compiles generated code lazily at execution and, on a janino
+    failure (e.g. a >64 KB method from an oversized literal expression
+    tree), logs ``ERROR CodeGenerator: Failed to compile`` and silently
+    interprets the stage — correctness survives, the engine's
+    JVM-codegen story doesn't (r11 verdict: the pq_encode m=16
+    projection did exactly this inside ann_recall_report).  Forcing the
+    compile at audit time turns that log line into a test failure."""
+    gw = spark.sparkContext._gateway
+    clazz = gw.jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator$"
+    )
+    cg = clazz.getDeclaredField("MODULE$").get(None)
+    n = 0
+    for nd in _walk(exec_plan):
+        if nd.getClass().getSimpleName() != "WholeStageCodegenExec":
+            continue
+        code = nd.doCodeGen()._2()
+        try:
+            cg.compile(code)
+        except Exception as e:  # noqa: BLE001 — py4j wraps the janino error
+            raise AssertionError(
+                f"{name}: WholeStageCodegen stage fails to janino-compile "
+                f"(would silently fall back to interpreted execution): "
+                f"{str(e)[:500]}"
+            ) from None
+        n += 1
+    return n
+
+
 @pytest.mark.parametrize("name", sorted(n for n in _ALL if n not in SKIP))
 def test_plan_has_no_scale_killers(spark, name):
     df = _ALL[name](spark, SF_DIR)
@@ -279,6 +311,8 @@ def test_plan_has_no_scale_killers(spark, name):
 
     assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF\n{plan[:1500]}"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan[:1500]}"
+
+    _force_compile_codegen_stages(spark, exec_plan, name)
 
     n_arrow = sum(len(re.findall(tok, plan)) for tok in _ARROW_TOKENS)
     if n_arrow:

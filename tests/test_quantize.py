@@ -61,3 +61,64 @@ def test_frozen_ranges_reused_for_new_data(spark):
     new = _vecs(spark, [(3, [5.0])])
     got = quantize_embeddings(new, ranges=ranges).collect()[0]
     assert got["codes"] == [0]  # midpoint of the frozen range
+
+
+def _rand_books(m, sub_dim, k, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.uniform(-1, 1) for _ in range(sub_dim)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def test_pq_flat_and_hof_forms_bit_identical(spark):
+    # the >_PQ_FLAT_TERM_LIMIT compact aggregate(zip_with(...)) form
+    # must reproduce the flat straight-line arithmetic EXACTLY (same
+    # operand order; +0.0 + t == t for non-negative squares)
+    import tube_spark.operators.quantize as Q
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [((i * 31 + d * 7) % 19 - 9) / 3.7 for d in range(16)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    books = _rand_books(4, 4, 8)
+    flat = Q.pq_encode(vecs, dim=16, m=4, k=8, codebooks=books).collect()
+    orig = Q._PQ_FLAT_TERM_LIMIT
+    try:
+        Q._PQ_FLAT_TERM_LIMIT = 0  # force the compact path
+        hof = Q.pq_encode(vecs, dim=16, m=4, k=8, codebooks=books).collect()
+    finally:
+        Q._PQ_FLAT_TERM_LIMIT = orig
+    as_map = lambda rows: {  # noqa: E731
+        r["vec_id"]: (r["codes"], r["sq_error"]) for r in rows
+    }
+    assert as_map(flat) == as_map(hof)  # bit-equal, no approx
+
+
+def test_pq_encode_large_config_compiles_codegen(spark):
+    # r11 verdict: m=16/k=64 trained-config encode blew janino's 64 KB
+    # method limit and silently fell back to interpreted execution.
+    # codegen.fallback=false turns any regression into a hard failure.
+    from tube_spark.operators.quantize import pq_encode
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [((i * 13 + d * 11) % 23 - 11) / 5.1 for d in range(64)])
+            for i in range(50)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    books = _rand_books(16, 4, 64)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        out = pq_encode(vecs, dim=64, m=16, k=64, codebooks=books)
+        rows = out.collect()  # throws on any codegen compile failure
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+    assert len(rows) == 50
+    assert all(len(r["codes"]) == 16 for r in rows)

@@ -104,6 +104,16 @@ def dequantize_codes(
 
 # ----------------------------------------------------------------------
 # Product quantization (PQ) — the FAISS IVF-PQ building block
+
+# Largest m*k*sub_dim for which the flat straight-line distance
+# expression stays inside janino's 64 KB generated-method limit
+# (measured on Spark 4.1 against a materializing plan: 512 compiles,
+# 768 throws "Code grows beyond 64 KB" and the stage silently loses
+# codegen — the boundary depends on what else fuses into the stage,
+# so the limit sits at the largest ALWAYS-compiling size)
+_PQ_FLAT_TERM_LIMIT = 512
+
+
 def lattice_codebooks(m: int, sub_dim: int, k: int) -> list[list[list[float]]]:
     """Data-independent PQ codebooks on a small integer lattice:
     ``codebook[s][j][i] = (s*13 + j*31 + i*7) % 11 - 5``.  Integers, so
@@ -141,8 +151,22 @@ def pq_encode(
     expression tree is assembled as ONE SQL string (``F.expr``), not
     composed Column objects — per-operator composition costs a py4j
     JVM round-trip each and measured ~9 s of DRIVER time at m=8/k=16
-    before any row moved.  At larger m*k, switch the argmin to the
-    Arrow matmul kernel exactly as
+    before any row moved.
+
+    Above ``_PQ_FLAT_TERM_LIMIT`` expanded terms the flat form's
+    generated ``processNext()`` exceeds janino's 64 KB method limit
+    (measured: 512 terms always compiles, 768 fails once a
+    materializing sink fuses into the stage — Spark then LOGS
+    ``Failed to compile`` and silently interprets the whole stage), so
+    large configs switch to a compact per-centroid
+    ``aggregate(zip_with(...))`` form whose generated code is one
+    bounded call per centroid instead of inlined straight-line
+    arithmetic.  The two forms are BIT-IDENTICAL: same subtraction and
+    multiplication operands in the same order, and the fold's
+    ``0.0 + t1 + t2 + ...`` equals the flat ``t1 + t2 + ...`` exactly
+    because every square is non-negative (IEEE ``+0.0 + x == x``) —
+    pytest-pinned in tests/test_quantize.py.  At larger m*k still,
+    switch the argmin to the Arrow matmul kernel exactly as
     ``semdedup.assign_clusters(use_arrow=True)`` does; the native path
     stays the portable/oracled semantics.
     """
@@ -171,6 +195,19 @@ def pq_encode(
             cents.append(" + ".join(terms))
         return "array(" + ", ".join(cents) + ")"
 
+    def dists_hof_sql(s: int) -> str:
+        # compact form: squared L2 as a fold over the pre-sliced
+        # subvector; one bounded expression node per centroid
+        cents = []
+        for c in books[s]:
+            lits = ", ".join(f"CAST('{ci!r}' AS DOUBLE)" for ci in c)
+            cents.append(
+                f"aggregate(zip_with(__s{s}, array({lits}), "
+                "(x, y) -> (x - y) * (x - y)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+        return "array(" + ", ".join(cents) + ")"
+
     dmats = [f"__d{s}" for s in range(m)]
     codes = (
         "array("
@@ -180,19 +217,34 @@ def pq_encode(
         + ")"
     )
     sq_err = " + ".join(f"array_min({d})" for d in dmats)
-    return (
-        df.select(
-            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-        )
-        .select(
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if m * k * sub_dim <= _PQ_FLAT_TERM_LIMIT:
+        dist_df = base.select(
             F.col(id_col),
             *[F.expr(dists_sql(s)).alias(f"__d{s}") for s in range(m)],
         )
-        .select(
+    else:
+        # slice once per subspace (k references each, so CollapseProject
+        # keeps the projection separate and the fold never re-slices)
+        sliced = base.select(
             F.col(id_col),
-            F.expr(codes).alias("codes"),
-            F.expr(sq_err).alias("sq_error"),
+            *[
+                F.expr(f"slice(__v, {s * sub_dim + 1}, {sub_dim})").alias(
+                    f"__s{s}"
+                )
+                for s in range(m)
+            ],
         )
+        dist_df = sliced.select(
+            F.col(id_col),
+            *[F.expr(dists_hof_sql(s)).alias(f"__d{s}") for s in range(m)],
+        )
+    return dist_df.select(
+        F.col(id_col),
+        F.expr(codes).alias("codes"),
+        F.expr(sq_err).alias("sq_error"),
     )
 
 
