@@ -92,11 +92,16 @@ def test_out_of_scope_inputs_return_none():
     assert decode_baseline_jpeg(None) is None
     full = encode_baseline_jpeg(_gradient(16, 16), 75)
     assert decode_baseline_jpeg(full[:40]) is None
-    # flip SOF0 -> SOF2 (progressive): out of documented scope
+    # flip SOF0 -> SOF2: now claims progressive, but the scan header
+    # (Ss=0, Se=63) is malformed for a progressive DC scan -> None
     prog = bytearray(full)
     idx = bytes(prog).find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
     assert decode_baseline_jpeg(bytes(prog)) is None
+    # arithmetic coding (SOF9) stays out of scope
+    arith = bytearray(full)
+    arith[idx + 1] = 0xC9
+    assert decode_baseline_jpeg(bytes(arith)) is None
 
 
 def test_encoder_validation():
@@ -156,3 +161,166 @@ def test_frame_pixel_stats_header_only_frames_flagged(spark):
     assert len(out) == 3
     assert all(not r["decoded"] for r in out)
     assert all(r["mean_r"] is None and r["width"] == 32 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+
+
+def _noisy(shape, seed=42):
+    rng = np.random.default_rng(seed)
+    if len(shape) == 2:
+        base = np.fromfunction(
+            lambda y, x: 128 + 60 * np.sin(x / 3) + 50 * np.cos(y / 4), shape
+        )
+    else:
+        base = np.fromfunction(
+            lambda y, x, c: 128 + 60 * np.sin((x + 40 * c) / 3)
+            + 50 * np.cos(y / 4),
+            shape,
+        )
+    return np.clip(base + rng.normal(0, 18, shape), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "shape,sub,q,dri",
+    [
+        ((16, 16), "4:4:4", 75, 0),  # grayscale
+        ((24, 33, 3), "4:4:4", 75, 0),
+        ((24, 33, 3), "4:2:0", 60, 0),  # odd dims + subsampled chroma
+        ((17, 19, 3), "4:2:0", 90, 2),  # restart markers in every scan
+        ((8, 8), "4:4:4", 50, 1),
+        ((40, 56, 3), "4:2:0", 75, 3),
+    ],
+)
+def test_progressive_decodes_identical_to_baseline(shape, sub, q, dri):
+    """The differential contract: baseline and progressive encodes of
+    the same pixels carry the same quantized coefficients, so the two
+    decodes must be BYTE-IDENTICAL — this pins every progressive scan
+    type (DC first/refine, AC first/refine, EOB, ZRL, restarts) against
+    the already-verified baseline path."""
+    from tube_spark.operators.jpeg import encode_progressive_jpeg
+
+    px = _noisy(shape)
+    db = decode_baseline_jpeg(
+        encode_baseline_jpeg(px, quality=q, subsampling=sub, restart_interval=dri)
+    )
+    dp = decode_baseline_jpeg(
+        encode_progressive_jpeg(
+            px, quality=q, subsampling=sub, restart_interval=dri
+        )
+    )
+    assert dp is not None
+    assert np.array_equal(db, dp)
+
+
+def test_progressive_stream_is_sof2_multiscan():
+    from tube_spark.operators.jpeg import encode_progressive_jpeg
+
+    buf = encode_progressive_jpeg(_noisy((24, 33, 3)), quality=75)
+    assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf
+    # 4-phase script over 3 components: 2 DC scans + 3 AC first + 3 AC
+    # refine = 8 SOS markers
+    assert buf.count(b"\xff\xda") == 8
+
+
+def test_progressive_roundtrip_error_bounds():
+    from tube_spark.operators.jpeg import encode_progressive_jpeg
+
+    img = _gradient(40, 56)
+    dec = decode_baseline_jpeg(encode_progressive_jpeg(img, quality=95))
+    assert dec is not None and dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_progressive_dispatch_point():
+    from tube_spark.operators.jpeg import encode_progressive_jpeg
+    from tube_spark.operators.multimodal import decode_jpeg_pixels
+
+    px = _noisy((16, 24, 3))
+    out = decode_jpeg_pixels(encode_progressive_jpeg(px, quality=85))
+    assert out is not None and out.shape == (16, 24, 3)
+
+
+def test_progressive_truncation_and_fuzz_never_raise():
+    from tube_spark.operators.jpeg import encode_progressive_jpeg
+
+    buf = encode_progressive_jpeg(_noisy((24, 33, 3)), quality=75)
+    for cut in (10, 60, len(buf) // 3, len(buf) - 5):
+        decode_baseline_jpeg(buf[:cut])  # must not raise
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        b = bytearray(buf)
+        for _ in range(6):
+            b[rng.integers(2, len(b))] = rng.integers(0, 256)
+        decode_baseline_jpeg(bytes(b))  # must not raise
+
+
+def test_ac_eob_run_spans_blocks():
+    """Cross-block EOB runs (EOBn, n>0) — our encoder only emits
+    per-block EOB0, so drive the decoder's run paths directly: three
+    blocks coded as one EOB2 run after the first block's coefficients,
+    via a custom table that contains the EOB1 symbol (0x10)."""
+    from tube_spark.operators.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _HuffTable,
+        _decode_block_ac_first,
+    )
+
+    # symbols: 0x01 (run0,size1), 0x10 (EOB1), 0x00 (EOB0), 0xF0 (ZRL)
+    tbl = _HuffTable([0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                     [0x01, 0x10, 0x00, 0xF0])
+    bw = _BitWriter()
+    c, ln = tbl.encode_map[0x01]
+    bw.write(c, ln)
+    bw.write(1, 1)  # coefficient +1 at k=1
+    c, ln = tbl.encode_map[0x10]  # EOB1: run = 2 + read_bits(1)
+    bw.write(c, ln)
+    bw.write(1, 1)  # -> run of 3 blocks total (this one + 2 more)
+    bw.flush()
+    reader = _BitReader(bytes(bw.out), 0)
+
+    blocks = [np.zeros(64, dtype=np.int32) for _ in range(4)]
+    eobrun = 0
+    eobrun = _decode_block_ac_first(reader, tbl, blocks[0], 1, 63, 1, eobrun)
+    assert blocks[0][1] == 1 << 1  # value shifted by al=1
+    assert eobrun == 2  # two more blocks inside the run
+    eobrun = _decode_block_ac_first(reader, tbl, blocks[1], 1, 63, 1, eobrun)
+    eobrun = _decode_block_ac_first(reader, tbl, blocks[2], 1, 63, 1, eobrun)
+    assert eobrun == 0
+    assert not blocks[1].any() and not blocks[2].any()
+
+
+def test_ac_refine_eob_run_reads_correction_bits():
+    """Refinement inside an EOB run: blocks covered by the run still
+    consume one correction bit per nonzero-history coefficient."""
+    from tube_spark.operators.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _HuffTable,
+        _decode_block_ac_refine,
+    )
+
+    tbl = _HuffTable([0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                     [0x01, 0x10, 0x00, 0xF0])
+    bw = _BitWriter()
+    c, ln = tbl.encode_map[0x10]  # EOB1 -> run = 2 + bits(1)
+    bw.write(c, ln)
+    bw.write(0, 1)  # run of exactly 2 blocks
+    bw.write(1, 1)  # correction bit for block0's coef at k=3 (1 -> grow)
+    bw.write(0, 1)  # correction bit for block1's coef at k=5 (0 -> keep)
+    bw.flush()
+    reader = _BitReader(bytes(bw.out), 0)
+
+    b0 = np.zeros(64, dtype=np.int32)
+    b0[3] = 2  # history: +2 at al=0 -> correction bit 1 makes it 3
+    b1 = np.zeros(64, dtype=np.int32)
+    b1[5] = -2
+    eobrun = _decode_block_ac_refine(reader, tbl, b0, 1, 63, 0, 0)
+    assert eobrun == 1
+    eobrun = _decode_block_ac_refine(reader, tbl, b1, 1, 63, 0, eobrun)
+    assert eobrun == 0
+    assert b0[3] == 3  # refined toward larger magnitude
+    assert b1[5] == -2  # bit 0: unchanged

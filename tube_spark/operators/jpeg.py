@@ -8,16 +8,25 @@ part of the training-data-pipeline surface (frame pixel statistics,
 perceptual hashing over real frames) built Spark-first.
 
 Scope (documented, asserted by tests):
-* DECODE: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+* DECODE: baseline sequential DCT (SOF0) — 8-bit, 1 or 3 components,
   any sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), one interleaved
-  scan, restart markers, byte stuffing.  Progressive (SOF2),
-  arithmetic coding, 12-bit, and hierarchical return None — callers
+  scan, restart markers, byte stuffing — AND progressive DCT (SOF2):
+  spectral selection, successive approximation (DC and AC refinement
+  scans, EOB runs), interleaved DC / non-interleaved AC scans,
+  per-scan table redefinition, restart markers (T.81 Annex G).
+  Arithmetic coding, 12-bit, and hierarchical return None — callers
   degrade to header-level features exactly as before.
-* ENCODE: baseline, quality-scaled standard tables (the "typical"
-  Huffman and quantization tables published in the JPEG standard,
-  ITU-T T.81 Annex K), 4:4:4 or 4:2:0, grayscale or RGB, optional
-  restart interval.  Exists so tests and synthesizers can produce
-  REAL entropy-coded payloads deterministically.
+* ENCODE: baseline or progressive, quality-scaled standard tables
+  (the "typical" Huffman and quantization tables published in the
+  JPEG standard, ITU-T T.81 Annex K), 4:4:4 or 4:2:0, grayscale or
+  RGB, optional restart interval.  The progressive writer emits the
+  classic 4-phase script (DC first at Al=1, DC refine, per-component
+  AC first at Al=1, per-component AC refine) with per-block EOB0 so
+  the standard tables suffice.  Exists so tests and synthesizers can
+  produce REAL entropy-coded payloads deterministically — and so the
+  progressive DECODER is differentially verified: baseline and
+  progressive encodes of the same pixels carry the SAME quantized
+  coefficients, so their decodes must be byte-identical.
 
 Throughput: the Huffman scan is bit-serial Python — correct and fast
 enough for thumbnail/keyframe work inside Arrow-batched mapInPandas,
@@ -260,14 +269,211 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_baseline_jpeg(buf: bytes) -> "np.ndarray | None":
-    """Decode a baseline JPEG to an HxWx3 uint8 RGB array (grayscale
-    replicated across channels).  Returns None for anything outside the
-    documented scope (progressive, 12-bit, >2 sampling factors,
-    multi-scan) or malformed input — never raises on bad bytes."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to an HxWx3
+    uint8 RGB array (grayscale replicated across channels).  Returns
+    None for anything outside the documented scope (arithmetic coding,
+    12-bit, >2 sampling factors) or malformed input — never raises on
+    bad bytes.  (The name predates progressive support and is the
+    stable dispatch point ``multimodal.py`` binds to.)"""
     try:
         return _decode(buf)
     except (ValueError, IndexError, struct.error, KeyError):
         return None
+
+
+def _next_segment(buf: bytes, p: int) -> int:
+    """Position of the next real marker (skips entropy bytes, stuffed
+    FF00 pairs and RSTn) at or after ``p``."""
+    n = len(buf)
+    while p + 1 < n:
+        if (
+            buf[p] == 0xFF
+            and buf[p + 1] != 0x00
+            and buf[p + 1] != 0xFF
+            and not 0xD0 <= buf[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return n
+
+
+def _decode_block_baseline(reader, dc_t, ac_t, coef, pred, ci) -> None:
+    """One full 8x8 block (zigzag-order coefficients) — the baseline
+    sequential decode: DC diff + AC run-length to EOB."""
+    s = reader.decode_symbol(dc_t)
+    diff = _extend(reader.read_bits(s), s)
+    pred[ci] += diff
+    coef[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_symbol(ac_t)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[k] = _extend(reader.read_bits(size), size)
+        k += 1
+
+
+def _decode_block_ac_first(reader, ac_t, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC initial scan for one block (T.81 G.1.2.2): EOB
+    runs span blocks; new coefficients land shifted left by ``al``.
+    Returns the updated EOB run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_t)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r != 15:  # EOBn: this block ends the coded data
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _decode_block_ac_refine(reader, ac_t, coef, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): one
+    correction bit per already-nonzero coefficient in decode order,
+    newly-nonzero coefficients arrive as ±(1<<al).  Returns the updated
+    EOB run counter."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_t)
+            r, size = rs >> 4, rs & 0xF
+            newval = 0
+            if size == 0:
+                if r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                newval = p1 if reader.read_bits(1) else m1
+            # advance over r zero-history coefficients, emitting a
+            # correction bit at every nonzero-history one passed
+            while k <= se:
+                c = int(coef[k])
+                if c != 0:
+                    if reader.read_bits(1) and (c & p1) == 0:
+                        coef[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for nonzero history
+        while k <= se:
+            c = int(coef[k])
+            if c != 0:
+                if reader.read_bits(1) and (c & p1) == 0:
+                    coef[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    buf, data_pos, frame, scan_comps, ss, se, ah, al,
+    coefs, block_dims, huff_dc, huff_ac, restart_interval, progressive,
+) -> int:
+    """Decode one entropy-coded scan into the coefficient arrays.
+    Returns the buffer position after the scan's data."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    reader = _BitReader(buf, data_pos)
+    pred = [0] * len(comps)
+    eobrun = 0
+    unit = 0  # MCUs (interleaved) or blocks (single-component)
+
+    def maybe_restart():
+        nonlocal unit, pred, eobrun
+        if restart_interval and unit == restart_interval:
+            reader.reset_at_restart()
+            pred = [0] * len(comps)
+            eobrun = 0
+            unit = 0
+
+    if len(scan_comps) > 1:
+        # interleaved: full MCU order (baseline, or progressive DC)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci, td, ta in scan_comps:
+                    cid, hs, vs, tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = coefs[ci][my * vs + by, mx * hs + bx]
+                            if not progressive:
+                                _decode_block_baseline(
+                                    reader, huff_dc[td], huff_ac[ta],
+                                    coef, pred, ci,
+                                )
+                            elif ah == 0:  # DC first
+                                s = reader.decode_symbol(huff_dc[td])
+                                pred[ci] += _extend(reader.read_bits(s), s)
+                                coef[0] = pred[ci] << al
+                            else:  # DC refinement: one raw bit
+                                if reader.read_bits(1):
+                                    coef[0] = int(coef[0]) | (1 << al)
+                unit += 1
+    else:
+        # non-interleaved: the component's own (unpadded) block grid
+        ci, td, ta = scan_comps[0]
+        bh, bw_ = block_dims[ci]
+        for by in range(bh):
+            for bx in range(bw_):
+                maybe_restart()
+                coef = coefs[ci][by, bx]
+                if not progressive:
+                    _decode_block_baseline(
+                        reader, huff_dc[td], huff_ac[ta], coef, pred, ci
+                    )
+                elif ss == 0:
+                    if ah == 0:
+                        s = reader.decode_symbol(huff_dc[td])
+                        pred[ci] += _extend(reader.read_bits(s), s)
+                        coef[0] = pred[ci] << al
+                    else:
+                        if reader.read_bits(1):
+                            coef[0] = int(coef[0]) | (1 << al)
+                elif ah == 0:
+                    eobrun = _decode_block_ac_first(
+                        reader, huff_ac[ta], coef, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_block_ac_refine(
+                        reader, huff_ac[ta], coef, ss, se, al, eobrun
+                    )
+                unit += 1
+
+    return _next_segment(buf, reader.pos)
 
 
 def _decode(buf: bytes) -> "np.ndarray | None":
@@ -278,20 +484,25 @@ def _decode(buf: bytes) -> "np.ndarray | None":
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
+    progressive = False
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(buf):
+    coefs: list[np.ndarray] | None = None
+    block_dims: list[tuple[int, int]] = []
+    n_scans = 0
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             return None
         marker = buf[pos + 1]
         if marker == 0xFF:
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before SOS: no image
-            return None
+        if marker == 0xD9:  # EOI
+            break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(buf):
+            return None
         seg_len = int.from_bytes(buf[pos + 2 : pos + 4], "big")
         if seg_len < 2 or pos + 2 + seg_len > len(buf):
             return None
@@ -321,7 +532,10 @@ def _decode(buf: bytes) -> "np.ndarray | None":
                 t = _HuffTable(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = t
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                return None
+            progressive = marker == 0xC2
             prec = body[0]
             if prec != 8:
                 return None
@@ -338,94 +552,94 @@ def _decode(buf: bytes) -> "np.ndarray | None":
             if any(not 1 <= hs <= 2 or not 1 <= vs <= 2 for _, hs, vs, _ in comps):
                 return None
             frame = (h, w, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = []
+            block_dims = []
+            for cid, hs, vs, tq in comps:
+                # MCU-padded grid for interleaved scans; the unpadded
+                # dims bound non-interleaved (single-component) scans
+                coefs.append(
+                    np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                )
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                block_dims.append(((ch + 7) // 8, (cw + 7) // 8))
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive/arithmetic/etc: out of scope
+            return None  # extended/arithmetic/hierarchical: out of scope
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
+            if frame is None or coefs is None:
+                return None
             ns = body[0]
-            if frame is None or ns != len(frame[2]):
-                return None  # multi-scan: out of scope
-            sel = {}
+            if len(body) < 1 + 2 * ns + 3:
+                return None
+            cid_to_ci = {c[0]: i for i, c in enumerate(frame[2])}
+            scan_comps = []
             for c in range(ns):
                 cs = body[1 + 2 * c]
+                if cs not in cid_to_ci:
+                    return None
                 td_ta = body[2 + 2 * c]
-                sel[cs] = (td_ta >> 4, td_ta & 0xF)
-            scan = (sel, pos + 2 + seg_len)
-            break
+                scan_comps.append((cid_to_ci[cs], td_ta >> 4, td_ta & 0xF))
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ah_al = body[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0xF
+            if progressive:
+                if ss == 0 and se != 0:
+                    return None  # DC scan must be DC-only (G.1.1.1.1)
+                if ss > 0 and (ns != 1 or se < ss or se > 63):
+                    return None
+            else:
+                # baseline scope: ONE full interleaved scan
+                if ns != len(frame[2]) or ss != 0 or se != 63 or ah or al:
+                    return None
+                if n_scans:
+                    return None
+            # validate only the tables this scan type actually uses
+            for ci, td, ta in scan_comps:
+                if frame[2][ci][3] not in quant:
+                    return None
+                needs_dc = ss == 0 and (not progressive or ah == 0)
+                needs_ac = se > 0
+                if needs_dc and td not in huff_dc:
+                    return None
+                if needs_ac and ta not in huff_ac:
+                    return None
+            pos = _decode_scan(
+                buf, pos + 2 + seg_len, frame, scan_comps, ss, se, ah, al,
+                coefs, block_dims, huff_dc, huff_ac, restart_interval,
+                progressive,
+            )
+            n_scans += 1
+            continue
         pos += 2 + seg_len
-    if frame is None or scan is None:
+    if frame is None or coefs is None or n_scans == 0:
         return None
     h, w, comps = frame
-    sel, data_pos = scan
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    # per-component coefficient planes (MCU-padded)
-    planes = []
-    for cid, hs, vs, tq in comps:
-        if tq not in quant or cid not in sel:
-            return None
-        td, ta = sel[cid]
-        if td not in huff_dc or ta not in huff_ac:
-            return None
-        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.int32))
-
-    reader = _BitReader(buf, data_pos)
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count == restart_interval:
-                reader.reset_at_restart()
-                pred = [0] * len(comps)
-                mcu_count = 0
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                td, ta = sel[cid]
-                dc_t, ac_t = huff_dc[td], huff_ac[ta]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef = np.zeros(64, dtype=np.int32)
-                        s = reader.decode_symbol(dc_t)
-                        diff = _extend(reader.read_bits(s), s)
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(ac_t)
-                            r, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            coef[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.int64)
-                        block[ZIGZAG] = coef * quant[tq]
-                        px = _DCT_M.T @ block.reshape(8, 8).astype(np.float64) @ _DCT_M
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.round(px).astype(
-                            np.int32
-                        )
-            mcu_count += 1
-
-    # upsample to full resolution, crop, level shift
+    # batched dequantize + inverse zigzag + 2D IDCT per component
     full = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
-        p = planes[ci]
+        dq = coefs[ci].astype(np.float64) * quant[tq].astype(np.float64)
+        by, bx = dq.shape[:2]
+        nat = np.zeros_like(dq)
+        nat[..., ZIGZAG] = dq
+        blocks = nat.reshape(by, bx, 8, 8)
+        px = _DCT_M.T @ blocks @ _DCT_M  # broadcast over (by, bx)
+        plane = np.rint(px).astype(np.int32)
+        plane = plane.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         if hs < hmax:
-            p = np.repeat(p, hmax // hs, axis=1)
+            plane = np.repeat(plane, hmax // hs, axis=1)
         if vs < vmax:
-            p = np.repeat(p, vmax // vs, axis=0)
-        full.append(p[:h, :w].astype(np.float64) + 128.0)
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        full.append(plane[:h, :w].astype(np.float64) + 128.0)
 
     if len(full) == 1:
         g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
@@ -513,15 +727,10 @@ def _encode_block(
     return int(coef[0])
 
 
-def encode_baseline_jpeg(
-    pixels: np.ndarray,
-    quality: int = 75,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
-    baseline JPEG.  Deterministic: same pixels + parameters -> same
-    bytes (fixed tables, no rate control)."""
+def _prep_planes(pixels: np.ndarray, subsampling: str):
+    """Shared encoder front half: validate shape, color-convert,
+    chroma-downsample, MCU-pad.  Returns
+    (gray, h, w, comps, prepped planes, mcux, mcuy)."""
     if pixels.ndim == 2:
         gray = True
         h, w = pixels.shape
@@ -533,14 +742,6 @@ def encode_baseline_jpeg(
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     sub = 2 if (subsampling == "4:2:0" and not gray) else 1
-
-    # zigzag order throughout: the DQT segment stores tables in zigzag
-    # stream order, and _encode_block divides zigzag-ordered
-    # coefficients — one ordering, no permutation at either site
-    ql = quality_scaled_quant(STD_LUMA_QUANT, quality)[ZIGZAG]
-    qc = quality_scaled_quant(STD_CHROMA_QUANT, quality)[ZIGZAG]
-    dcl, acl = _HuffTable(*STD_DC_LUMA), _HuffTable(*STD_AC_LUMA)
-    dcc, acc = _HuffTable(*STD_DC_CHROMA), _HuffTable(*STD_AC_CHROMA)
 
     if gray:
         y = pixels.astype(np.float64)
@@ -575,8 +776,20 @@ def encode_baseline_jpeg(
             mode="edge",
         )[:ph, :pw]
         prepped.append(p)
+    return gray, h, w, comps, prepped, mcux, mcuy
 
-    bw = _BitWriter()
+
+def _header_segments(
+    gray: bool,
+    h: int,
+    w: int,
+    comps,
+    ql: np.ndarray,
+    qc: np.ndarray,
+    sof_marker: int,
+    restart_interval: int,
+) -> bytearray:
+    """SOI through DHT/DRI (everything before the first SOS)."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
         b"\xff\xe0" + (16).to_bytes(2, "big")
@@ -586,7 +799,7 @@ def encode_baseline_jpeg(
         out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tq])
         out += bytes(int(v) for v in q)  # already zigzag order
     nc = len(comps)
-    out += b"\xff\xc0" + (8 + 3 * nc).to_bytes(2, "big") + b"\x08"
+    out += bytes((0xFF, sof_marker)) + (8 + 3 * nc).to_bytes(2, "big") + b"\x08"
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for cid, hs, vs, tq in comps:
         out += bytes([cid, (hs << 4) | vs, tq])
@@ -599,11 +812,36 @@ def encode_baseline_jpeg(
     if restart_interval:
         out += b"\xff\xdd" + (4).to_bytes(2, "big")
         out += int(restart_interval).to_bytes(2, "big")
+    return out
+
+
+def encode_baseline_jpeg(
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
+    baseline JPEG.  Deterministic: same pixels + parameters -> same
+    bytes (fixed tables, no rate control)."""
+    gray, h, w, comps, prepped, mcux, mcuy = _prep_planes(pixels, subsampling)
+
+    # zigzag order throughout: the DQT segment stores tables in zigzag
+    # stream order, and _encode_block divides zigzag-ordered
+    # coefficients — one ordering, no permutation at either site
+    ql = quality_scaled_quant(STD_LUMA_QUANT, quality)[ZIGZAG]
+    qc = quality_scaled_quant(STD_CHROMA_QUANT, quality)[ZIGZAG]
+    dcl, acl = _HuffTable(*STD_DC_LUMA), _HuffTable(*STD_AC_LUMA)
+    dcc, acc = _HuffTable(*STD_DC_CHROMA), _HuffTable(*STD_AC_CHROMA)
+    nc = len(comps)
+
+    out = _header_segments(gray, h, w, comps, ql, qc, 0xC0, restart_interval)
     out += b"\xff\xda" + (6 + 2 * nc).to_bytes(2, "big") + bytes([nc])
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         out += bytes([cid, 0x00 if ci == 0 else 0x11])
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
 
+    bw = _BitWriter()
     pred = [0] * nc
     mcu_count = 0
     rst = 0
@@ -626,5 +864,226 @@ def encode_baseline_jpeg(
             mcu_count += 1
     bw.flush()
     out += bytes(bw.out)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _emit_dc_first(bw: _BitWriter, dc_t: _HuffTable, v: int, pred: int) -> int:
+    """One DC-first value (already point-transformed): size-coded diff."""
+    diff = v - pred
+    s = abs(diff).bit_length()
+    code, length = dc_t.encode_map[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _emit_ac_first(bw: _BitWriter, ac_t: _HuffTable, coef, al: int) -> None:
+    """Progressive AC initial scan for one block, per-block EOB0 (no
+    cross-block EOB runs, so the standard tables suffice)."""
+    r = 0
+    for k in range(1, 64):
+        v = int(coef[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_t.encode_map[0xF0]  # ZRL
+            bw.write(code, length)
+            r -= 16
+        s = t.bit_length()
+        code, length = ac_t.encode_map[(r << 4) | s]
+        bw.write(code, length)
+        sv = t if v >= 0 else -t
+        bw.write(sv if sv >= 0 else sv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        code, length = ac_t.encode_map[0x00]  # EOB0
+        bw.write(code, length)
+
+
+def _emit_ac_refine(bw: _BitWriter, ac_t: _HuffTable, coef, al: int) -> None:
+    """Progressive AC refinement for one block (T.81 G figure G.7 /
+    the public libjpeg jcphuff structure): newly-nonzero coefficients
+    as (run,1) symbols with a sign bit; correction bits for
+    already-nonzero coefficients buffered and flushed after the next
+    emitted symbol, so the decoder reads them in position order while
+    advancing."""
+    absv = [0] * 64
+    eob = 0
+    for k in range(1, 64):
+        t = abs(int(coef[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k  # last NEWLY-nonzero position
+    r = 0
+    br: list[int] = []
+
+    def flush_br() -> None:
+        for bit in br:
+            bw.write(bit, 1)
+        br.clear()
+
+    for k in range(1, 64):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        # emit pending ZRLs unless they fold into the trailing EOB;
+        # this check runs at EVERY nonzero absvalue (also history-only
+        # ones), which is what keeps encoder/decoder bit order aligned
+        while r > 15 and k <= eob:
+            code, length = ac_t.encode_map[0xF0]
+            bw.write(code, length)
+            r -= 16
+            flush_br()
+        if t > 1:  # previously nonzero: just its correction bit
+            br.append(t & 1)
+            continue
+        code, length = ac_t.encode_map[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(coef[k]) >= 0 else 0, 1)  # sign: 1 -> +(1<<al)
+        flush_br()
+        r = 0
+    if r > 0 or br:
+        code, length = ac_t.encode_map[0x00]  # EOB0 + its buffered bits
+        bw.write(code, length)
+        flush_br()
+
+
+def encode_progressive_jpeg(
+    pixels: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
+    PROGRESSIVE JPEG (SOF2) with the classic 4-phase scan script:
+
+      1. DC first, all components interleaved (Ah=0, Al=1)
+      2. DC refinement (Ah=1, Al=0)
+      3. per component: AC spectral band 1-63 first pass (Ah=0, Al=1)
+      4. per component: AC refinement (Ah=1, Al=0)
+
+    Quantized coefficients are computed with EXACTLY the baseline
+    encoder's arithmetic (same DCT expression per 8x8 block, same
+    round-half-even divide), so a progressive encode decodes to the
+    byte-identical image as the baseline encode of the same pixels —
+    the differential contract tests/test_jpeg_codec.py pins."""
+    gray, h, w, comps, prepped, mcux, mcuy = _prep_planes(pixels, subsampling)
+    ql = quality_scaled_quant(STD_LUMA_QUANT, quality)[ZIGZAG]
+    qc = quality_scaled_quant(STD_CHROMA_QUANT, quality)[ZIGZAG]
+    dcl, acl = _HuffTable(*STD_DC_LUMA), _HuffTable(*STD_AC_LUMA)
+    dcc, acc = _HuffTable(*STD_DC_CHROMA), _HuffTable(*STD_AC_CHROMA)
+    nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    # quantized zigzag coefficients per component — per-block, with the
+    # IDENTICAL expression _encode_block uses (a batched matmul can
+    # round differently at half-ulp boundaries; determinism wins here)
+    coefs = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = prepped[ci]
+        q = ql if tq == 0 else qc
+        by_n, bx_n = p.shape[0] // 8, p.shape[1] // 8
+        arr = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = _DCT_M @ (blk.astype(np.float64) - 128.0) @ _DCT_M.T
+                arr[by, bx] = np.round(f.reshape(64)[ZIGZAG] / q).astype(
+                    np.int64
+                )
+        coefs.append(arr)
+
+    out = _header_segments(gray, h, w, comps, ql, qc, 0xC2, restart_interval)
+
+    def sos(scan_cis, ss, se, ah, al) -> bytes:
+        seg = bytearray(
+            b"\xff\xda"
+            + (6 + 2 * len(scan_cis)).to_bytes(2, "big")
+            + bytes([len(scan_cis)])
+        )
+        for ci in scan_cis:
+            seg += bytes([comps[ci][0], 0x00 if ci == 0 else 0x11])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    class _Scan:
+        """Per-scan bit writer + restart bookkeeping (RST numbering and
+        the interval counter reset at every SOS)."""
+
+        def __init__(self) -> None:
+            self.bw = _BitWriter()
+            self.count = 0
+            self.rst = 0
+
+        def tick(self, on_restart=None) -> None:
+            if restart_interval and self.count == restart_interval:
+                self.bw.marker(0xD0 + self.rst)
+                self.rst = (self.rst + 1) % 8
+                self.count = 0
+                if on_restart is not None:
+                    on_restart()
+
+        def done(self) -> bytes:
+            self.bw.flush()
+            return bytes(self.bw.out)
+
+    # scan 1: DC first (interleaved, MCU-padded grid), Al=1
+    out += sos(list(range(nc)), 0, 0, 0, 1)
+    sc = _Scan()
+    pred = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            sc.tick(lambda: pred.__setitem__(slice(None), [0] * nc))
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dt = dcl if ci == 0 else dcc
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(coefs[ci][my * vs + by, mx * hs + bx, 0]) >> 1
+                        pred[ci] = _emit_dc_first(sc.bw, dt, v, pred[ci])
+            sc.count += 1
+    out += sc.done()
+
+    # scan 2: DC refinement — one raw bit per block
+    out += sos(list(range(nc)), 0, 0, 1, 0)
+    sc = _Scan()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            sc.tick()
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                for by in range(vs):
+                    for bx in range(hs):
+                        sc.bw.write(
+                            int(coefs[ci][my * vs + by, mx * hs + bx, 0]) & 1,
+                            1,
+                        )
+            sc.count += 1
+    out += sc.done()
+
+    # non-interleaved AC scans walk the component's UNPADDED block grid
+    def ac_dims(ci):
+        cid, hs, vs, tq = comps[ci]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    for emit, ah, al in ((_emit_ac_first, 0, 1), (_emit_ac_refine, 1, 0)):
+        for ci in range(nc):
+            at = acl if ci == 0 else acc
+            out += sos([ci], 1, 63, ah, al)
+            sc = _Scan()
+            bh, bwid = ac_dims(ci)
+            for by in range(bh):
+                for bx in range(bwid):
+                    sc.tick()
+                    emit(sc.bw, at, coefs[ci][by, bx], al)
+                    sc.count += 1
+            out += sc.done()
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)

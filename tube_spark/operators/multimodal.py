@@ -163,13 +163,14 @@ def jpeg_dimensions(buf: bytes) -> tuple[int, int] | None:
 
 def decode_jpeg_pixels(frame: bytes) -> "np.ndarray | None":
     """Codec dispatch point: pixel-decode one JPEG frame to an HxWx3
-    uint8 array.  Baseline sequential JPEGs (SOF0 — the MJPEG frame
-    format) decode through the pure-numpy codec in ``operators/jpeg.py``
-    (Huffman scan + IDCT, real entropy decoding, no codec library);
-    Pillow/libjpeg takes precedence when installed, covering
-    progressive/exotic variants and native-speed bulk decode.  Returns
-    None for formats neither path handles — callers emit header-level
-    features only."""
+    uint8 array.  Baseline sequential (SOF0 — the MJPEG frame format)
+    AND progressive (SOF2 — the majority of web JPEGs) decode through
+    the pure-numpy codec in ``operators/jpeg.py`` (Huffman scan +
+    successive-approximation/spectral-selection passes + IDCT, real
+    entropy decoding, no codec library); Pillow/libjpeg takes
+    precedence when installed, covering arithmetic/12-bit variants and
+    native-speed bulk decode.  Returns None for formats neither path
+    handles — callers emit header-level features only."""
     try:  # pragma: no cover - exercised only where Pillow exists
         import io
 

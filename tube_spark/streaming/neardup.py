@@ -53,12 +53,18 @@ class StreamingNearDup:
         id_col: str = "doc_id",
         text_col: str = "text",
         threshold: float = 0.7,
+        auto_compact_at: int | None = None,
     ) -> None:
         self.index = index
         self.hits_dir = hits_dir
         self.id_col = id_col
         self.text_col = text_col
         self.threshold = threshold
+        # a stream is exactly where per-append file accretion piles up
+        # one generation per epoch (the searchindex streaming lesson:
+        # BM25 search degraded 3.2x at 8 segments) — pass the measured
+        # threshold so the loop rewrites the store periodically
+        self.auto_compact_at = auto_compact_at
 
     @property
     def _state_path(self) -> str:
@@ -103,7 +109,8 @@ class StreamingNearDup:
         if half_committed:
             # compensated re-append: only ids the half-commit missed
             self.index.append(
-                batch, self.id_col, self.text_col, if_absent=True
+                batch, self.id_col, self.text_col, if_absent=True,
+                auto_compact_at=self.auto_compact_at,
             )
         else:
             # write-ahead intent BEFORE the non-idempotent append: a
@@ -112,7 +119,10 @@ class StreamingNearDup:
             # blind double append
             state["pending"] = {"batch_id": batch_id}
             self._write_state(state)
-            self.index.append(batch, self.id_col, self.text_col)
+            self.index.append(
+                batch, self.id_col, self.text_col,
+                auto_compact_at=self.auto_compact_at,
+            )
         self._write_state({"last_batch_id": batch_id})
 
     def hits(self, spark: SparkSession) -> DataFrame:
