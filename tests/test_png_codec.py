@@ -1,0 +1,249 @@
+"""PNG codec (operators/png.py): lossless roundtrips over every filter
+type, palette/alpha color types, Adam7 deinterlace, scope boundaries,
+and the multi-format pHash dispatch."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tube_spark.operators.png import (
+    _ADAM7,
+    _SIG,
+    _filter_row,
+    decode_png,
+    encode_png,
+    png_dimensions,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def _img(h, w, ch=3, seed=3):
+    rng = np.random.default_rng(seed)
+    base = np.fromfunction(
+        lambda y, x: 40 * np.sin(x / 5) + 30 * np.cos(y / 7) + 128, (h, w)
+    )
+    out = np.stack(
+        [np.clip(base + rng.normal(0, 25, (h, w)), 0, 255) for _ in range(ch)],
+        axis=-1,
+    ).astype(np.uint8)
+    return out[..., 0] if ch == 1 else out
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "adaptive"])
+@pytest.mark.parametrize("shape", [(16, 16, 3), (13, 21, 3), (9, 7)])
+def test_lossless_roundtrip_every_filter(ft, shape):
+    px = _img(*shape[:2], ch=shape[2] if len(shape) == 3 else 1)
+    dec = decode_png(encode_png(px, filter_type=ft))
+    assert dec is not None
+    want = px if px.ndim == 3 else np.stack([px, px, px], axis=-1)
+    assert np.array_equal(dec, want)  # PNG is lossless — exact
+
+
+def test_deterministic_bytes_and_dimensions():
+    px = _img(10, 14)
+    assert encode_png(px, 2) == encode_png(px, 2)
+    assert png_dimensions(encode_png(px)) == (14, 10)
+    assert png_dimensions(b"nope") is None
+
+
+def _raw_rows(samples: np.ndarray) -> bytes:
+    """filter-0 scanlines from an (h, w, ch) sample array."""
+    h = samples.shape[0]
+    flat = samples.reshape(h, -1).astype(np.uint8)
+    out = bytearray()
+    for y in range(h):
+        out.append(0)
+        out += flat[y].tobytes()
+    return bytes(out)
+
+
+def _hand_png(w, h, color_type, samples, extra_chunks=b"", depth=8):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    idat = zlib.compress(_raw_rows(samples))
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + extra_chunks
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_palette_decode():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], np.uint8)
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4, 1) % 4
+    buf = _hand_png(4, 3, 3, idx, extra_chunks=_chunk(b"PLTE", pal.tobytes()))
+    dec = decode_png(buf)
+    assert np.array_equal(dec, pal[idx[..., 0]])
+    # palette index out of range -> None, not a crash
+    bad = _hand_png(4, 3, 3, idx + 10, extra_chunks=_chunk(b"PLTE", pal.tobytes()))
+    assert decode_png(bad) is None
+
+
+def test_gray_alpha_and_rgba_drop_alpha():
+    g = _img(6, 5, ch=1)
+    ga = np.stack([g, np.full_like(g, 77)], axis=-1)
+    dec = decode_png(_hand_png(5, 6, 4, ga))
+    assert np.array_equal(dec, np.stack([g, g, g], axis=-1))
+    rgb = _img(6, 5, ch=3)
+    rgba = np.concatenate([rgb, np.full((6, 5, 1), 9, np.uint8)], axis=-1)
+    dec = decode_png(_hand_png(5, 6, 6, rgba))
+    assert np.array_equal(dec, rgb)
+
+
+def test_adam7_interlaced_decode():
+    """Hand-interlace: split the image into the seven Adam7 passes,
+    each filtered independently (mixed filter types), and decode."""
+    h, w = 13, 11
+    px = _img(h, w, ch=3)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph_, pw_ = sub.shape[:2]
+        flat = sub.reshape(ph_, pw_ * 3).astype(np.uint8)
+        prev = np.zeros(pw_ * 3, dtype=np.uint8)
+        ft = pi % 5  # exercise every filter across passes
+        for y in range(ph_):
+            raw.append(ft)
+            raw += _filter_row(ft, flat[y], prev, 3).tobytes()
+            prev = flat[y]
+    buf = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    dec = decode_png(buf)
+    assert dec is not None
+    assert np.array_equal(dec, px)
+
+
+def test_multiple_idat_chunks():
+    px = _img(8, 8)
+    full = encode_png(px, 1)
+    # split the single IDAT into two chunks
+    sig_ihdr = full[: 8 + 25]
+    idat_len = int.from_bytes(full[33:37], "big")
+    idat_body = full[41 : 41 + idat_len]
+    rest = full[41 + idat_len + 4 :]
+    mid = len(idat_body) // 2
+    split = (
+        sig_ihdr
+        + _chunk(b"IDAT", idat_body[:mid])
+        + _chunk(b"IDAT", idat_body[mid:])
+        + rest
+    )
+    assert np.array_equal(decode_png(split), decode_png(full))
+
+
+def test_out_of_scope_and_fuzz_never_raise():
+    px = _img(9, 9)
+    # 16-bit depth: out of scope
+    g16 = _hand_png(9, 9, 0, px[..., :1], depth=16)
+    assert decode_png(g16) is None
+    assert decode_png(None) is None
+    assert decode_png(b"\x89PNG\r\n\x1a\n") is None
+    buf = encode_png(px, 4)
+    for cut in (9, 20, len(buf) // 2, len(buf) - 3):
+        decode_png(buf[:cut])  # must not raise
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        b = bytearray(buf)
+        for _ in range(5):
+            b[rng.integers(8, len(b))] = rng.integers(0, 256)
+        decode_png(bytes(b))  # must not raise
+
+
+def test_encoder_validation():
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4, 3), np.uint8), filter_type=7)
+
+
+def test_decode_media_png():
+    from tube_spark.operators.multimodal import decode_media
+
+    px = _img(12, 20)
+    meta = decode_media(encode_png(px))
+    assert meta["kind"] == "image"
+    assert (meta["width"], meta["height"]) == (20, 12)
+    assert meta["value_mean"] == pytest.approx(float(px.mean()), abs=1e-6)
+    # 16-bit: header parses, pixels degrade to NULL
+    g16 = _hand_png(9, 9, 0, px[:9, :9, :1], depth=16)
+    meta = decode_media(g16)
+    assert meta["kind"] == "image" and meta["value_mean"] is None
+
+
+def test_phash_cross_format_consistency():
+    """The same pixels as BMP and as lossless PNG must hash
+    IDENTICALLY; a JPEG re-encode of them must land within a small
+    Hamming distance (that is the whole point of pHash)."""
+    from tube_spark.operators.jpeg import encode_baseline_jpeg
+    from tube_spark.operators.multimodal import phash_image
+
+    h, w = 32, 48
+    px = _img(h, w, ch=3, seed=11)
+    # BMP is bottom-up BGR 24-bit
+    import tube_spark.operators.multimodal as MM
+
+    stride = MM.bmp_stride(w)
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = px[y][:, ::-1].reshape(-1).tobytes()  # RGB -> BGR
+        rows += line + b"\x00" * (stride - 3 * w)
+    bmp = (
+        b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    ) + bytes(rows)
+    hb = phash_image(bytes(bmp))
+    hp = phash_image(encode_png(px))
+    hj = phash_image(encode_baseline_jpeg(px, quality=90))
+    assert hb is not None and hb == hp  # lossless formats: identical
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(hp, hj) <= 6  # lossy re-encode stays perceptually close
+    assert phash_image(b"junk") is None
+
+
+def test_image_near_duplicates_across_formats(spark):
+    """A PNG and a JPEG re-encode of the same image must pair up in
+    the LAION-style near-dup pipeline."""
+    from tube_spark.operators.jpeg import encode_baseline_jpeg
+    from tube_spark.operators.multimodal import image_near_duplicates
+
+    a = _img(32, 48, ch=3, seed=21)
+    b = _img(32, 48, ch=3, seed=22)
+    rows = [
+        (1, bytearray(encode_png(a))),
+        (2, bytearray(encode_baseline_jpeg(a, quality=90))),
+        (3, bytearray(encode_png(b))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_duplicates(df, max_hamming=6, bands=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs

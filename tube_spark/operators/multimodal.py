@@ -253,11 +253,33 @@ def decode_avi(payload: bytes) -> dict | None:
     }
 
 
+def decode_png_meta(payload: bytes) -> dict | None:
+    """PNG → the decode_bmp-shaped metadata dict: IHDR dims always;
+    value_mean from the REAL pixel decode (operators/png.py) when the
+    payload is in the codec's scope, NULL when only the header parses
+    (16-bit etc.) — the degrade-to-header contract."""
+    from tube_spark.operators.png import decode_png, png_dimensions
+
+    dims = png_dimensions(payload)
+    if dims is None:
+        return None
+    px = decode_png(payload)
+    return {
+        "kind": "image",
+        "width": dims[0],
+        "height": dims[1],
+        "n_bytes": len(payload),
+        "sample_rate": None,
+        "duration_ms": None,
+        "value_mean": float(px.mean()) if px is not None else None,
+    }
+
+
 def decode_media(payload: bytes) -> dict:
-    """Dispatch on magic bytes: BMP → image stats, WAV → audio stats,
-    AVI → video stats, anything else → kind="unknown" with byte stats
-    only (the hook where a deployment plugs Pillow/ffmpeg)."""
-    for dec in (decode_bmp, decode_wav, decode_avi):
+    """Dispatch on magic bytes: BMP/PNG → image stats, WAV → audio
+    stats, AVI → video stats, anything else → kind="unknown" with byte
+    stats only (the hook where a deployment plugs Pillow/ffmpeg)."""
+    for dec in (decode_bmp, decode_png_meta, decode_wav, decode_avi):
         out = dec(payload)
         if out is not None:
             return out
@@ -754,15 +776,32 @@ def _dct_matrix(n: int) -> np.ndarray:
 _DCT32 = _dct_matrix(32)
 
 
+def _phash_from_gray(gray: np.ndarray) -> int:
+    """The shared pHash tail: HxW float grayscale -> nearest-resize to
+    32x32 -> 2-D DCT-II -> low-frequency 8x8 block -> bit i set iff
+    coefficient i > median(block); packed into a signed Spark long."""
+    h, w = gray.shape
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    small = gray[np.ix_(yi, xi)]
+    coef = _DCT32 @ small @ _DCT32.T
+    block = coef[:8, :8]
+    med = np.median(block)
+    bits = (block > med).flatten()
+    val = 0
+    for i, b in enumerate(bits):
+        val |= int(b) << i
+    if val >= 1 << 63:  # two's complement into a signed Spark long
+        val -= 1 << 64
+    return val
+
+
 def phash_bmp(payload: bytes) -> int | None:
     """64-bit perceptual hash of an uncompressed 24-bit BMP (the
-    classic pHash recipe, per the public imagehash library): grayscale
-    -> nearest-resize to 32x32 -> 2-D DCT-II -> low-frequency 8x8
-    block -> bit i set iff coefficient i > median(block).  Robust to
-    small pixel noise / re-encodes; Hamming distance between hashes
+    classic pHash recipe, per the public imagehash library).  Robust
+    to small pixel noise / re-encodes; Hamming distance between hashes
     tracks perceptual difference.  Returns None for non-BMP payloads
-    (a deployment adds JPEG/PNG by plugging a decoder that yields the
-    same gray 32x32 array)."""
+    (``phash_image`` is the multi-format dispatch)."""
     if payload is None or len(payload) < 54 or payload[:2] != b"BM":
         return None
     offset, = struct.unpack_from("<I", payload, 10)
@@ -783,26 +822,40 @@ def phash_bmp(payload: bytes) -> int | None:
     gray = (
         0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
     ).astype(np.float64)
-    yi = (np.arange(32) * h) // 32
-    xi = (np.arange(32) * width) // 32
-    small = gray[np.ix_(yi, xi)]
-    coef = _DCT32 @ small @ _DCT32.T
-    block = coef[:8, :8]
-    med = np.median(block)
-    bits = (block > med).flatten()
-    val = 0
-    for i, b in enumerate(bits):
-        val |= int(b) << i
-    if val >= 1 << 63:  # two's complement into a signed Spark long
-        val -= 1 << 64
-    return val
+    return _phash_from_gray(gray)
+
+
+def phash_image(payload: bytes) -> int | None:
+    """pHash over any decodable image payload: BMP (fast header path),
+    PNG (operators/png.py) or JPEG (operators/jpeg.py, baseline or
+    progressive) — all reduced to the SAME BT.601 luma plane, so a BMP
+    and a lossless PNG of identical pixels hash identically (pytest-
+    pinned).  None for undecodable payloads."""
+    if payload is None:
+        return None
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        return phash_bmp(payload)
+    px = None
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from tube_spark.operators.png import decode_png
+
+        px = decode_png(payload)
+    elif len(payload) >= 2 and payload[:2] == b"\xff\xd8":
+        px = decode_jpeg_pixels(payload)
+    if px is None:
+        return None
+    gray = (
+        0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    ).astype(np.float64)
+    return _phash_from_gray(gray)
 
 
 def image_phash(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "media"
 ) -> DataFrame:
-    """(id, phash) via Arrow mapInPandas; undecodable payloads yield
-    NULL phash (filtered by near-dup callers, reportable by audits)."""
+    """(id, phash) via Arrow mapInPandas over BMP/PNG/JPEG payloads;
+    undecodable payloads yield NULL phash (filtered by near-dup
+    callers, reportable by audits)."""
     schema = f"`{id_col}` long, phash long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -810,7 +863,7 @@ def image_phash(
             out = {
                 id_col: pdf[id_col],
                 "phash": [
-                    phash_bmp(bytes(p) if p is not None else None)
+                    phash_image(bytes(p) if p is not None else None)
                     for p in pdf[payload_col]
                 ],
             }
