@@ -119,12 +119,50 @@ def exact_duplicate_spans(
             raise ValueError(
                 f"max_pair_matches must be >= 1, got {max_pair_matches}"
             )
-        keep = _pair_volumes(p, grams).filter(
-            F.col("est_matches") <= max_pair_matches
-        )
-        p = p.join(keep, ["id_a", "id_b"], "left_semi").localCheckpoint(
-            eager=False
-        )
+        # two-tier guard.  Tier 1 is a driver-side LENGTH screen: the
+        # exact match volume sum(ca*cb) over shared grams is bounded
+        # by na*nb (the gram-count product), so when even the LONGEST
+        # participant pair is under the budget, no pair can be
+        # overweight — the final plan is then EXACTLY the unguarded
+        # plan (the always-count form re-paid the gram explode and
+        # doubled the query at sf0.1; plan-level screening still paid
+        # ~18% in empty-stage overhead).  One scalar agg over the
+        # participant subset, never the corpus.
+        max_n = t.agg(
+            F.max(F.length("__text") - L + 1).alias("n")
+        ).first()["n"]
+        if max_n is not None and int(max_n) ** 2 > max_pair_matches:
+            # tier 2: exact volumes, but ONLY for length-suspicious
+            # pairs, with gram counting narrowed to their documents
+            lens = t.select(
+                "__id",
+                (F.length("__text") - L + 1).cast("long").alias("__n"),
+            )
+            pl = p.join(
+                lens.select(
+                    F.col("__id").alias("id_a"), F.col("__n").alias("__na")
+                ),
+                "id_a",
+            ).join(
+                lens.select(
+                    F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
+                ),
+                "id_b",
+            )
+            suspicious = pl.filter(
+                F.col("__na") * F.col("__nb") > max_pair_matches
+            ).select("id_a", "id_b")
+            sus_ids = suspicious.select(
+                F.col("id_a").alias("__id")
+            ).unionByName(
+                suspicious.select(F.col("id_b").alias("__id"))
+            ).distinct()
+            overweight = _pair_volumes(
+                suspicious, grams.join(sus_ids, "__id", "left_semi")
+            ).filter(F.col("est_matches") > max_pair_matches)
+            p = p.join(
+                overweight, ["id_a", "id_b"], "left_anti"
+            ).localCheckpoint(eager=False)
     ga = p.join(
         grams.select(
             F.col("__id").alias("id_a"),
@@ -212,7 +250,27 @@ def exact_spans_overweight_pairs(
         .join(ids, "__id", "left_semi")
         .filter(F.length("__text") >= L)
     )
-    grams = t.select(
+    # the same two-tier screen as the resolver's guard: only pairs
+    # whose gram-count PRODUCT clears the budget can possibly be
+    # overweight (sum(ca*cb) <= na*nb), so gram counting is narrowed
+    # to their documents
+    lens = t.select(
+        "__id", (F.length("__text") - L + 1).cast("long").alias("__n")
+    )
+    pl = p.join(
+        lens.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+        "id_a",
+    ).join(
+        lens.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+        "id_b",
+    )
+    suspicious = pl.filter(
+        F.col("__na") * F.col("__nb") > max_pair_matches
+    ).select("id_a", "id_b")
+    sus_ids = suspicious.select(F.col("id_a").alias("__id")).unionByName(
+        suspicious.select(F.col("id_b").alias("__id"))
+    ).distinct()
+    grams = t.join(sus_ids, "__id", "left_semi").select(
         "__id",
         F.explode(
             F.expr(
@@ -221,7 +279,7 @@ def exact_spans_overweight_pairs(
             )
         ).alias("gram"),
     )
-    return _pair_volumes(p, grams).filter(
+    return _pair_volumes(suspicious, grams).filter(
         F.col("est_matches") > max_pair_matches
     )
 
