@@ -219,3 +219,35 @@ class TestCompaction:
     def test_auto_compact_validation(self, spark, history):
         with pytest.raises(ValueError, match="auto_compact_at"):
             history.append(_docs(spark, [(1, "x")]), auto_compact_at=0)
+
+
+def test_legacy_manifest_drop_and_rebuild(spark, tmp_path):
+    """Pre-generation manifests carried no table names; drop() and a
+    rebuild must clean up the LEGACY-named tables, not the
+    generation-suffixed names that never existed (r12 review)."""
+    import json
+
+    name = "ndix_legacy"
+    idx = NearDupIndex(str(tmp_path), name=name)
+    idx.build(_docs(spark, [(1, BASE * 3)]))
+    # rewrite the store into the legacy layout: legacy-named tables +
+    # a manifest without the "tables" key
+    tables = idx.tables()
+    spark.sql(
+        f"CREATE TABLE {name}_buckets AS SELECT * FROM {tables['buckets']}"
+    )
+    spark.sql(f"CREATE TABLE {name}_sigs AS SELECT * FROM {tables['sigs']}")
+    spark.sql(f"DROP TABLE {tables['buckets']}")
+    spark.sql(f"DROP TABLE {tables['sigs']}")
+    m = idx._manifest()
+    del m["tables"]
+    with open(idx._manifest_path, "w") as f:
+        json.dump(m, f)
+    # probe still works through the legacy fallback
+    hits = idx.probe(_docs(spark, [(9, BASE * 3)]), threshold=0.9).collect()
+    assert {r["indexed_id"] for r in hits} == {1}
+    # drop() removes the LEGACY tables
+    idx.drop(spark)
+    existing = {t.name for t in spark.catalog.listTables()}
+    assert f"{name}_buckets" not in existing
+    assert f"{name}_sigs" not in existing

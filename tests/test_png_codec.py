@@ -247,3 +247,21 @@ def test_image_near_duplicates_across_formats(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hostile_dims_and_zlib_bomb_return_none():
+    # crafted IHDR claiming 4-billion-pixel dims must not allocate;
+    # a stream inflating past the header-implied size must not expand
+    big = _hand_png(4, 3, 2, np.zeros((3, 4, 3), np.uint8))
+    hdr = bytearray(big)
+    # IHDR body starts at offset 16: width/height big-endian
+    hdr[16:24] = (0xFFFFFFF0).to_bytes(4, "big") + (0xFFFFFFF0).to_bytes(4, "big")
+    assert decode_png(bytes(hdr)) is None  # and returns fast
+    # interlaced variant of the same hostile header
+    hdr[16 + 12] = 1
+    assert decode_png(bytes(hdr)) is None
+    # zlib stream longer than the header-implied raw size
+    overlong = _SIG + _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    ) + _chunk(b"IDAT", zlib.compress(b"\x00" * 10_000)) + _chunk(b"IEND", b"")
+    assert decode_png(overlong) is None

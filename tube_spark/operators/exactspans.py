@@ -84,25 +84,7 @@ def exact_duplicate_spans(
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     L = int(min_len)
-    # pin the candidate pairs: they feed THREE consumers (the id
-    # semi-join build side and both gram joins), and an expensive
-    # generator upstream (the LSH pipeline) would otherwise be
-    # re-planned per consumer (the plan-pinning rule)
-    p = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
-    ids = p.select(F.col("id_a").alias("__id")).unionByName(
-        p.select(F.col("id_b").alias("__id"))
-    ).distinct()
-    # only PAIR PARTICIPANTS are ever tokenized (left-semi before the
-    # gram explode): the candidate set is a tiny fraction of a large
-    # corpus, and exploding every document's L-grams would make the
-    # "corpus-size independent" contract a lie at scale
-    t = (
-        docs.select(
-            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-        )
-        .join(ids, "__id", "left_semi")
-        .filter(F.length("__text") >= L)
-    )
+    p, t = _participants(docs, pairs, id_col, text_col, L)
     # one L-gram index per DOC (not per pair): docs in many pairs are
     # tokenized once, then the pair join replicates only the rows
     grams = t.select(
@@ -115,10 +97,6 @@ def exact_duplicate_spans(
         ).alias("__p0", "gram"),
     ).select("__id", (F.col("__p0") + 1).alias("pos"), "gram")
     if max_pair_matches is not None:
-        if max_pair_matches < 1:
-            raise ValueError(
-                f"max_pair_matches must be >= 1, got {max_pair_matches}"
-            )
         # two-tier guard.  Tier 1 is a driver-side LENGTH screen: the
         # exact match volume sum(ca*cb) over shared grams is bounded
         # by na*nb (the gram-count product), so when even the LONGEST
@@ -127,39 +105,11 @@ def exact_duplicate_spans(
         # plan (the always-count form re-paid the gram explode and
         # doubled the query at sf0.1; plan-level screening still paid
         # ~18% in empty-stage overhead).  One scalar agg over the
-        # participant subset, never the corpus.
-        max_n = t.agg(
-            F.max(F.length("__text") - L + 1).alias("n")
-        ).first()["n"]
-        if max_n is not None and int(max_n) ** 2 > max_pair_matches:
-            # tier 2: exact volumes, but ONLY for length-suspicious
-            # pairs, with gram counting narrowed to their documents
-            lens = t.select(
-                "__id",
-                (F.length("__text") - L + 1).cast("long").alias("__n"),
-            )
-            pl = p.join(
-                lens.select(
-                    F.col("__id").alias("id_a"), F.col("__n").alias("__na")
-                ),
-                "id_a",
-            ).join(
-                lens.select(
-                    F.col("__id").alias("id_b"), F.col("__n").alias("__nb")
-                ),
-                "id_b",
-            )
-            suspicious = pl.filter(
-                F.col("__na") * F.col("__nb") > max_pair_matches
-            ).select("id_a", "id_b")
-            sus_ids = suspicious.select(
-                F.col("id_a").alias("__id")
-            ).unionByName(
-                suspicious.select(F.col("id_b").alias("__id"))
-            ).distinct()
-            overweight = _pair_volumes(
-                suspicious, grams.join(sus_ids, "__id", "left_semi")
-            ).filter(F.col("est_matches") > max_pair_matches)
+        # participant subset, never the corpus — note this runs AT
+        # CONSTRUCTION time (the one eager job the guard costs; pass
+        # ``None`` for a fully-lazy plan).
+        if _tier1_trips(t, L, max_pair_matches):
+            overweight = _overweight_pairs(t, p, L, max_pair_matches)
             p = p.join(
                 overweight, ["id_a", "id_b"], "left_anti"
             ).localCheckpoint(eager=False)
@@ -192,6 +142,79 @@ def exact_duplicate_spans(
             (F.count(F.lit(1)) + L - 1).cast("long").alias("span_len"),
         )
         .select("id_a", "id_b", "pos_a", "pos_b", "span_len")
+    )
+
+
+def _participants(docs, pairs, id_col, text_col, L):
+    """Shared front half: pinned distinct pairs + the pair-participant
+    text subset.  The pin matters — the pairs feed several consumers
+    (id semi-join build side, gram joins, the guard) and an expensive
+    generator upstream (the LSH pipeline) would otherwise be
+    re-planned per consumer.  Only PAIR PARTICIPANTS are ever
+    tokenized: the candidate set is a tiny fraction of a large corpus,
+    and exploding every document's L-grams would make the
+    "corpus-size independent" contract a lie at scale."""
+    p = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
+    ids = p.select(F.col("id_a").alias("__id")).unionByName(
+        p.select(F.col("id_b").alias("__id"))
+    ).distinct()
+    t = (
+        docs.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+        )
+        .join(ids, "__id", "left_semi")
+        .filter(F.length("__text") >= L)
+    )
+    return p, t
+
+
+def _tier1_trips(t: DataFrame, L: int, max_pair_matches: int) -> bool:
+    """Driver-side length screen: True iff SOME participant pair could
+    exceed the budget (max gram count squared clears it).  One scalar
+    aggregation over the participant subset."""
+    if max_pair_matches < 1:
+        raise ValueError(
+            f"max_pair_matches must be >= 1, got {max_pair_matches}"
+        )
+    max_n = t.agg(F.max(F.length("__text") - L + 1).alias("n")).first()["n"]
+    return max_n is not None and int(max_n) ** 2 > max_pair_matches
+
+
+def _overweight_pairs(
+    t: DataFrame, p: DataFrame, L: int, max_pair_matches: int
+) -> DataFrame:
+    """Tier 2 of the guard: ``(id_a, id_b, est_matches)`` for pairs
+    whose exact gram-join volume exceeds the budget.  Volumes are
+    computed ONLY for length-suspicious pairs (sum(ca*cb) <= na*nb, so
+    pairs under the budget by length product need no counting), with
+    gram counting semi-joined to the suspicious documents."""
+    lens = t.select(
+        "__id", (F.length("__text") - L + 1).cast("long").alias("__n")
+    )
+    pl = p.join(
+        lens.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+        "id_a",
+    ).join(
+        lens.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+        "id_b",
+    )
+    suspicious = pl.filter(
+        F.col("__na") * F.col("__nb") > max_pair_matches
+    ).select("id_a", "id_b")
+    sus_ids = suspicious.select(F.col("id_a").alias("__id")).unionByName(
+        suspicious.select(F.col("id_b").alias("__id"))
+    ).distinct()
+    grams = t.join(sus_ids, "__id", "left_semi").select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(__text) - {L} + 1), "
+                f"i -> substring(__text, i, {L}))"
+            )
+        ).alias("gram"),
+    )
+    return _pair_volumes(suspicious, grams).filter(
+        F.col("est_matches") > max_pair_matches
     )
 
 
@@ -239,48 +262,15 @@ def exact_spans_overweight_pairs(
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2, got {min_len}")
     L = int(min_len)
-    p = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=False)
-    ids = p.select(F.col("id_a").alias("__id")).unionByName(
-        p.select(F.col("id_b").alias("__id"))
-    ).distinct()
-    t = (
-        docs.select(
-            F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
-        )
-        .join(ids, "__id", "left_semi")
-        .filter(F.length("__text") >= L)
-    )
-    # the same two-tier screen as the resolver's guard: only pairs
-    # whose gram-count PRODUCT clears the budget can possibly be
-    # overweight (sum(ca*cb) <= na*nb), so gram counting is narrowed
-    # to their documents
-    lens = t.select(
-        "__id", (F.length("__text") - L + 1).cast("long").alias("__n")
-    )
-    pl = p.join(
-        lens.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
-        "id_a",
-    ).join(
-        lens.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
-        "id_b",
-    )
-    suspicious = pl.filter(
-        F.col("__na") * F.col("__nb") > max_pair_matches
-    ).select("id_a", "id_b")
-    sus_ids = suspicious.select(F.col("id_a").alias("__id")).unionByName(
-        suspicious.select(F.col("id_b").alias("__id"))
-    ).distinct()
-    grams = t.join(sus_ids, "__id", "left_semi").select(
-        "__id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(__text) - {L} + 1), "
-                f"i -> substring(__text, i, {L}))"
-            )
-        ).alias("gram"),
-    )
-    return _pair_volumes(suspicious, grams).filter(
-        F.col("est_matches") > max_pair_matches
+    p, t = _participants(docs, pairs, id_col, text_col, L)
+    if not _tier1_trips(t, L, max_pair_matches):
+        return _empty_overweight(p)
+    return _overweight_pairs(t, p, L, max_pair_matches)
+
+
+def _empty_overweight(p: DataFrame) -> DataFrame:
+    return p.limit(0).select(
+        "id_a", "id_b", F.lit(0).cast("long").alias("est_matches")
     )
 
 
@@ -298,12 +288,25 @@ def exact_spans_with_quarantine(
     the ``(id_a, id_b, est_matches)`` list of overweight pairs that
     were skipped.  A curation run writes both: spans feed the dedup
     decision, the quarantine list routes its documents to the
-    repetition/quality gates instead of silently vanishing."""
+    repetition/quality gates instead of silently vanishing.
+
+    The screen is computed ONCE and shared by both halves (the
+    resolver gets the pre-filtered pair set and runs unguarded), so
+    this costs one guard, not two."""
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2, got {min_len}")
+    L = int(min_len)
+    p, t = _participants(docs, pairs, id_col, text_col, L)
+    if _tier1_trips(t, L, max_pair_matches):
+        quarantined = _overweight_pairs(
+            t, p, L, max_pair_matches
+        ).localCheckpoint(eager=False)
+        clean = p.join(quarantined, ["id_a", "id_b"], "left_anti")
+    else:
+        quarantined = _empty_overweight(p)
+        clean = p
     spans = exact_duplicate_spans(
-        docs, pairs, id_col, text_col, min_len, max_pair_matches
-    )
-    quarantined = exact_spans_overweight_pairs(
-        docs, pairs, id_col, text_col, min_len, max_pair_matches
+        docs, clean, id_col, text_col, min_len, max_pair_matches=None
     )
     return spans, quarantined
 

@@ -585,6 +585,11 @@ def _decode(buf: bytes) -> "np.ndarray | None":
                     return None
                 td_ta = body[2 + 2 * c]
                 scan_comps.append((cid_to_ci[cs], td_ta >> 4, td_ta & 0xF))
+            if len({ci for ci, _, _ in scan_comps}) != ns:
+                # duplicate component selector: the MCU walk would
+                # decode one plane twice against desynced entropy data
+                # and silently return garbage instead of None
+                return None
             ss = body[1 + 2 * ns]
             se = body[2 + 2 * ns]
             ah_al = body[3 + 2 * ns]

@@ -126,13 +126,17 @@ class NearDupIndex:
                 f"{m['config']}, operator configured with {self.config} — "
                 "mixed-parameter signatures never collide; rebuild or match"
             )
-        # pre-generation manifests carried no table names (tables were
-        # derived from `name` alone); resolve to that legacy layout
-        m.setdefault(
-            "tables",
-            {"buckets": f"{self.name}_buckets", "sigs": f"{self.name}_sigs"},
-        )
+        m.setdefault("tables", self._legacy_tables())
         return m
+
+    def _legacy_tables(self) -> dict:
+        """Pre-generation manifests carried no table names (tables were
+        derived from `name` alone) — the layout those stores still
+        live in."""
+        return {
+            "buckets": f"{self.name}_buckets",
+            "sigs": f"{self.name}_sigs",
+        }
 
     def _gen_tables(self, gen: int) -> dict:
         return {
@@ -194,9 +198,10 @@ class NearDupIndex:
         with open(self._manifest_path, "w") as f:
             json.dump(manifest, f)
         if prior is not None:
-            # a rebuilt index at a higher compaction generation leaves
-            # the superseded tables orphaned — drop them post-commit
-            for t in (prior.get("tables") or {}).values():
+            # a rebuilt index at a higher compaction generation (or on
+            # a pre-generation legacy layout) leaves the superseded
+            # tables orphaned — drop them post-commit
+            for t in (prior.get("tables") or self._legacy_tables()).values():
                 if t not in tables.values():
                     spark.sql(f"DROP TABLE IF EXISTS {t}")
         return manifest
@@ -297,7 +302,7 @@ class NearDupIndex:
         """Remove the index: committed tables and manifest."""
         m = self._manifest()
         if m is not None:
-            for t in (m.get("tables") or self._gen_tables(0)).values():
+            for t in (m.get("tables") or self._legacy_tables()).values():
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
             os.remove(self._manifest_path)
 

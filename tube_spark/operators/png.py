@@ -39,6 +39,12 @@ import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
+# decode-side sanity cap: a crafted IHDR can claim 4-billion-pixel
+# dimensions and make the decoder allocate (or zero-fill) gigabytes
+# before any payload-size check — cap total pixels at 64M (an 8k x 8k
+# frame), far above the thumbnail/phash scope this codec serves
+_MAX_PIXELS = 1 << 26
+
 # color type -> samples per pixel (before palette expansion)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
@@ -144,7 +150,15 @@ def decode_png(buf: bytes) -> "np.ndarray | None":
     raises on bad bytes."""
     try:
         return _decode(buf)
-    except (ValueError, IndexError, struct.error, zlib.error, KeyError):
+    except (
+        ValueError,
+        IndexError,
+        struct.error,
+        zlib.error,
+        KeyError,
+        MemoryError,
+        OverflowError,
+    ):
         return None
 
 
@@ -172,7 +186,7 @@ def _decode(buf: bytes) -> "np.ndarray | None":
                 return None  # 1/2/4/16-bit: out of scope
             if color_type not in _CHANNELS or interlace not in (0, 1):
                 return None
-            if w == 0 or h == 0:
+            if w == 0 or h == 0 or w * h > _MAX_PIXELS:
                 return None
         elif ctype == b"PLTE":
             if length % 3:
@@ -187,7 +201,23 @@ def _decode(buf: bytes) -> "np.ndarray | None":
     if w is None or not idat or not seen_iend:
         return None
     ch = _CHANNELS[color_type]
-    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    # the exact inflated size is known from the header, so bound the
+    # inflate to it (+1 to detect overruns) — an unbounded decompress
+    # would let a small zlib bomb expand fully into memory first
+    if interlace == 0:
+        expected = h * (1 + w * ch)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw and ph:
+                expected += ph * (1 + pw * ch)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:  # short stream, or overrun (got the +1)
+        return None
+    data = np.frombuffer(raw, dtype=np.uint8)
 
     if interlace == 0:
         stride = w * ch
