@@ -386,3 +386,114 @@ def test_ivfpq_adc_recall_floor(spark, tmp_path):
     assert rec_rr >= 0.9, f"re-ranked recall {rec_rr} below floor"
     emb.unpersist()
     exact.unpersist()
+
+
+class TestCompaction:
+    def _count_files(self, spark, path):
+        import glob
+        import os
+
+        from tube_spark.operators.vectorstore import _data_path
+
+        data = _data_path(spark, path).removeprefix("file:")
+        return len(
+            [
+                f
+                for f in glob.glob(os.path.join(data, "cell=*", "*"))
+                if not os.path.basename(f).startswith(("_", "."))
+            ]
+        )
+
+    def test_compact_preserves_search_and_shrinks_files(
+        self, spark, emb, tmp_path
+    ):
+        from tube_spark.operators.vectorstore import compact_store
+
+        path = str(tmp_path / "store")
+        build_ivf_store(emb.filter("vec_id % 2 = 0"), path, n_clusters=8, seed=7)
+        for i in range(4):
+            append_vectors(
+                emb.filter(f"vec_id % 8 = {2 * i + 1}").withColumn(
+                    "vec_id", F.col("vec_id") + 1_000_000 * (i + 1)
+                ),
+                path,
+            )
+        queries = emb.filter(F.col("vec_id") % 29 == 0)
+        before_files = self._count_files(spark, path)
+        before = sorted(
+            map(tuple, search_store(spark, path, queries, k=5).collect())
+        )
+        m = compact_store(spark, path)
+        assert m["data_gen"] == 1 and m["appends_since_compact"] == 0
+        after_files = self._count_files(spark, path)
+        assert after_files < before_files
+        after = sorted(
+            map(tuple, search_store(spark, path, queries, k=5).collect())
+        )
+        assert after == before  # identical search results
+        # the superseded directory is gone; the store dir moved
+        import os
+
+        assert not os.path.exists(str(tmp_path / "store" / "cells"))
+        assert store_vectors(spark, path).count() > 0
+
+    def test_auto_compact_triggers_and_dedups_replays(self, spark, emb, tmp_path):
+        from tube_spark.operators.vectorstore import (
+            _store_manifest,
+            store_vectors,
+        )
+
+        path = str(tmp_path / "store")
+        build_ivf_store(emb.limit(100), path, n_clusters=4, seed=7)
+        batch = emb.filter("vec_id >= 400").withColumn(
+            "vec_id", F.col("vec_id") + 5_000_000
+        )
+        append_vectors(batch, path, auto_compact_at=2)
+        append_vectors(batch, path, auto_compact_at=2)  # replayed append
+        m = _store_manifest(spark, path)
+        assert m["data_gen"] == 1  # compaction fired on the 2nd append
+        # compaction MATERIALIZED the replay dedup: raw store rows are
+        # unique even without the reader-side dropDuplicates
+        raw = store_vectors(spark, path, dedup=False)
+        assert raw.count() == raw.dropDuplicates(["vec_id"]).count()
+
+    def test_legacy_store_without_manifest_still_reads(
+        self, spark, emb, tmp_path
+    ):
+        import os
+
+        path = str(tmp_path / "store")
+        build_ivf_store(emb.limit(200), path, n_clusters=4, seed=7)
+        os.remove(os.path.join(path, "_store.json"))  # pre-manifest layout
+        assert store_vectors(spark, path).count() == 200
+        queries = emb.filter(F.col("vec_id") % 97 == 0)
+        assert search_store(spark, path, queries, k=3).count() > 0
+
+    def test_pq_store_compaction_preserves_adc_search(self, spark, emb, tmp_path):
+        from tube_spark.operators.vectorstore import (
+            append_vectors_pq,
+            build_ivfpq_store,
+            compact_store,
+            search_store_pq,
+        )
+
+        path = str(tmp_path / "pq")
+        build_ivfpq_store(
+            emb.filter("vec_id % 2 = 0"), path, dim=64,
+            n_clusters=4, m=8, k_codes=16, train_pq=False,
+        )
+        append_vectors_pq(
+            emb.filter("vec_id % 2 = 1").withColumn(
+                "vec_id", F.col("vec_id") + 7_000_000
+            ),
+            path, dim=64,
+        )
+        queries = emb.filter(F.col("vec_id") % 53 == 0)
+        before = sorted(map(tuple, search_store_pq(
+            spark, path, queries, dim=64, k=5, nprobe=2
+        ).collect()))
+        compact_store(spark, path)
+        after = sorted(map(tuple, search_store_pq(
+            spark, path, queries, dim=64, k=5, nprobe=2
+        ).collect()))
+        assert after == before

@@ -88,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
     bv.add_argument("--n-clusters", type=int, default=16)
     bv.add_argument("--append", action="store_true",
                     help="assign NEW vectors under the frozen centroids")
+    bv.add_argument("--auto-compact", type=int, default=0, metavar="N",
+                    help="rewrite the store once N appends accreted "
+                         "(one file per cell; see compact_store)")
     bv.add_argument("--master", default="local[8]")
 
     sv = sub.add_parser("search-vectors", help="query the IVF vector store")
@@ -156,7 +159,10 @@ def main(argv: list[str] | None = None) -> int:
             ),
         )
         if args.append:
-            append_vectors(emb, args.index, args.id_col, args.vec_col)
+            append_vectors(
+                emb, args.index, args.id_col, args.vec_col,
+                auto_compact_at=args.auto_compact or None,
+            )
         else:
             build_ivf_store(
                 emb, args.index, args.id_col, args.vec_col, args.n_clusters

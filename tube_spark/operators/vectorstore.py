@@ -54,6 +54,26 @@ from tube_spark.operators.similarity import (
 
 _CENTROIDS = "_centroids.json"
 _DATA = "cells"
+_STORE_MANIFEST = "_store.json"
+
+
+def _store_manifest(spark: SparkSession, path: str) -> dict:
+    """The data-directory pointer: {"data_dir", "data_gen",
+    "appends_since_compact"}.  Legacy stores (no manifest) resolve to
+    the original ``cells`` directory at generation 0."""
+    mp = fsio.join(path, _STORE_MANIFEST)
+    if fsio.exists(spark, mp):
+        return json.loads(fsio.read_text(spark, mp))
+    return {"data_dir": _DATA, "data_gen": 0, "appends_since_compact": 0}
+
+
+def _write_store_manifest(spark: SparkSession, path: str, m: dict) -> None:
+    fsio.mkdirs(spark, path)
+    fsio.write_text(spark, fsio.join(path, _STORE_MANIFEST), json.dumps(m))
+
+
+def _data_path(spark: SparkSession, path: str) -> str:
+    return fsio.join(path, _store_manifest(spark, path)["data_dir"])
 
 
 def _save_centroids(spark: SparkSession, path: str, cent: np.ndarray) -> None:
@@ -108,13 +128,21 @@ def build_ivf_store(
         if centroids is not None
         else _kmeans_centroids(corpus, vec_col, n_clusters, kmeans_iters, seed)
     )
-    _save_centroids(corpus.sparkSession, path, cent)
+    spark = corpus.sparkSession
+    _save_centroids(spark, path, cent)
+    prior = _store_manifest(spark, path)
     (
         _assign_cells(corpus, cent, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(fsio.join(path, _DATA))
     )
+    _write_store_manifest(
+        spark, path,
+        {"data_dir": _DATA, "data_gen": 0, "appends_since_compact": 0},
+    )
+    if prior["data_dir"] != _DATA:  # rebuild over a compacted store
+        fsio.delete(spark, fsio.join(path, prior["data_dir"]))
     return cent
 
 
@@ -123,6 +151,7 @@ def append_vectors(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_compact_at: int | None = None,
 ) -> None:
     """Assign new vectors with the store's FROZEN centroids and append.
     Old cells are untouched — an append moves only the new rows.
@@ -131,20 +160,90 @@ def append_vectors(
     ``codes`` column read back as NULL ``approx_sq_dist``, which sorts
     FIRST under the ascending ADC rank window and corrupts results —
     use ``append_vectors_pq`` (which encodes with the frozen codebooks)
-    there instead."""
-    if fsio.exists(df.sparkSession, fsio.join(path, _PQ_BOOKS)):
+    there instead.
+
+    Every append adds one file set per touched cell directory (the
+    same accretion shape the BM25 and near-dup stores carry);
+    ``auto_compact_at=N`` rewrites the store via ``compact_store``
+    once N appends have accumulated since the last rewrite."""
+    spark = df.sparkSession
+    if fsio.exists(spark, fsio.join(path, _PQ_BOOKS)):
         raise ValueError(
             f"{path} is an IVF-PQ store ({_PQ_BOOKS} present): plain "
             "append_vectors would write NULL codes and poison the ADC "
             "scan — use append_vectors_pq(df, path, dim, ...) instead"
         )
-    cent = load_centroids(path, df.sparkSession)
+    cent = load_centroids(path, spark)
     (
         _assign_cells(df, cent, id_col, vec_col)
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(fsio.join(path, _DATA))
+        .parquet(_data_path(spark, path))
     )
+    _bump_appends(spark, path, auto_compact_at, id_col)
+
+
+def _bump_appends(
+    spark: SparkSession, path: str, auto_compact_at: int | None, id_col: str
+) -> None:
+    if auto_compact_at is not None and auto_compact_at < 1:
+        raise ValueError(
+            f"auto_compact_at must be >= 1, got {auto_compact_at}"
+        )
+    m = _store_manifest(spark, path)
+    m["appends_since_compact"] = int(m.get("appends_since_compact", 0)) + 1
+    _write_store_manifest(spark, path, m)
+    if (
+        auto_compact_at is not None
+        and m["appends_since_compact"] >= auto_compact_at
+    ):
+        compact_store(spark, path, id_col=id_col)
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    cleanup: bool = True,
+    n_output_partitions: int | None = None,
+) -> dict:
+    """Rewrite the cell-partitioned data into a fresh generation
+    directory with ONE file per cell, committed by the store-manifest
+    pointer (readers resolve the data dir from the manifest at call
+    time, so the swap is atomic to them; a crash before the commit
+    leaves an orphan directory the replay overwrites).  The rewrite
+    also MATERIALIZES the replay-dedup: duplicate ids from redelivered
+    streaming appends are dropped here (readers dropDuplicates anyway
+    — identical results, but the dropped bytes stop being re-read by
+    every later search).  Works for both plain IVF and IVF-PQ stores
+    (all columns carried).
+
+    ``n_output_partitions`` defaults to n_cells — one file per cell,
+    right while each inverted list fits a task.  On a store whose
+    cells are themselves huge, pass a larger value (partitionBy still
+    splits by cell directory; extra partitions bound the per-file
+    size instead of funneling a whole cell through one task)."""
+    m = _store_manifest(spark, path)
+    gen = int(m.get("data_gen", 0)) + 1
+    new_dir = f"{_DATA}_g{gen}"
+    df = spark.read.parquet(fsio.join(path, m["data_dir"])).dropDuplicates(
+        [id_col]
+    )
+    n_cells = n_output_partitions or len(load_centroids(path, spark))
+    (
+        df.repartition(n_cells, F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(fsio.join(path, new_dir))
+    )
+    old_dir = m["data_dir"]
+    m["data_dir"] = new_dir
+    m["data_gen"] = gen
+    m["appends_since_compact"] = 0
+    _write_store_manifest(spark, path, m)  # the commit point
+    if cleanup:
+        fsio.delete(spark, fsio.join(path, old_dir))
+    return m
 
 
 def store_vectors(spark: SparkSession, path: str, dedup: bool = True) -> DataFrame:
@@ -152,7 +251,7 @@ def store_vectors(spark: SparkSession, path: str, dedup: bool = True) -> DataFra
     drops replayed appends (streaming at-least-once): last write wins
     is unnecessary — any duplicate row is bit-identical because cell
     assignment is deterministic under frozen centroids."""
-    df = spark.read.parquet(fsio.join(path, _DATA))
+    df = spark.read.parquet(_data_path(spark, path))
     if dedup:
         df = df.dropDuplicates([df.columns[0]])
     return df
@@ -190,7 +289,7 @@ def search_store(
     # pruning: Catalyst cannot push a non-key filter through the
     # dropDuplicates aggregate), then replay-dedup the probed subset
     store = (
-        spark.read.parquet(fsio.join(path, _DATA))
+        spark.read.parquet(_data_path(spark, path))
         .filter(F.col("cell").isin(probed_cells))
         .dropDuplicates([id_col])
     )
@@ -229,6 +328,7 @@ def streaming_vector_ingest(
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
     schema=None,
+    auto_compact_at: int | None = None,
 ):
     """Structured Streaming ingestion: watch ``source_dir`` for new
     vector parquet files, append each micro-batch into the store with
@@ -241,7 +341,10 @@ def streaming_vector_ingest(
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        append_vectors(batch, store_path, id_col=id_col, vec_col=vec_col)
+        append_vectors(
+            batch, store_path, id_col=id_col, vec_col=vec_col,
+            auto_compact_at=auto_compact_at,
+        )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
@@ -309,6 +412,7 @@ def build_ivfpq_store(
     coded = pq_encode(corpus, dim, m, k_codes, id_col, vec_col, books).select(
         id_col, "codes"
     )
+    prior = _store_manifest(spark, path)
     (
         _assign_cells(corpus, cent, id_col, vec_col)
         .join(coded, on=id_col)
@@ -316,6 +420,12 @@ def build_ivfpq_store(
         .partitionBy("cell")
         .parquet(fsio.join(path, _DATA))
     )
+    _write_store_manifest(
+        spark, path,
+        {"data_dir": _DATA, "data_gen": 0, "appends_since_compact": 0},
+    )
+    if prior["data_dir"] != _DATA:  # rebuild over a compacted store
+        fsio.delete(spark, fsio.join(path, prior["data_dir"]))
 
 
 def search_store_pq(
@@ -377,7 +487,7 @@ def search_store_pq(
     # append_vectors (NULL approx_sq_dist sorts first ascending);
     # append_vectors itself also refuses PQ stores
     codes_scan = (
-        spark.read.parquet(fsio.join(path, _DATA))
+        spark.read.parquet(_data_path(spark, path))
         .filter(F.col("cell").isin(probed_cells))
         .filter(F.col("codes").isNotNull())
         .select(F.col(id_col).alias("neighbor_id"), "codes", "cell")
@@ -409,7 +519,7 @@ def search_store_pq(
         )
     # exact re-rank: fetch raw vectors for the ADC survivors only
     vecs = (
-        spark.read.parquet(fsio.join(path, _DATA))
+        spark.read.parquet(_data_path(spark, path))
         .filter(F.col("cell").isin(probed_cells))
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .dropDuplicates(["neighbor_id"])
@@ -451,12 +561,14 @@ def append_vectors_pq(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    auto_compact_at: int | None = None,
 ) -> None:
     """Append to an IVF-PQ store: assign cells with the FROZEN
     centroids and encode with the FROZEN codebooks (both loaded from
     the store), so appended rows are byte-compatible with the build.
     Plain ``append_vectors`` must not be used on a PQ store — it would
-    write NULL codes and poison the ADC scan."""
+    write NULL codes and poison the ADC scan.  ``auto_compact_at``:
+    see ``append_vectors``/``compact_store``."""
     from tube_spark.operators.quantize import pq_encode
 
     spark = df.sparkSession
@@ -471,8 +583,9 @@ def append_vectors_pq(
         .join(coded, on=id_col)
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(fsio.join(path, _DATA))
+        .parquet(_data_path(spark, path))
     )
+    _bump_appends(spark, path, auto_compact_at, id_col)
 
 
 def streaming_vector_ingest_pq(
@@ -484,6 +597,7 @@ def streaming_vector_ingest_pq(
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
     schema=None,
+    auto_compact_at: int | None = None,
 ):
     """Structured Streaming ingestion into an IVF-PQ store: each
     micro-batch is assigned with the FROZEN centroids and encoded with
@@ -500,7 +614,10 @@ def streaming_vector_ingest_pq(
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        append_vectors_pq(batch, store_path, dim, id_col=id_col, vec_col=vec_col)
+        append_vectors_pq(
+            batch, store_path, dim, id_col=id_col, vec_col=vec_col,
+            auto_compact_at=auto_compact_at,
+        )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
     writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
