@@ -2099,6 +2099,35 @@ def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-spans guard's quarantine arithmetic, ORACLED: the
+    overweight-pair list (operators/exactspans.py
+    exact_spans_overweight_pairs) over the same candidate set as
+    q_exact_spans, at a deliberately LOW budget (100) so the list is
+    populated on this data (real volumes peak at ~507) — the oracle
+    replays the LSH pipeline, the distinct-20-gram counts, the exact
+    sum(ca*cb) shared-gram volume per pair, and the budget cut.  This
+    pins the guard's NUMBERS, not just the verdict bit the hostile-pair
+    pytest checks."""
+    from tube_spark.operators.dedup import minhash_lsh_pairs
+    from tube_spark.operators.exactspans import exact_spans_overweight_pairs
+
+    docs = _docs(spark, sf_dir)
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=64,
+        bands=16, threshold=0.5, portable=True,
+    ).select("id_a", "id_b")
+    ids = docs.select("doc_id")
+    probe = ids.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b").select(
+        "id_a", "id_b"
+    )
+    return exact_spans_overweight_pairs(
+        docs, lsh.unionByName(probe), min_len=20, max_pair_matches=100
+    )
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar / common-neighbor / Jaccard link prediction
     (operators/linkpred.py) over the SAME part co-occurrence graph as
@@ -3645,6 +3674,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "scene_cuts": q_scene_cuts,
         "neardup_transitivity": q_neardup_transitivity,
         "exact_spans": q_exact_spans,
+        "span_quarantine": q_span_quarantine,
         "hll_cardinality": q_hll_cardinality,
         "link_prediction": q_link_prediction,
         "cusum_drift": q_cusum_drift,
@@ -3774,6 +3804,8 @@ _EXTRA_QUERY_NAMES = (
     "benford_law",
     "revenue_gini",
     "chi_square",
+    # round-12 addition (r15 queue; backlog 18)
+    "span_quarantine",
     # -- round-12 rotation: the exact_spans..dsir_weights block (green
     # CORRECTNESS_r11 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r12 queue
@@ -4820,6 +4852,54 @@ def _exact_spans_oracle_sql(L: int = 20) -> str:
             FROM es_runs GROUP BY id_a, id_b, diag, island"""
 
 
+def _span_quarantine_oracle_sql(L: int = 20, budget: int = 100) -> str:
+    """Replays exact_spans_overweight_pairs: same candidate pairs as
+    the exact_spans oracle, distinct L-gram counts per participating
+    doc, exact shared-gram volume sum(ca*cb) per pair, budget cut.
+    (The operator's two-tier screen changes WHERE the counting runs,
+    never the result — sum(ca*cb) <= na*nb bounds the skipped pairs.)"""
+    return f"""
+            WITH lsh AS (
+                {_minhash_oracle()}
+            ),
+            probe AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM lsh
+                UNION
+                SELECT id_a, id_b FROM probe
+            ),
+            sq_ids AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+            sq_t AS (
+                SELECT doc_id, text FROM documents
+                WHERE length(text) >= {L} AND doc_id IN (SELECT id FROM sq_ids)
+            ),
+            sq_series AS (
+                SELECT unnest(generate_series(
+                    1, (SELECT max(length(text)) FROM documents)
+                )) AS i
+            ),
+            sq_cnt AS MATERIALIZED (
+                SELECT doc_id, gram, count(*) AS c FROM (
+                    SELECT t.doc_id, substr(t.text, s.i::INT, {L}) AS gram
+                    FROM sq_t t
+                    JOIN sq_series s ON s.i <= length(t.text) - {L} + 1
+                ) GROUP BY 1, 2
+            ),
+            sq_vol AS (
+                SELECT p.id_a, p.id_b,
+                       sum(ca.c * cb.c)::BIGINT AS est_matches
+                FROM pairs p
+                JOIN sq_cnt ca ON ca.doc_id = p.id_a
+                JOIN sq_cnt cb ON cb.doc_id = p.id_b AND cb.gram = ca.gram
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, est_matches
+            FROM sq_vol WHERE est_matches > {budget}"""
+
+
 def _lpa_oracle_sql(iters: int = 3) -> str:
     """Unrolled synchronous LPA trajectory over the shared part graph:
     per round, each node adopts the most frequent neighbor label (ties
@@ -5237,6 +5317,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "neardup_transitivity": _neardup_transitivity_oracle_sql(),
         "exact_spans": _exact_spans_oracle_sql(20),
+        "span_quarantine": _span_quarantine_oracle_sql(20, 100),
         "hll_cardinality": _hll_oracle_sql(10),
         "link_prediction": _linkpred_oracle_sql(100),
         "cusum_drift": _cusum_oracle_sql(0.5, 5.0),

@@ -142,6 +142,12 @@ BENCH_QUERIES = [
     "benford_law",
     "revenue_gini",
     "chi_square",
+    # span_quarantine stays OUT: its deliberately LOW budget (100 —
+    # chosen so the oracle list is populated on synthetic data) makes
+    # every pair length-suspicious and forces the full volume-counting
+    # path the production 10M guard never runs (18 s at sf0.1; the
+    # reciprocal_nn / effective_diameter exclusion rule).  The
+    # production-shaped guard cost is measured inside exact_spans.
 ]
 
 
