@@ -2063,6 +2063,26 @@ def q_neardup_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """The SHARED candidate set for q_exact_spans and
+    q_span_quarantine (their oracles replay the same construction, so
+    the two queries must never drift apart): portable MinHash-LSH
+    pairs UNION the deterministic consecutive-id probe set."""
+    from tube_spark.operators.dedup import minhash_lsh_pairs
+
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_hashes=64,
+        bands=16, threshold=0.5, portable=True,
+    ).select("id_a", "id_b")
+    ids = docs.select("doc_id")
+    probe = ids.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b").select(
+        "id_a", "id_b"
+    )
+    return lsh.unionByName(probe)
+
+
 def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact maximal duplicate substrings (operators/exactspans.py,
     the suffix-array semantics of Lee et al. resolved pair-exactly):
@@ -2079,22 +2099,11 @@ def q_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the skipped-pair list): pair volumes here peak at ~507 at sf0.01,
     so the guard is structurally a no-op on this data and the
     unguarded oracle stays exact."""
-    from tube_spark.operators.dedup import minhash_lsh_pairs
     from tube_spark.operators.exactspans import exact_duplicate_spans
 
     docs = _docs(spark, sf_dir)
-    lsh = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=2, num_hashes=64,
-        bands=16, threshold=0.5, portable=True,
-    ).select("id_a", "id_b")
-    ids = docs.select("doc_id")
-    probe = ids.select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
-    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b").select(
-        "id_a", "id_b"
-    )
     return exact_duplicate_spans(
-        docs, lsh.unionByName(probe), min_len=20,
+        docs, _span_candidate_pairs(docs), min_len=20,
         max_pair_matches=10_000_000,
     )
 
@@ -2103,28 +2112,18 @@ def q_span_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-spans guard's quarantine arithmetic, ORACLED: the
     overweight-pair list (operators/exactspans.py
     exact_spans_overweight_pairs) over the same candidate set as
-    q_exact_spans, at a deliberately LOW budget (100) so the list is
-    populated on this data (real volumes peak at ~507) — the oracle
+    q_exact_spans (shared _span_candidate_pairs helper, so the two can
+    never drift apart), at a deliberately LOW budget (100) so the list
+    is populated on this data (real volumes peak at ~507) — the oracle
     replays the LSH pipeline, the distinct-20-gram counts, the exact
     sum(ca*cb) shared-gram volume per pair, and the budget cut.  This
     pins the guard's NUMBERS, not just the verdict bit the hostile-pair
     pytest checks."""
-    from tube_spark.operators.dedup import minhash_lsh_pairs
     from tube_spark.operators.exactspans import exact_spans_overweight_pairs
 
     docs = _docs(spark, sf_dir)
-    lsh = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=2, num_hashes=64,
-        bands=16, threshold=0.5, portable=True,
-    ).select("id_a", "id_b")
-    ids = docs.select("doc_id")
-    probe = ids.select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
-    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b").select(
-        "id_a", "id_b"
-    )
     return exact_spans_overweight_pairs(
-        docs, lsh.unionByName(probe), min_len=20, max_pair_matches=100
+        docs, _span_candidate_pairs(docs), min_len=20, max_pair_matches=100
     )
 
 

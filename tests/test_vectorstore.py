@@ -497,3 +497,97 @@ class TestCompaction:
             spark, path, queries, dim=64, k=5, nprobe=2
         ).collect()))
         assert after == before
+
+    def test_rebuild_over_compacted_store_is_consistent(
+        self, spark, emb, tmp_path
+    ):
+        """r12 review: an in-place rebuild overwrote centroids BEFORE
+        the data write.  A rebuild now stages data+quantizers under the
+        next generation and commits them in ONE manifest write — and
+        search over the rebuilt store uses matching centroids/cells."""
+        import os
+
+        from tube_spark.operators.vectorstore import (
+            _store_manifest,
+            compact_store,
+        )
+
+        path = str(tmp_path / "store")
+        build_ivf_store(emb.limit(300), path, n_clusters=4, seed=7)
+        append_vectors(
+            emb.filter("vec_id >= 400").withColumn(
+                "vec_id", F.col("vec_id") + 1_000_000
+            ),
+            path,
+        )
+        compact_store(spark, path)  # data now lives in cells_g1
+        build_ivf_store(emb, path, n_clusters=8, seed=11)  # REBUILD
+        m = _store_manifest(spark, path)
+        assert m["data_dir"] != "cells_g1"
+        assert m["centroids"] != "_centroids.json" or m["data_gen"] == 0
+        assert m["stale"] == []  # swept after the commit
+        assert not os.path.exists(os.path.join(path, "cells_g1"))
+        # centroids and cells agree: every stored cell id is a valid
+        # index into the NEW centroid set, and search runs clean
+        assert len(load_centroids(path, spark)) == 8
+        cells = {r["cell"] for r in cell_stats(spark, path).collect()}
+        assert cells <= set(range(8))
+        queries = emb.filter(F.col("vec_id") % 97 == 0)
+        assert search_store(spark, path, queries, k=3).count() > 0
+
+    def test_cleanup_false_defers_delete_to_next_commit(
+        self, spark, emb, tmp_path
+    ):
+        import os
+
+        from tube_spark.operators.vectorstore import (
+            _store_manifest,
+            compact_store,
+        )
+
+        path = str(tmp_path / "store")
+        build_ivf_store(emb.limit(200), path, n_clusters=4, seed=7)
+        append_vectors(emb.limit(50).withColumn(
+            "vec_id", F.col("vec_id") + 9_000_000), path)
+        compact_store(spark, path, cleanup=False)
+        m = _store_manifest(spark, path)
+        assert "cells" in m["stale"]
+        assert os.path.exists(os.path.join(path, "cells"))  # reader-safe
+        compact_store(spark, path)  # next commit sweeps the stale dir
+        assert not os.path.exists(os.path.join(path, "cells"))
+        assert _store_manifest(spark, path)["stale"] == []
+
+    def test_invalid_auto_compact_rejected_before_write(
+        self, spark, emb, tmp_path
+    ):
+        path = str(tmp_path / "store")
+        build_ivf_store(emb.limit(100), path, n_clusters=4, seed=7)
+        n0 = store_vectors(spark, path, dedup=False).count()
+        with pytest.raises(ValueError, match="auto_compact_at"):
+            append_vectors(emb.limit(10), path, auto_compact_at=0)
+        # nothing landed: the validation ran before the append
+        assert store_vectors(spark, path, dedup=False).count() == n0
+
+    def test_n_output_partitions_splits_hot_cells(self, spark, emb, tmp_path):
+        import glob
+        import os
+
+        from tube_spark.operators.vectorstore import (
+            _data_path,
+            compact_store,
+        )
+
+        path = str(tmp_path / "store")
+        # ONE cell by construction: a single centroid
+        build_ivf_store(emb, path, centroids=[[0.0] * 64])
+        append_vectors(emb.limit(100).withColumn(
+            "vec_id", F.col("vec_id") + 3_000_000), path)
+        compact_store(spark, path, n_output_partitions=8)
+        d = _data_path(spark, path).removeprefix("file:")
+        files = [
+            f
+            for f in glob.glob(os.path.join(d, "cell=0", "*"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+        # hashing on (cell, id) split the hot cell across tasks
+        assert len(files) > 1

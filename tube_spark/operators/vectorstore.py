@@ -58,13 +58,20 @@ _STORE_MANIFEST = "_store.json"
 
 
 def _store_manifest(spark: SparkSession, path: str) -> dict:
-    """The data-directory pointer: {"data_dir", "data_gen",
-    "appends_since_compact"}.  Legacy stores (no manifest) resolve to
-    the original ``cells`` directory at generation 0."""
+    """The store pointer set: {"data_dir", "data_gen",
+    "appends_since_compact", "centroids", ["pq_books"], ["stale"]}.
+    One manifest write commits data dir AND quantizer files together,
+    so a rebuild can never leave new centroids pointing at old cells.
+    Legacy stores (no manifest) resolve to the original flat layout at
+    generation 0."""
     mp = fsio.join(path, _STORE_MANIFEST)
     if fsio.exists(spark, mp):
-        return json.loads(fsio.read_text(spark, mp))
-    return {"data_dir": _DATA, "data_gen": 0, "appends_since_compact": 0}
+        m = json.loads(fsio.read_text(spark, mp))
+    else:
+        m = {"data_dir": _DATA, "data_gen": 0, "appends_since_compact": 0}
+    m.setdefault("centroids", _CENTROIDS)
+    m.setdefault("pq_books", _PQ_BOOKS)
+    return m
 
 
 def _write_store_manifest(spark: SparkSession, path: str, m: dict) -> None:
@@ -76,15 +83,17 @@ def _data_path(spark: SparkSession, path: str) -> str:
     return fsio.join(path, _store_manifest(spark, path)["data_dir"])
 
 
-def _save_centroids(spark: SparkSession, path: str, cent: np.ndarray) -> None:
-    # Hadoop FS, not open(): the store path may be hdfs:// or s3a://
-    # (ADVICE r4) — centroids must live on the same scheme as the cells
-    fsio.mkdirs(spark, path)
-    fsio.write_text(
-        spark,
-        fsio.join(path, _CENTROIDS),
-        json.dumps([[float(x) for x in row] for row in cent]),
-    )
+def _sweep_stale(spark: SparkSession, path: str, m: dict) -> None:
+    """Delete directories/files a prior commit superseded but a crash
+    left behind (the manifest carries them until the delete lands, so
+    a post-commit crash can never leak a generation forever)."""
+    stale = m.get("stale") or []
+    if not stale:
+        return
+    for name in stale:
+        fsio.delete(spark, fsio.join(path, name))
+    m["stale"] = []
+    _write_store_manifest(spark, path, m)
 
 
 def load_centroids(path: str, spark: SparkSession | None = None) -> np.ndarray:
@@ -94,8 +103,9 @@ def load_centroids(path: str, spark: SparkSession | None = None) -> np.ndarray:
             "load_centroids needs a SparkSession (none active): pass one "
             "explicitly or create it before loading the IVF store"
         )
+    name = _store_manifest(spark, path)["centroids"]
     return np.asarray(
-        json.loads(fsio.read_text(spark, fsio.join(path, _CENTROIDS))),
+        json.loads(fsio.read_text(spark, fsio.join(path, name))),
         dtype=np.float64,
     )
 
@@ -129,21 +139,67 @@ def build_ivf_store(
         else _kmeans_centroids(corpus, vec_col, n_clusters, kmeans_iters, seed)
     )
     spark = corpus.sparkSession
-    _save_centroids(spark, path, cent)
-    prior = _store_manifest(spark, path)
+    names = _stage_names(spark, path)
+    fsio.mkdirs(spark, path)
+    fsio.write_text(
+        spark, fsio.join(path, names["centroids"]),
+        json.dumps([[float(x) for x in row] for row in cent]),
+    )
     (
         _assign_cells(corpus, cent, id_col, vec_col)
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(fsio.join(path, _DATA))
+        .parquet(fsio.join(path, names["data_dir"]))
     )
-    _write_store_manifest(
-        spark, path,
-        {"data_dir": _DATA, "data_gen": 0, "appends_since_compact": 0},
-    )
-    if prior["data_dir"] != _DATA:  # rebuild over a compacted store
-        fsio.delete(spark, fsio.join(path, prior["data_dir"]))
+    _commit_build(spark, path, names)
     return cent
+
+
+def _stage_names(spark: SparkSession, path: str) -> dict:
+    """Staging names for a (re)build.  A FRESH path uses the flat
+    layout; rebuilding over an existing store stages everything —
+    data, centroids, PQ books — under the NEXT generation's names, so
+    nothing goes live (and nothing old is clobbered) until the single
+    manifest commit.  The r12 in-place form overwrote the centroids
+    BEFORE the data write: a crash in between left new centroids
+    pointing at old cells, silently corrupting every search."""
+    has_manifest = fsio.exists(spark, fsio.join(path, _STORE_MANIFEST))
+    has_legacy = fsio.exists(spark, fsio.join(path, _DATA))
+    prior = _store_manifest(spark, path)
+    if not has_manifest and not has_legacy:
+        gen = 0
+    else:
+        gen = int(prior.get("data_gen", 0)) + 1
+    sfx = "" if gen == 0 else f"_g{gen}"
+    return {
+        "gen": gen,
+        "data_dir": _DATA + sfx,
+        "centroids": (_CENTROIDS if gen == 0 else f"_centroids{sfx}.json"),
+        "pq_books": (_PQ_BOOKS if gen == 0 else f"_pq_codebooks{sfx}.json"),
+        "prior": prior,
+    }
+
+
+def _commit_build(spark: SparkSession, path: str, names: dict) -> None:
+    prior = names["prior"]
+    new = {names["data_dir"], names["centroids"], names["pq_books"]}
+    stale = list(prior.get("stale") or []) + [
+        n
+        for n in (
+            prior["data_dir"], prior["centroids"], prior.get("pq_books")
+        )
+        if n and n not in new
+    ]
+    m = {
+        "data_dir": names["data_dir"],
+        "data_gen": names["gen"],
+        "appends_since_compact": 0,
+        "centroids": names["centroids"],
+        "pq_books": names["pq_books"],
+        "stale": sorted(set(stale)),
+    }
+    _write_store_manifest(spark, path, m)  # the commit point
+    _sweep_stale(spark, path, m)
 
 
 def append_vectors(
@@ -152,6 +208,7 @@ def append_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     auto_compact_at: int | None = None,
+    compact_cleanup: bool = True,
 ) -> None:
     """Assign new vectors with the store's FROZEN centroids and append.
     Old cells are untouched — an append moves only the new rows.
@@ -165,11 +222,17 @@ def append_vectors(
     Every append adds one file set per touched cell directory (the
     same accretion shape the BM25 and near-dup stores carry);
     ``auto_compact_at=N`` rewrites the store via ``compact_store``
-    once N appends have accumulated since the last rewrite."""
+    once N appends have accumulated since the last rewrite;
+    ``compact_cleanup=False`` defers deleting the superseded
+    generation to the NEXT commit (in-flight readers that resolved the
+    old directory keep working; the manifest's stale list guarantees
+    the deferred delete still happens)."""
     spark = df.sparkSession
-    if fsio.exists(spark, fsio.join(path, _PQ_BOOKS)):
+    _check_compact_at(auto_compact_at)  # before any write lands
+    m = _store_manifest(spark, path)
+    if fsio.exists(spark, fsio.join(path, m["pq_books"])):
         raise ValueError(
-            f"{path} is an IVF-PQ store ({_PQ_BOOKS} present): plain "
+            f"{path} is an IVF-PQ store ({m['pq_books']} present): plain "
             "append_vectors would write NULL codes and poison the ADC "
             "scan — use append_vectors_pq(df, path, dim, ...) instead"
         )
@@ -180,16 +243,23 @@ def append_vectors(
         .partitionBy("cell")
         .parquet(_data_path(spark, path))
     )
-    _bump_appends(spark, path, auto_compact_at, id_col)
+    _bump_appends(spark, path, auto_compact_at, id_col, compact_cleanup)
 
 
-def _bump_appends(
-    spark: SparkSession, path: str, auto_compact_at: int | None, id_col: str
-) -> None:
+def _check_compact_at(auto_compact_at: int | None) -> None:
     if auto_compact_at is not None and auto_compact_at < 1:
         raise ValueError(
             f"auto_compact_at must be >= 1, got {auto_compact_at}"
         )
+
+
+def _bump_appends(
+    spark: SparkSession,
+    path: str,
+    auto_compact_at: int | None,
+    id_col: str,
+    compact_cleanup: bool = True,
+) -> None:
     m = _store_manifest(spark, path)
     m["appends_since_compact"] = int(m.get("appends_since_compact", 0)) + 1
     _write_store_manifest(spark, path, m)
@@ -197,7 +267,7 @@ def _bump_appends(
         auto_compact_at is not None
         and m["appends_since_compact"] >= auto_compact_at
     ):
-        compact_store(spark, path, id_col=id_col)
+        compact_store(spark, path, id_col=id_col, cleanup=compact_cleanup)
 
 
 def compact_store(
@@ -220,19 +290,32 @@ def compact_store(
 
     ``n_output_partitions`` defaults to n_cells — one file per cell,
     right while each inverted list fits a task.  On a store whose
-    cells are themselves huge, pass a larger value (partitionBy still
-    splits by cell directory; extra partitions bound the per-file
-    size instead of funneling a whole cell through one task)."""
+    cells are themselves huge, pass a larger value: the rewrite then
+    hashes on (cell, id) so one cell's rows SPLIT across tasks
+    (hashing on cell alone could never split a hot cell), and
+    partitionBy still routes every row to its cell directory — more,
+    bounded-size files per cell instead of one unbounded one.
+
+    ``cleanup=False`` defers deleting the superseded directory: it is
+    recorded in the manifest's ``stale`` list at the commit, and the
+    NEXT commit (compact or rebuild) sweeps it — in-flight readers of
+    the old generation finish undisturbed, and a crash between commit
+    and delete can never leak a directory forever."""
     m = _store_manifest(spark, path)
     gen = int(m.get("data_gen", 0)) + 1
     new_dir = f"{_DATA}_g{gen}"
     df = spark.read.parquet(fsio.join(path, m["data_dir"])).dropDuplicates(
         [id_col]
     )
-    n_cells = n_output_partitions or len(load_centroids(path, spark))
+    n_cells = len(load_centroids(path, spark))
+    if n_output_partitions is None or n_output_partitions <= n_cells:
+        parted = df.repartition(n_cells, F.col("cell"))
+    else:
+        parted = df.repartition(
+            n_output_partitions, F.col("cell"), F.col(id_col)
+        )
     (
-        df.repartition(n_cells, F.col("cell"))
-        .write.mode("overwrite")
+        parted.write.mode("overwrite")
         .partitionBy("cell")
         .parquet(fsio.join(path, new_dir))
     )
@@ -240,9 +323,10 @@ def compact_store(
     m["data_dir"] = new_dir
     m["data_gen"] = gen
     m["appends_since_compact"] = 0
+    m["stale"] = sorted(set(m.get("stale") or []) | {old_dir})
     _write_store_manifest(spark, path, m)  # the commit point
     if cleanup:
-        fsio.delete(spark, fsio.join(path, old_dir))
+        _sweep_stale(spark, path, m)
     return m
 
 
@@ -329,6 +413,7 @@ def streaming_vector_ingest(
     checkpoint_dir: str | None = None,
     schema=None,
     auto_compact_at: int | None = None,
+    compact_cleanup: bool = True,
 ):
     """Structured Streaming ingestion: watch ``source_dir`` for new
     vector parquet files, append each micro-batch into the store with
@@ -344,6 +429,7 @@ def streaming_vector_ingest(
         append_vectors(
             batch, store_path, id_col=id_col, vec_col=vec_col,
             auto_compact_at=auto_compact_at,
+            compact_cleanup=compact_cleanup,
         )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -360,10 +446,6 @@ def streaming_vector_ingest(
 _PQ_BOOKS = "_pq_codebooks.json"
 
 
-def _save_pq_books(spark: SparkSession, path: str, books) -> None:
-    fsio.write_text(spark, fsio.join(path, _PQ_BOOKS), json.dumps(books))
-
-
 def load_pq_books(path: str, spark: SparkSession | None = None):
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
@@ -371,7 +453,8 @@ def load_pq_books(path: str, spark: SparkSession | None = None):
             "load_pq_books needs a SparkSession (none active): pass one "
             "explicitly or create it before loading the IVF-PQ store"
         )
-    return json.loads(fsio.read_text(spark, fsio.join(path, _PQ_BOOKS)))
+    name = _store_manifest(spark, path)["pq_books"]
+    return json.loads(fsio.read_text(spark, fsio.join(path, name)))
 
 
 def build_ivfpq_store(
@@ -402,30 +485,34 @@ def build_ivfpq_store(
 
     spark = corpus.sparkSession
     cent = _kmeans_centroids(corpus, vec_col, n_clusters, kmeans_iters, seed)
-    _save_centroids(spark, path, cent)
     books = (
         pq_train(corpus, dim, m, k_codes, pq_iters, id_col, vec_col)
         if train_pq
         else lattice_codebooks(m, dim // m, k_codes)
     )
-    _save_pq_books(spark, path, books)
+    # stage quantizers + data under the next generation's names; the
+    # single manifest commit flips all three pointers together (see
+    # _stage_names for the crash window this closes)
+    names = _stage_names(spark, path)
+    fsio.mkdirs(spark, path)
+    fsio.write_text(
+        spark, fsio.join(path, names["centroids"]),
+        json.dumps([[float(x) for x in row] for row in cent]),
+    )
+    fsio.write_text(
+        spark, fsio.join(path, names["pq_books"]), json.dumps(books)
+    )
     coded = pq_encode(corpus, dim, m, k_codes, id_col, vec_col, books).select(
         id_col, "codes"
     )
-    prior = _store_manifest(spark, path)
     (
         _assign_cells(corpus, cent, id_col, vec_col)
         .join(coded, on=id_col)
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(fsio.join(path, _DATA))
+        .parquet(fsio.join(path, names["data_dir"]))
     )
-    _write_store_manifest(
-        spark, path,
-        {"data_dir": _DATA, "data_gen": 0, "appends_since_compact": 0},
-    )
-    if prior["data_dir"] != _DATA:  # rebuild over a compacted store
-        fsio.delete(spark, fsio.join(path, prior["data_dir"]))
+    _commit_build(spark, path, names)
 
 
 def search_store_pq(
@@ -562,16 +649,18 @@ def append_vectors_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     auto_compact_at: int | None = None,
+    compact_cleanup: bool = True,
 ) -> None:
     """Append to an IVF-PQ store: assign cells with the FROZEN
     centroids and encode with the FROZEN codebooks (both loaded from
     the store), so appended rows are byte-compatible with the build.
     Plain ``append_vectors`` must not be used on a PQ store — it would
-    write NULL codes and poison the ADC scan.  ``auto_compact_at``:
-    see ``append_vectors``/``compact_store``."""
+    write NULL codes and poison the ADC scan.  ``auto_compact_at`` /
+    ``compact_cleanup``: see ``append_vectors``/``compact_store``."""
     from tube_spark.operators.quantize import pq_encode
 
     spark = df.sparkSession
+    _check_compact_at(auto_compact_at)  # before any write lands
     cent = load_centroids(path, spark)
     books = load_pq_books(path, spark)
     m, k_codes = len(books), len(books[0])
@@ -585,7 +674,7 @@ def append_vectors_pq(
         .partitionBy("cell")
         .parquet(_data_path(spark, path))
     )
-    _bump_appends(spark, path, auto_compact_at, id_col)
+    _bump_appends(spark, path, auto_compact_at, id_col, compact_cleanup)
 
 
 def streaming_vector_ingest_pq(
@@ -598,6 +687,7 @@ def streaming_vector_ingest_pq(
     checkpoint_dir: str | None = None,
     schema=None,
     auto_compact_at: int | None = None,
+    compact_cleanup: bool = True,
 ):
     """Structured Streaming ingestion into an IVF-PQ store: each
     micro-batch is assigned with the FROZEN centroids and encoded with
@@ -617,6 +707,7 @@ def streaming_vector_ingest_pq(
         append_vectors_pq(
             batch, store_path, dim, id_col=id_col, vec_col=vec_col,
             auto_compact_at=auto_compact_at,
+            compact_cleanup=compact_cleanup,
         )
 
     stream = spark.readStream.schema(schema).parquet(source_dir)
