@@ -3780,22 +3780,12 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r13 window queue — 17 round-11 entries remain after the r12
-    # rotation promoted triangle_stats .. c4_filter: r13 promotes the
-    # first 10 (sorted_neighborhood .. attribution), demoting 10 green
-    # r12 rows (suggest the triangle_stats..c4_filter block); r14 the
-    # remaining 7 (event_transitions .. chi_square).  Backlog after
-    # r14 = 0 (plus any r12 additions appended below this block).
-    "sorted_neighborhood",
-    "graph_degree_stats",
-    "zipf_fit",
-    "khop_reach",
-    "hyperball",
-    "readability",
-    "effective_diameter",
-    "k_anonymity",
-    "seasonal_decompose",
-    "attribution",
+    # r14 window queue — 7 round-11 entries remain after the r13
+    # rotation promoted sorted_neighborhood .. attribution: r14
+    # promotes these 7 (event_transitions .. chi_square) plus
+    # span_quarantine and any r13 additions appended below, demoting a
+    # matching count of green r13 rows (suggest the
+    # sorted_neighborhood..attribution block).  Backlog after r14 ~= 0.
     "event_transitions",
     "rfm_scores",
     "ab_test",
@@ -3803,8 +3793,22 @@ _EXTRA_QUERY_NAMES = (
     "benford_law",
     "revenue_gini",
     "chi_square",
-    # round-12 addition (r15 queue; backlog 18)
+    # round-12 addition (r14 queue)
     "span_quarantine",
+    # -- round-13 rotation: the triangle_stats..c4_filter block (green
+    # CORRECTNESS_r12 driver rows) demoted to the extras tier
+    # (pytest-verified) to make room for the first 10 of the r13 queue
+    # (sorted_neighborhood .. attribution) --
+    "triangle_stats",
+    "triangle_sample",
+    "lpa_communities",
+    "ddsketch_quantiles",
+    "ngram_novelty",
+    "template_mining",
+    "collocations",
+    "reciprocal_nn",
+    "gopher_rules",
+    "c4_filter",
     # -- round-12 rotation: the exact_spans..dsir_weights block (green
     # CORRECTNESS_r11 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r12 queue
@@ -3967,27 +3971,27 @@ _QUERY_ORDER = (
     "embedding_near_dup_exact",
     "corpus_curation",
     "multimodal_decode",
-    # -- round-12 rotation (executes the r11 schedule comment): the
-    # first 10 entries of the r11 queue (triangle_stats .. c4_filter —
-    # the 3 r10-backlog entries plus 7 round-11 additions) take slots
-    # 31-40 for their first driver rows; the exact_spans .. dsir_weights
-    # block (green r11 rows) demotes to _EXTRA_QUERY_NAMES, staying
+    # -- round-13 rotation (executes the r12 schedule comment): the
+    # next 10 entries of the extras queue (sorted_neighborhood ..
+    # attribution — round-11 additions awaiting their first driver
+    # rows) take slots 31-40; the triangle_stats .. c4_filter block
+    # (green r12 rows) demotes to _EXTRA_QUERY_NAMES, staying
     # differentially verified by pytest (tests/test_extra_queries.py).
-    # r13 schedule: promote the next 10 of the extras queue
-    # (sorted_neighborhood .. attribution); demote 10 green r12 rows
-    # (suggest this triangle_stats..c4_filter block).  r14 promotes the
-    # remaining 7 (event_transitions .. chi_square); backlog after r14
-    # = 0 plus any r12 additions.
-    "triangle_stats",
-    "triangle_sample",
-    "lpa_communities",
-    "ddsketch_quantiles",
-    "ngram_novelty",
-    "template_mining",
-    "collocations",
-    "reciprocal_nn",
-    "gopher_rules",
-    "c4_filter",
+    # r14 schedule: promote the remaining 7 of the r11 queue
+    # (event_transitions .. chi_square) plus span_quarantine and any
+    # r13 additions; demote a matching count of green r13 rows
+    # (suggest this sorted_neighborhood..attribution block).  Backlog
+    # after r14 ~= 0.
+    "sorted_neighborhood",
+    "graph_degree_stats",
+    "zipf_fit",
+    "khop_reach",
+    "hyperball",
+    "readability",
+    "effective_diameter",
+    "k_anonymity",
+    "seasonal_decompose",
+    "attribution",
     # -- round-10 promotions: first driver rows for the round-9 work --
     "k_core",
     "epoch_shuffle",

@@ -155,3 +155,20 @@ def test_auto_compact_flag_enforces_segment_threshold(spark, tmp_path, capsys):
         ).collect()
     ]
     assert rc == 0 and [h["doc_id"] for h in rep["hits"]] == want
+
+
+def test_auto_compact_without_append_is_rejected(tmp_path, capsys):
+    """ADVICE r12: --auto-compact counts appends; without --append it
+    was silently ignored — must be a usage error for both subcommands."""
+    import pytest
+
+    for argv in (
+        ["build", "--docs", "x", "--index", str(tmp_path / "i1"),
+         "--auto-compact", "3"],
+        ["build-vectors", "--embeddings", "x",
+         "--index", str(tmp_path / "i2"), "--auto-compact", "3"],
+    ):
+        with pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert ei.value.code == 2
+        assert "--auto-compact requires --append" in capsys.readouterr().err

@@ -324,3 +324,167 @@ def test_ac_refine_eob_run_reads_correction_bits():
     assert eobrun == 0
     assert b0[3] == 3  # refined toward larger magnitude
     assert b1[5] == -2  # bit 0: unchanged
+
+
+def _encode_subset_dc_progressive(pixels: np.ndarray, quality: int = 75) -> bytes:
+    """Hand-build a spec-legal SOF2 stream whose DC scans are SPLIT:
+    DC-first {Y} non-interleaved, then DC-first {Cb,Cr} INTERLEAVED as
+    a subset that EXCLUDES the max-sampled component (4:2:0 Y is 2x2),
+    then the matching refinement scans, then the stock AC script.
+    Exercises the ADVICE-r12 claim that subset-interleaved DC scans
+    desync the MCU walk: per T.81 A.2.3 (and libjpeg per_scan_setup)
+    the MCU count derives from the FRAME max sampling factor, so the
+    decode must be byte-identical to the baseline decode."""
+    from tube_spark.operators import jpeg as J
+
+    gray, h, w, comps, prepped, mcux, mcuy = J._prep_planes(pixels, "4:2:0")
+    assert not gray and comps[0][1] == 2  # Y is the max-sampled comp
+    ql = J.quality_scaled_quant(J.STD_LUMA_QUANT, quality)[J.ZIGZAG]
+    qc = J.quality_scaled_quant(J.STD_CHROMA_QUANT, quality)[J.ZIGZAG]
+    dcl = J._HuffTable(*J.STD_DC_LUMA)
+    acl = J._HuffTable(*J.STD_AC_LUMA)
+    dcc = J._HuffTable(*J.STD_DC_CHROMA)
+    acc = J._HuffTable(*J.STD_AC_CHROMA)
+
+    # quantized zigzag coefficients with the encoder's exact arithmetic
+    coefs = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = prepped[ci]
+        q = ql if tq == 0 else qc
+        by_n, bx_n = p.shape[0] // 8, p.shape[1] // 8
+        arr = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = J._DCT_M @ (blk.astype(np.float64) - 128.0) @ J._DCT_M.T
+                arr[by, bx] = np.round(f.reshape(64)[J.ZIGZAG] / q).astype(
+                    np.int64
+                )
+        coefs.append(arr)
+
+    out = J._header_segments(False, h, w, comps, ql, qc, 0xC2, 0)
+
+    def sos(cis, ss, se, ah, al) -> bytes:
+        seg = bytearray(
+            b"\xff\xda"
+            + (6 + 2 * len(cis)).to_bytes(2, "big")
+            + bytes([len(cis)])
+        )
+        for ci in cis:
+            seg += bytes([comps[ci][0], 0x00 if ci == 0 else 0x11])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    # DC first {Y}: non-interleaved raster over Y's own block grid
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    ybh = ((h * comps[0][2] + vmax - 1) // vmax + 7) // 8
+    ybw = ((w * comps[0][1] + hmax - 1) // hmax + 7) // 8
+    out += sos([0], 0, 0, 0, 1)
+    bw = J._BitWriter()
+    pred = 0
+    for by in range(ybh):
+        for bx in range(ybw):
+            pred = J._emit_dc_first(
+                bw, dcl, int(coefs[0][by, bx, 0]) >> 1, pred
+            )
+    bw.flush()
+    out += bytes(bw.out)
+
+    # DC first {Cb, Cr}: interleaved SUBSET — mcux/mcuy from frame max
+    out += sos([1, 2], 0, 0, 0, 1)
+    bw = J._BitWriter()
+    preds = [0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for i, ci in enumerate((1, 2)):
+                preds[i] = J._emit_dc_first(
+                    bw, dcc, int(coefs[ci][my, mx, 0]) >> 1, preds[i]
+                )
+    bw.flush()
+    out += bytes(bw.out)
+
+    # DC refinement, same split
+    out += sos([0], 0, 0, 1, 0)
+    bw = J._BitWriter()
+    for by in range(ybh):
+        for bx in range(ybw):
+            bw.write(int(coefs[0][by, bx, 0]) & 1, 1)
+    bw.flush()
+    out += bytes(bw.out)
+    out += sos([1, 2], 0, 0, 1, 0)
+    bw = J._BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in (1, 2):
+                bw.write(int(coefs[ci][my, mx, 0]) & 1, 1)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # stock AC script: per-component first then refine
+    for emit, ah, al in ((J._emit_ac_first, 0, 1), (J._emit_ac_refine, 1, 0)):
+        for ci in range(3):
+            at = acl if ci == 0 else acc
+            cw = (w * comps[ci][1] + hmax - 1) // hmax
+            ch = (h * comps[ci][2] + vmax - 1) // vmax
+            out += sos([ci], 1, 63, ah, al)
+            bw = J._BitWriter()
+            for by in range((ch + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    emit(bw, at, coefs[ci][by, bx], al)
+            bw.flush()
+            out += bytes(bw.out)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("shape", [(32, 32, 3), (24, 40, 3)])
+def test_subset_interleaved_dc_scan_decodes_identical(shape):
+    """ADVICE r12 adjudication: a spec-legal progressive DC scan that
+    interleaves only the chroma subset (excluding the max-sampled Y)
+    decodes byte-identically to the baseline encode — the frame-max
+    MCU geometry is the T.81/libjpeg formula, not a desync.  (A
+    scan-local max would walk 4x the MCUs here and desync.)"""
+    px = _noisy(shape)
+    want = decode_baseline_jpeg(encode_baseline_jpeg(px, 75, "4:2:0"))
+    got = decode_baseline_jpeg(_encode_subset_dc_progressive(px, 75))
+    assert got is not None
+    assert np.array_equal(got, want)
+
+
+def test_hostile_sof_dimensions_rejected_cheaply():
+    """ADVICE r12 (medium): a crafted SOF claiming huge dimensions must
+    return None at parse time — BEFORE allocating coefficient planes —
+    and MemoryError can never escape the dispatch point."""
+    import time
+
+    from tube_spark.operators import jpeg as J
+
+    real = encode_baseline_jpeg(_noisy((16, 16, 3)), 75, "4:4:4")
+    sof_at = real.find(b"\xff\xc0")
+    assert sof_at > 0
+    bomb = bytearray(real)
+    # SOF payload: len(2) prec(1) h(2) w(2) — claim 65535 x 65535
+    bomb[sof_at + 5 : sof_at + 9] = b"\xff\xff\xff\xff"
+    t0 = time.monotonic()
+    assert decode_baseline_jpeg(bytes(bomb)) is None
+    assert time.monotonic() - t0 < 2.0  # parse-time rejection, no alloc
+    # boundary: the cap itself, not the except clause, does the work
+    assert 65535 * 65535 > J._MAX_PIXELS
+
+
+def test_hostile_scan_count_capped():
+    """A stream repeating tiny SOS segments past _MAX_SCANS returns
+    None instead of multiplying full-image walks per segment."""
+    from tube_spark.operators import jpeg as J
+    from tube_spark.operators.jpeg import encode_progressive_jpeg
+
+    prog = encode_progressive_jpeg(_noisy((16, 16, 3)), 75)
+    assert decode_baseline_jpeg(prog) is not None
+    # splice one AC scan (SOS..next-marker) many times before EOI
+    body = prog[:-2]
+    last_sos = body.rfind(b"\xff\xda")
+    scan = body[last_sos:]
+    hostile = body + scan * (J._MAX_SCANS + 8) + b"\xff\xd9"
+    assert decode_baseline_jpeg(hostile) is None

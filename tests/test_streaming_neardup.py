@@ -60,6 +60,25 @@ class TestStreamingNearDup:
         assert sorted(proc.hits(spark).collect()) == rows_before
         assert len(idx._manifest()["generations"]) == gens_before
 
+    def _simulate_half_commit(self, proc, batch, batch_id, append=True):
+        """Reproduce the exact on-disk state a crash between append and
+        watermark leaves behind: hit directory committed (the write
+        order is hits -> intent -> append), pending intent recorded,
+        and (optionally) the index append landed."""
+        import os
+
+        hits = proc.index.probe(
+            batch, proc.id_col, proc.text_col, proc.threshold
+        )
+        hits.write.mode("overwrite").parquet(
+            os.path.join(proc.hits_dir, f"batch_id={batch_id}")
+        )
+        st = proc._state()
+        st["pending"] = {"batch_id": batch_id}
+        proc._write_state(st)
+        if append:
+            proc.index.append(batch, proc.id_col, proc.text_col)
+
     def test_replay_after_crash_between_append_and_watermark(
         self, spark, seeded
     ):
@@ -70,12 +89,7 @@ class TestStreamingNearDup:
         proc.process_batch(_docs(spark, [(100, BASE * 3)]), 0)
         batch = _docs(spark, [(110, BASE.replace("fox", "hen") * 3),
                               (210, OTHER.replace("row", "col") * 3)])
-        # simulate the half-commit: intent recorded, append landed,
-        # watermark never written (the crash window)
-        st = proc._state()
-        st["pending"] = {"batch_id": 1}
-        proc._write_state(st)
-        idx.append(batch)
+        self._simulate_half_commit(proc, batch, 1)
         tables = idx.tables()
         rows_before = spark.table(tables["buckets"]).filter(
             F.col("id").isin(110, 210)
@@ -93,14 +107,44 @@ class TestStreamingNearDup:
         assert {r["new_id"] for r in h1} >= {110}  # real history hit kept
         assert proc._state() == {"last_batch_id": 1}
 
+    def test_replay_keeps_hits_against_earlier_batches_same_id(
+        self, spark, seeded
+    ):
+        """ADVICE r12: a doc id indexed by an EARLIER batch and
+        re-ingested in the crashed batch is a legitimate hit target —
+        the r12 replay anti-joined it away, diverging from the
+        crash-free output.  The replay must keep it (it keeps the
+        crash-free hit directory wholesale now)."""
+        idx, proc = seeded
+        txt = BASE.replace("cat", "bat") * 3
+        proc.process_batch(_docs(spark, [(700, txt)]), 0)
+        batch = _docs(spark, [(700, txt)])  # same id re-ingested
+        self._simulate_half_commit(proc, batch, 1)
+        proc.process_batch(batch, 1)  # the redelivery
+        h1 = {(r["new_id"], r["indexed_id"])
+              for r in proc.hits(spark).filter("batch_id = 1").collect()}
+        assert (700, 700) in h1  # hit vs the batch-0 copy survives
+        assert proc._state() == {"last_batch_id": 1}
+
+    def test_replay_with_missing_hit_dir_raises(self, spark, seeded):
+        """A pending intent without its committed hit directory cannot
+        arise from a crash (the intent is written only after the hit
+        log commits) — the loop refuses to guess instead of silently
+        diverging."""
+        idx, proc = seeded
+        batch = _docs(spark, [(130, BASE * 3)])
+        st = proc._state()
+        st["pending"] = {"batch_id": 2}
+        proc._write_state(st)
+        with pytest.raises(RuntimeError, match="pending append intent"):
+            proc.process_batch(batch, 2)
+
     def test_replay_after_crash_before_append(self, spark, seeded):
         """Crash after the intent write but BEFORE the append: the
         compensated replay must still append the whole batch."""
         idx, proc = seeded
         batch = _docs(spark, [(120, BASE.replace("dog", "owl") * 3)])
-        st = proc._state()
-        st["pending"] = {"batch_id": 0}
-        proc._write_state(st)
+        self._simulate_half_commit(proc, batch, 0, append=False)
         proc.process_batch(batch, 0)  # redelivery; append never ran
         h0 = {(r["new_id"], r["indexed_id"])
               for r in proc.hits(spark).filter("batch_id = 0").collect()}

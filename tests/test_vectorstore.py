@@ -568,6 +568,18 @@ class TestCompaction:
         # nothing landed: the validation ran before the append
         assert store_vectors(spark, path, dedup=False).count() == n0
 
+    def test_n_output_partitions_below_n_cells_rejected(
+        self, spark, emb, tmp_path
+    ):
+        """ADVICE r12: n_output_partitions < n_cells cannot be honored
+        (the rewrite is per-cell) and was silently ignored — raise."""
+        from tube_spark.operators.vectorstore import compact_store
+
+        path = str(tmp_path / "store")
+        build_ivf_store(emb.limit(100), path, n_clusters=4, seed=7)
+        with pytest.raises(ValueError, match="n_output_partitions"):
+            compact_store(spark, path, n_output_partitions=2)
+
     def test_n_output_partitions_splits_hot_cells(self, spark, emb, tmp_path):
         import glob
         import os

@@ -115,6 +115,11 @@ def main(argv: list[str] | None = None) -> int:
         extra_conf={"spark.ui.enabled": "false"},
     )
 
+    if getattr(args, "auto_compact", 0) and not getattr(args, "append", False):
+        # --auto-compact counts APPENDS; a fresh build has none and the
+        # flag would be silently ignored — refuse ambiguous input
+        ap.error("--auto-compact requires --append")
+
     if args.cmd == "build":
         from tube_spark.operators.searchindex import (
             append_text_index,

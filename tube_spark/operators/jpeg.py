@@ -42,6 +42,18 @@ import struct
 
 import numpy as np
 
+# Decode-bomb guards (mirrors png.py's _MAX_PIXELS): a crafted SOF
+# claiming e.g. 65535x65535 would allocate ~17 GB of coefficient planes
+# per component BEFORE any payload byte is checked, and a progressive
+# stream can multiply CPU per tiny SOS segment by walking every block —
+# reject both at parse time instead of relying on the except clause.
+# 2^26 pixels = 64 MP, far above any thumbnail/keyframe this path is
+# documented for.  _MAX_SCANS bounds the progressive scan count (real
+# encoder scripts emit <= ~20 scans; libjpeg-turbo's tooling suggests
+# capping around 100 for the same hostile-input reason).
+_MAX_PIXELS = 1 << 26
+_MAX_SCANS = 100
+
 # zigzag scan order: index i of the stream -> (row, col) in the 8x8 block
 ZIGZAG = np.array(
     [
@@ -277,7 +289,17 @@ def decode_baseline_jpeg(buf: bytes) -> "np.ndarray | None":
     stable dispatch point ``multimodal.py`` binds to.)"""
     try:
         return _decode(buf)
-    except (ValueError, IndexError, struct.error, KeyError):
+    except (
+        ValueError,
+        IndexError,
+        struct.error,
+        KeyError,
+        MemoryError,
+        OverflowError,
+    ):
+        # MemoryError/OverflowError: hostile headers can still drive a
+        # large-but-under-cap allocation on a constrained executor —
+        # the never-raise contract must hold there too (png.py's list)
         return None
 
 
@@ -421,7 +443,17 @@ def _decode_scan(
             unit = 0
 
     if len(scan_comps) > 1:
-        # interleaved: full MCU order (baseline, or progressive DC)
+        # interleaved: MCU order (baseline, or progressive DC).  The
+        # MCU count deliberately uses the FRAME's hmax/vmax even when
+        # the scan interleaves only a subset of components: T.81 A.2.3
+        # derives MCUs-per-row per component as ceil(blocks_i / H_i)
+        # with blocks_i = ceil(ceil(w*H_i/Hmax)/8), which reduces to
+        # ceil(w/(8*Hmax)) — the frame maximum — for EVERY component,
+        # and libjpeg's per_scan_setup uses cinfo->max_h_samp_factor
+        # the same way.  A scan-local maximum would over-count MCUs
+        # for a subset scan that excludes the max-sampled component
+        # (pinned by the subset-DC differential test in
+        # tests/test_jpeg_codec.py).
         for my in range(mcuy):
             for mx in range(mcux):
                 maybe_restart()
@@ -544,6 +576,10 @@ def _decode(buf: bytes) -> "np.ndarray | None":
             nc = body[5]
             if nc not in (1, 3) or h == 0 or w == 0:
                 return None
+            if h * w > _MAX_PIXELS:
+                # reject BEFORE the per-component coefficient planes
+                # are allocated (a 65535x65535 claim is ~17 GB each)
+                return None
             comps = []
             for c in range(nc):
                 cid = body[6 + 3 * c]
@@ -621,6 +657,8 @@ def _decode(buf: bytes) -> "np.ndarray | None":
                 progressive,
             )
             n_scans += 1
+            if n_scans > _MAX_SCANS:
+                return None  # hostile scan-count multiplier (see cap)
             continue
         pos += 2 + seg_len
     if frame is None or coefs is None or n_scans == 0:

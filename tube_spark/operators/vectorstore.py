@@ -308,7 +308,16 @@ def compact_store(
         [id_col]
     )
     n_cells = len(load_centroids(path, spark))
-    if n_output_partitions is None or n_output_partitions <= n_cells:
+    if n_output_partitions is not None and n_output_partitions < n_cells:
+        # fewer partitions than cells cannot be honored (partitionBy
+        # still writes one directory per cell) — the argument would be
+        # silently ignored; n_cells IS the minimum
+        raise ValueError(
+            f"n_output_partitions={n_output_partitions} < n_cells="
+            f"{n_cells}: the rewrite is per-cell, so n_cells is the "
+            "minimum — pass None for the default one-file-per-cell"
+        )
+    if n_output_partitions is None or n_output_partitions == n_cells:
         parted = df.repartition(n_cells, F.col("cell"))
     else:
         parted = df.repartition(

@@ -20,9 +20,14 @@ promoted to ``last_batch_id`` only after.  A crash between append and
 watermark therefore replays as a DETECTED half-commit, and the replay
 compensates instead of re-running blind:
 
-* the probe's hits are anti-joined against the batch's own ids — the
-  index may already contain the batch, and without the filter the
-  replay would log self-hits, breaking the delta-vs-history contract;
+* the batch's hit directory is KEPT, not recomputed: the write order
+  is hits -> intent -> append, so a pending intent proves the hit log
+  committed before any of the batch's rows could have reached the
+  index — the directory already holds the exact crash-free probe
+  output.  (Re-probing and filtering out the batch's own ids would
+  also drop legitimate hits against same ids indexed by EARLIER
+  batches — re-ingested documents — diverging from the crash-free
+  run.)
 * the append runs with ``if_absent=True`` (anti-join per store table),
   so ids the half-commit already landed are not appended twice — each
   table's saveAsTable append is all-or-nothing at job commit, so
@@ -31,7 +36,10 @@ compensates instead of re-running blind:
 The hit log is partitioned by batch id (one overwrite-able directory
 per batch — the streaming/jsonl.py idempotent-epoch pattern), so a
 crash between hit-log write and watermark commit re-emits only that
-batch's directory, identically.
+batch's directory, identically.  Replay output is therefore
+bit-identical to the crash-free output at every crash point.  The
+state file itself is written via temp + ``os.replace`` so a crash
+mid-write can never leave truncated JSON that wedges the stream.
 """
 
 from __future__ import annotations
@@ -77,9 +85,15 @@ class StreamingNearDup:
         return {"last_batch_id": -1}
 
     def _write_state(self, state: dict) -> None:
+        # temp + atomic rename (the fsio.write_text pattern): a crash
+        # mid-write must never leave a truncated JSON that wedges every
+        # later _state() with JSONDecodeError — the write-ahead protocol
+        # writes this file twice per batch, so the window is real
         os.makedirs(self.hits_dir, exist_ok=True)
-        with open(self._state_path, "w") as f:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(state, f)
+        os.replace(tmp, self._state_path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -89,30 +103,45 @@ class StreamingNearDup:
             return  # fully-committed redelivery: skip wholesale
         pending = state.get("pending")
         half_committed = bool(pending) and pending.get("batch_id") == batch_id
-        hits = self.index.probe(batch, self.id_col, self.text_col, self.threshold)
         if half_committed:
-            # the crashed attempt may have appended this batch before
-            # its watermark landed, so the index can contain the batch
-            # itself — drop those self-hits to keep the hit log
-            # delta-vs-history (identical to the crash-free output)
-            own = batch.select(
-                F.col(self.id_col).alias("indexed_id")
-            ).distinct()
-            hits = hits.join(own, "indexed_id", "left_anti")
-        # one directory per batch: a replayed crash rewrites the same
-        # directory with identical content instead of duplicating rows;
-        # the batch_id column is carried by the directory name (writing
-        # it into the files too would collide with partition discovery)
-        hits.write.mode("overwrite").parquet(
-            os.path.join(self.hits_dir, f"batch_id={batch_id}")
-        )
-        if half_committed:
-            # compensated re-append: only ids the half-commit missed
+            # write order is hits -> intent -> append, so a pending
+            # intent PROVES this batch's hit directory committed before
+            # any of its rows could have reached the index — that
+            # directory IS the crash-free probe output.  Re-probing now
+            # would see the half-appended batch itself, and filtering
+            # those self-hits by the batch's ids (the r12 form) also
+            # removed legitimate hits against SAME ids indexed by
+            # earlier batches — keep the committed directory instead
+            # and only finish the append, compensated.
+            marker = os.path.join(
+                self.hits_dir, f"batch_id={batch_id}", "_SUCCESS"
+            )
+            if not os.path.exists(marker):
+                raise RuntimeError(
+                    f"near-dup stream state inconsistent: batch "
+                    f"{batch_id} has a pending append intent but its "
+                    f"hit directory is missing/incomplete ({marker}); "
+                    "the intent is only written after the hit log "
+                    "commits, so this state cannot arise from a crash "
+                    "— restore the hit directory or clear "
+                    f"{self._state_path}"
+                )
             self.index.append(
                 batch, self.id_col, self.text_col, if_absent=True,
                 auto_compact_at=self.auto_compact_at,
             )
         else:
+            hits = self.index.probe(
+                batch, self.id_col, self.text_col, self.threshold
+            )
+            # one directory per batch: a replayed crash rewrites the
+            # same directory with identical content instead of
+            # duplicating rows; the batch_id column is carried by the
+            # directory name (writing it into the files too would
+            # collide with partition discovery)
+            hits.write.mode("overwrite").parquet(
+                os.path.join(self.hits_dir, f"batch_id={batch_id}")
+            )
             # write-ahead intent BEFORE the non-idempotent append: a
             # crash after the append but before the watermark replays
             # as a detected half-commit (branch above), never as a
