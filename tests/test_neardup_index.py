@@ -251,3 +251,142 @@ def test_legacy_manifest_drop_and_rebuild(spark, tmp_path):
     existing = {t.name for t in spark.catalog.listTables()}
     assert f"{name}_buckets" not in existing
     assert f"{name}_sigs" not in existing
+
+
+class TestPendingAppendIntent:
+    """VERDICT r12 item 3: a crashed plain append() (between the two
+    table writes) must be detected and compensated on the next
+    mutation REGARDLESS of caller flags."""
+
+    def _crash_sigs_append(self, monkeypatch, idx):
+        from tube_spark.sinks.writer import BucketedTableSink
+
+        sigs_table = idx.tables()["sigs"]
+        real = BucketedTableSink.write
+
+        def crashing(self, df, mode="overwrite"):
+            if self.table == sigs_table and mode == "append":
+                raise RuntimeError("simulated crash between table appends")
+            return real(self, df, mode=mode)
+
+        monkeypatch.setattr(BucketedTableSink, "write", crashing)
+        return real
+
+    def test_plain_reappend_after_crash_self_heals(
+        self, spark, history, monkeypatch
+    ):
+        from tube_spark.sinks.writer import BucketedTableSink
+
+        batch = _docs(spark, [(501, BASE.replace("tree", "shrub") * 3)])
+        real = self._crash_sigs_append(monkeypatch, history)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            history.append(batch)
+        monkeypatch.setattr(BucketedTableSink, "write", real)
+
+        m = history._manifest()
+        assert m.get("pending")  # the write-ahead intent survived
+        tables = history.tables()
+        spark.catalog.refreshTable(tables["buckets"])
+        rows_b = spark.table(tables["buckets"]).filter("id = 501").count()
+        assert rows_b > 0  # buckets landed, sigs did not
+        assert spark.table(tables["sigs"]).filter("id = 501").count() == 0
+
+        # PLAIN re-append (caller knows nothing): must not double the
+        # bucket rows, must land the signatures, must clear the intent
+        history.append(batch)
+        spark.catalog.refreshTable(tables["buckets"])
+        spark.catalog.refreshTable(tables["sigs"])
+        assert (
+            spark.table(tables["buckets"]).filter("id = 501").count()
+            == rows_b
+        )
+        assert spark.table(tables["sigs"]).filter("id = 501").count() == 1
+        assert not history._manifest().get("pending")
+        # the healed store probes like a clean one
+        hits = history.probe(
+            _docs(spark, [(502, BASE.replace("tree", "shrub") * 3)]),
+            threshold=0.9,
+        )
+        assert 501 in {r["indexed_id"] for r in hits.collect()}
+
+    def test_compact_repairs_never_redelivered_half_commit(
+        self, spark, history, monkeypatch
+    ):
+        from tube_spark.sinks.writer import BucketedTableSink
+
+        batch = _docs(spark, [(601, BASE.replace("wall", "fence") * 3)])
+        real = self._crash_sigs_append(monkeypatch, history)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            history.append(batch)
+        monkeypatch.setattr(BucketedTableSink, "write", real)
+        assert history._manifest().get("pending")
+
+        # the batch is never redelivered; compaction purges the orphan
+        # bucket rows and clears the intent
+        m = history.compact(spark)
+        assert not m.get("pending")
+        assert m["generations"][-1] == {
+            "op": "compact", "table_gen": m["table_gen"], "repaired": True,
+        }
+        tables = history.tables()
+        bkt_ids = {
+            r["id"] for r in spark.table(tables["buckets"])
+            .select("id").distinct().collect()
+        }
+        sig_ids = {
+            r["id"] for r in spark.table(tables["sigs"])
+            .select("id").distinct().collect()
+        }
+        assert 601 not in bkt_ids  # orphans purged
+        assert bkt_ids == sig_ids  # store is internally consistent
+        # and the repaired store still probes correctly
+        hits = history.probe(_docs(spark, [(602, BASE * 3)]), threshold=0.9)
+        assert 1 in {r["indexed_id"] for r in hits.collect()}
+
+    def test_probe_is_correct_mid_recovery(self, spark, history, monkeypatch):
+        """Orphan bucket rows (ids with no signatures) must never
+        surface as hits: the signature-verify join drops them."""
+        from tube_spark.sinks.writer import BucketedTableSink
+
+        batch = _docs(spark, [(701, BASE.replace("dog", "pug") * 3)])
+        real = self._crash_sigs_append(monkeypatch, history)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            history.append(batch)
+        monkeypatch.setattr(BucketedTableSink, "write", real)
+        hits = history.probe(
+            _docs(spark, [(702, BASE.replace("dog", "pug") * 3)]),
+            threshold=0.5,
+        ).collect()
+        assert 701 not in {r["indexed_id"] for r in hits}  # no sig, no hit
+        assert 1 in {r["indexed_id"] for r in hits}  # history still hit
+
+
+class TestConcurrentReaderCompaction:
+    """VERDICT r12 item 5: an in-flight reader that resolved generation
+    N must finish correctly when a compaction commits N+1 mid-flight
+    (cleanup deferred), and the sweep only settles recorded debt at the
+    next cleanup commit."""
+
+    def test_inflight_probe_survives_deferred_compaction(
+        self, spark, history
+    ):
+        history.append(_docs(spark, [(801, BASE.replace("cat", "kit") * 3)]))
+        old_tables = history.tables()
+        # resolve the probe plan against generation N
+        inflight = history.probe(
+            _docs(spark, [(802, BASE.replace("cat", "kit") * 3)]),
+            threshold=0.8,
+        )
+        m = history.compact(spark, cleanup=False)  # commit N+1 mid-flight
+        assert m["tables"] != old_tables
+        # deferred: the old generation is recorded as debt, NOT dropped
+        assert set(m["stale"]) == set(old_tables.values())
+        for t in old_tables.values():
+            assert spark.catalog.tableExists(t)
+        # the in-flight reader finishes against its resolved generation
+        assert 801 in {r["indexed_id"] for r in inflight.collect()}
+        # the NEXT cleanup commit settles the debt (gen N and N+1)
+        history.compact(spark)
+        for t in old_tables.values():
+            assert not spark.catalog.tableExists(t)
+        assert history._manifest()["stale"] == []

@@ -212,3 +212,36 @@ def test_streaming_ingest_matches_batch_build(spark, tmp_path):
     assert _rows(search_text_index(spark, p, TERMS, k=15)) == _rows(
         search_text_index(spark, p2, TERMS, k=15)
     )
+
+
+def test_inflight_search_survives_deferred_compaction(spark, tmp_path):
+    """VERDICT r12 item 5: a search that resolved the gen-N roots must
+    finish correctly when compact_text_index commits N+1 mid-flight
+    with cleanup deferred; a later cleanup commit (even a no-segment
+    noop compact) settles the recorded debt."""
+    import tube_spark.operators.searchindex as si
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "idx")
+    si.build_text_index(docs.filter("doc_id % 2 = 0"), path, n_buckets=8)
+    si.append_text_index(docs.filter("doc_id % 2 = 1"), path)
+    terms = ["data", "model", "training"]
+    inflight = si.search_text_index(spark, path, terms, k=10)
+    want = [tuple(r) for r in inflight.collect()]
+    m = si.compact_text_index(spark, path, cleanup=False)
+    assert m["postings_dir"] == "postings-g1"
+    assert "postings" in m["stale"] and "segments/seg-0" in m["stale"]
+    assert (tmp_path / "idx" / "postings").exists()  # debt, not deleted
+    # in-flight reader finishes against its resolved roots
+    assert [tuple(r) for r in inflight.collect()] == want
+    # a no-segment compact with cleanup settles the recorded debt
+    m2 = si.compact_text_index(spark, path, cleanup=True)
+    assert m2["stale"] == []
+    assert not (tmp_path / "idx" / "postings").exists()
+    assert not (tmp_path / "idx" / "segments" / "seg-0").exists()
+    # and the compacted store still searches identically
+    assert [
+        tuple(r) for r in si.search_text_index(spark, path, terms, k=10).collect()
+    ] == want

@@ -603,3 +603,42 @@ class TestCompaction:
         ]
         # hashing on (cell, id) split the hot cell across tasks
         assert len(files) > 1
+
+
+class TestConcurrentReaderCompaction:
+    """VERDICT r12 item 5: a search that resolved generation N must
+    finish correctly when compact_store commits N+1 mid-flight with
+    cleanup deferred; the recorded debt is settled at the next
+    cleanup commit, never under an in-flight reader."""
+
+    def test_inflight_search_survives_deferred_compaction(
+        self, spark, emb, tmp_path
+    ):
+        import os
+
+        from tube_spark.operators.vectorstore import (
+            _store_manifest,
+            compact_store,
+        )
+
+        path = str(tmp_path / "store")
+        build_ivf_store(emb.limit(400), path, n_clusters=8, seed=7)
+        append_vectors(
+            emb.limit(100).withColumn("vec_id", F.col("vec_id") + 9_000_000),
+            path,
+        )
+        queries = emb.filter(F.col("vec_id") % 97 == 0)
+        # resolve the search plan against generation 0
+        inflight = search_store(spark, path, queries, k=5)
+        want = sorted(map(tuple, inflight.collect()))  # reference result
+        old_dir = _store_manifest(spark, path)["data_dir"]
+        m = compact_store(spark, path, cleanup=False)  # N+1 mid-flight
+        assert m["data_dir"] != old_dir
+        assert old_dir in m["stale"]  # debt recorded, not deleted
+        assert os.path.exists(os.path.join(path, old_dir))
+        # the in-flight plan still reads its resolved generation
+        assert sorted(map(tuple, inflight.collect())) == want
+        # the NEXT cleanup commit settles the debt
+        compact_store(spark, path, cleanup=True)
+        assert not os.path.exists(os.path.join(path, old_dir))
+        assert _store_manifest(spark, path)["stale"] == []

@@ -63,7 +63,6 @@ pre-filter when only exact membership matters.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +73,7 @@ from tube_spark.operators.dedup import (
     minhash_est_jaccard,
     minhash_signatures,
 )
+from tube_spark.operators.storelife import StoreManifest
 from tube_spark.sinks.writer import BucketedTableSink
 
 
@@ -108,11 +108,14 @@ class NearDupIndex:
     def _manifest_path(self) -> str:
         return os.path.join(self.base_dir, f"{self.name}.neardup.json")
 
+    @property
+    def _sm(self) -> StoreManifest:
+        # driver-local manifest (it lives beside the frozen config, not
+        # the data, which is in catalog tables) — atomic os.replace IO
+        return StoreManifest(self._manifest_path)
+
     def _manifest(self) -> dict | None:
-        if os.path.exists(self._manifest_path):
-            with open(self._manifest_path) as f:
-                return json.load(f)
-        return None
+        return self._sm.read()
 
     def _check_config(self) -> dict:
         m = self._manifest()
@@ -187,7 +190,6 @@ class NearDupIndex:
         b_sink.write(bkt, mode="overwrite")
         s_sink.write(sig, mode="overwrite")
         n_docs = s_sink.read(spark).count()
-        os.makedirs(self.base_dir, exist_ok=True)
         manifest = {
             "config": self.config,
             "tables": tables,
@@ -195,15 +197,25 @@ class NearDupIndex:
             "appends_since_compact": 0,
             "generations": [{"op": "build", "n_docs": n_docs}],
         }
-        with open(self._manifest_path, "w") as f:
-            json.dump(manifest, f)
         if prior is not None:
             # a rebuilt index at a higher compaction generation (or on
             # a pre-generation legacy layout) leaves the superseded
-            # tables orphaned — drop them post-commit
-            for t in (prior.get("tables") or self._legacy_tables()).values():
-                if t not in tables.values():
-                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+            # tables orphaned — record them at the commit so a crash
+            # before the drop never leaks them, then sweep
+            StoreManifest.record_stale(
+                manifest,
+                [
+                    t
+                    for t in (
+                        prior.get("tables") or self._legacy_tables()
+                    ).values()
+                    if t not in tables.values()
+                ],
+            )
+        self._sm.commit(manifest)
+        self._sm.sweep_stale(
+            manifest, lambda t: spark.sql(f"DROP TABLE IF EXISTS {t}")
+        )
         return manifest
 
     def append(
@@ -224,12 +236,18 @@ class NearDupIndex:
         id presence is the exact predicate).  ``auto_compact_at=N``
         triggers ``compact()`` once this append commits and N appends
         have accumulated since the last rewrite."""
-        if auto_compact_at is not None and auto_compact_at < 1:
-            raise ValueError(
-                f"auto_compact_at must be >= 1, got {auto_compact_at}"
-            )
+        StoreManifest.check_compact_at(auto_compact_at)
         m = self._check_config()
         spark = docs.sparkSession
+        if m.get("pending"):
+            # a PRIOR append half-committed (crash between the two
+            # table writes): buckets may hold ids with no signatures.
+            # Orphans are probe-harmless (the signature-verify join
+            # drops them) but a blind re-append of the same batch
+            # would DOUBLE its bucket rows — force the compensation
+            # path regardless of caller flags so the store self-heals
+            # on the next append, whatever the caller knows.
+            if_absent = True
         b_sink, s_sink = self._sinks(m["tables"])
         sig, bkt = self._sign(docs, id_col, text_col)
         if if_absent:
@@ -239,6 +257,11 @@ class NearDupIndex:
                 b_sink.read(spark).select("id").distinct(), "id", "left_anti"
             )
             sig = sig.join(s_sink.read(spark).select("id"), "id", "left_anti")
+        # write-ahead intent BEFORE the first non-idempotent table
+        # append: the two saveAsTable appends are each all-or-nothing
+        # at job commit, but not atomic TOGETHER — a crash in between
+        # must replay as a detected half-commit, never a blind re-run
+        self._sm.set_pending(m, {"op": "append"})
         b_sink.write(bkt, mode="append")
         s_sink.write(sig, mode="append")
         n_docs = docs.select(id_col).distinct().count()
@@ -246,13 +269,8 @@ class NearDupIndex:
         if if_absent:
             entry["if_absent"] = True
         m["generations"].append(entry)
-        m["appends_since_compact"] = int(m.get("appends_since_compact", 0)) + 1
-        with open(self._manifest_path, "w") as f:
-            json.dump(m, f)
-        if (
-            auto_compact_at is not None
-            and m["appends_since_compact"] >= auto_compact_at
-        ):
+        StoreManifest.clear_pending(m)
+        if self._sm.bump_appends(m, auto_compact_at):
             m = self.compact(spark)
         return m
 
@@ -271,6 +289,7 @@ class NearDupIndex:
         new_b, new_s = self._sinks(new)
         spark.catalog.refreshTable(old_b.table)
         spark.catalog.refreshTable(old_s.table)
+        repair = bool(m.get("pending"))
         # force the BUCKETED read for the rewrite: with the auto-
         # bucketed-scan rule on, a plain table rewrite reads arbitrary
         # file splits (nothing in the plan "needs" the bucket layout),
@@ -283,28 +302,51 @@ class NearDupIndex:
         prior = spark.conf.get(auto_key, "true")
         spark.conf.set(auto_key, "false")
         try:
-            new_b.write(old_b.read(spark), mode="overwrite")
+            bkt = old_b.read(spark)
+            if repair:
+                # a half-committed append left a pending intent that
+                # no later append compensated (the batch was never
+                # redelivered): buckets may carry ids with no
+                # signatures.  Probe-harmless, but dead bytes — purge
+                # them in the rewrite, then restore the one-file-per-
+                # bucket layout the semi-join's shuffle disturbed.
+                nb = self.config["n_buckets"]
+                bkt = bkt.join(
+                    old_s.read(spark).select("id").distinct(),
+                    "id",
+                    "left_semi",
+                ).repartition(nb, F.col("bb"))
+            new_b.write(bkt, mode="overwrite")
             new_s.write(old_s.read(spark), mode="overwrite")
         finally:
             spark.conf.set(auto_key, prior)
         m["tables"] = new
         m["table_gen"] = gen
         m["appends_since_compact"] = 0
-        m["generations"].append({"op": "compact", "table_gen": gen})
-        with open(self._manifest_path, "w") as f:
-            json.dump(m, f)  # the commit point: readers swap here
+        entry = {"op": "compact", "table_gen": gen}
+        if repair:
+            entry["repaired"] = True
+        m["generations"].append(entry)
+        StoreManifest.clear_pending(m)
+        StoreManifest.record_stale(m, [old["buckets"], old["sigs"]])
+        self._sm.commit(m)  # the commit point: readers swap here
         if cleanup:
-            spark.sql(f"DROP TABLE IF EXISTS {old['buckets']}")
-            spark.sql(f"DROP TABLE IF EXISTS {old['sigs']}")
+            self._sm.sweep_stale(
+                m, lambda t: spark.sql(f"DROP TABLE IF EXISTS {t}")
+            )
         return m
 
     def drop(self, spark: SparkSession) -> None:
-        """Remove the index: committed tables and manifest."""
+        """Remove the index: committed tables (plus any recorded stale
+        debt) and the manifest."""
         m = self._manifest()
         if m is not None:
-            for t in (m.get("tables") or self._legacy_tables()).values():
+            names = set(
+                (m.get("tables") or self._legacy_tables()).values()
+            ) | set(m.get("stale") or [])
+            for t in names:
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
-            os.remove(self._manifest_path)
+            self._sm.remove()
 
     def probe(
         self,

@@ -45,13 +45,13 @@ postings never move).
 
 from __future__ import annotations
 
-import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tube_spark.functions import fsio
 from tube_spark.operators.retrieval import term_stats
+from tube_spark.operators.storelife import StoreManifest
 
 _MANIFEST = "_MANIFEST.json"
 
@@ -72,13 +72,19 @@ def _postings(
     return rows, doclen
 
 
+def _sm(spark: SparkSession, path: str) -> StoreManifest:
+    return StoreManifest(f"{path}/{_MANIFEST}", spark)
+
+
 def _read_manifest(spark: SparkSession, path: str) -> dict:
-    return json.loads(fsio.read_text(spark, f"{path}/{_MANIFEST}"))
+    m = _sm(spark, path).read()
+    if m is None:
+        raise FileNotFoundError(f"{path}/{_MANIFEST}")
+    return m
 
 
 def _write_manifest(spark: SparkSession, path: str, m: dict) -> None:
-    fsio.mkdirs(spark, path)
-    fsio.write_text(spark, f"{path}/{_MANIFEST}", json.dumps(m))
+    _sm(spark, path).commit(m)
 
 
 def build_text_index(
@@ -134,10 +140,7 @@ def append_text_index(
     threshold, the index is compacted in the same call.  The append's
     manifest commit lands first, so a crash mid-compaction loses only
     the compaction, never the append."""
-    if auto_compact_at is not None and auto_compact_at < 1:
-        raise ValueError(
-            f"auto_compact_at must be >= 1, got {auto_compact_at}"
-        )
+    StoreManifest.check_compact_at(auto_compact_at)
     spark = docs.sparkSession
     m = _read_manifest(spark, path)
     if (
@@ -224,7 +227,14 @@ def compact_text_index(
     m = _read_manifest(spark, path)
     segs = list(m.get("segments", []))
     if not segs:
-        return m  # nothing staged: base generation is already compact
+        # nothing staged: base generation is already compact — but a
+        # prior deferred cleanup may have left recorded stale debt;
+        # settle it (this IS the "next commit" the deferral promises)
+        if cleanup:
+            _sm(spark, path).sweep_stale(
+                m, lambda name: fsio.delete(spark, f"{path}/{name}")
+            )
+        return m
     base = m.get("postings_dir", "postings")
     roots = [f"{path}/{base}"] + [f"{path}/segments/seg-{s}" for s in segs]
     merged = None
@@ -232,18 +242,24 @@ def compact_text_index(
         scan = spark.read.parquet(root)
         merged = scan if merged is None else merged.unionByName(scan)
     gen = int(m.get("next_gen", 1))
-    new_dir = f"postings-g{gen}"
+    new_dir = StoreManifest.gen_name("postings", gen, sep="-g")
     merged.write.mode("overwrite").partitionBy("tb").parquet(
         f"{path}/{new_dir}"
     )
     m["postings_dir"] = new_dir
     m["segments"] = []
     m["next_gen"] = gen + 1
+    # superseded roots ride the manifest until deleted: a crash between
+    # the commit and the sweep can never leak a generation forever —
+    # the NEXT compaction's sweep settles the recorded debt
+    StoreManifest.record_stale(
+        m, [base] + [f"segments/seg-{s}" for s in segs]
+    )
     _write_manifest(spark, path, m)  # the commit point
     if cleanup:
-        fsio.delete(spark, f"{path}/{base}")
-        for s in segs:
-            fsio.delete(spark, f"{path}/segments/seg-{s}")
+        _sm(spark, path).sweep_stale(
+            m, lambda name: fsio.delete(spark, f"{path}/{name}")
+        )
     return m
 
 

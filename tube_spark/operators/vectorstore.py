@@ -51,10 +51,15 @@ from tube_spark.operators.similarity import (
     _nearest_centroids_udf,
     cosine_arrow,
 )
+from tube_spark.operators.storelife import StoreManifest
 
 _CENTROIDS = "_centroids.json"
 _DATA = "cells"
 _STORE_MANIFEST = "_store.json"
+
+
+def _sm(spark: SparkSession, path: str) -> StoreManifest:
+    return StoreManifest(fsio.join(path, _STORE_MANIFEST), spark)
 
 
 def _store_manifest(spark: SparkSession, path: str) -> dict:
@@ -64,10 +69,8 @@ def _store_manifest(spark: SparkSession, path: str) -> dict:
     so a rebuild can never leave new centroids pointing at old cells.
     Legacy stores (no manifest) resolve to the original flat layout at
     generation 0."""
-    mp = fsio.join(path, _STORE_MANIFEST)
-    if fsio.exists(spark, mp):
-        m = json.loads(fsio.read_text(spark, mp))
-    else:
+    m = _sm(spark, path).read()
+    if m is None:
         m = {"data_dir": _DATA, "data_gen": 0, "appends_since_compact": 0}
     m.setdefault("centroids", _CENTROIDS)
     m.setdefault("pq_books", _PQ_BOOKS)
@@ -75,8 +78,7 @@ def _store_manifest(spark: SparkSession, path: str) -> dict:
 
 
 def _write_store_manifest(spark: SparkSession, path: str, m: dict) -> None:
-    fsio.mkdirs(spark, path)
-    fsio.write_text(spark, fsio.join(path, _STORE_MANIFEST), json.dumps(m))
+    _sm(spark, path).commit(m)
 
 
 def _data_path(spark: SparkSession, path: str) -> str:
@@ -87,13 +89,9 @@ def _sweep_stale(spark: SparkSession, path: str, m: dict) -> None:
     """Delete directories/files a prior commit superseded but a crash
     left behind (the manifest carries them until the delete lands, so
     a post-commit crash can never leak a generation forever)."""
-    stale = m.get("stale") or []
-    if not stale:
-        return
-    for name in stale:
-        fsio.delete(spark, fsio.join(path, name))
-    m["stale"] = []
-    _write_store_manifest(spark, path, m)
+    _sm(spark, path).sweep_stale(
+        m, lambda name: fsio.delete(spark, fsio.join(path, name))
+    )
 
 
 def load_centroids(path: str, spark: SparkSession | None = None) -> np.ndarray:
@@ -170,12 +168,16 @@ def _stage_names(spark: SparkSession, path: str) -> dict:
         gen = 0
     else:
         gen = int(prior.get("data_gen", 0)) + 1
-    sfx = "" if gen == 0 else f"_g{gen}"
+    gname = StoreManifest.gen_name
     return {
         "gen": gen,
-        "data_dir": _DATA + sfx,
-        "centroids": (_CENTROIDS if gen == 0 else f"_centroids{sfx}.json"),
-        "pq_books": (_PQ_BOOKS if gen == 0 else f"_pq_codebooks{sfx}.json"),
+        "data_dir": gname(_DATA, gen),
+        "centroids": (
+            _CENTROIDS if gen == 0 else gname("_centroids", gen) + ".json"
+        ),
+        "pq_books": (
+            _PQ_BOOKS if gen == 0 else gname("_pq_codebooks", gen) + ".json"
+        ),
         "prior": prior,
     }
 
@@ -183,21 +185,24 @@ def _stage_names(spark: SparkSession, path: str) -> dict:
 def _commit_build(spark: SparkSession, path: str, names: dict) -> None:
     prior = names["prior"]
     new = {names["data_dir"], names["centroids"], names["pq_books"]}
-    stale = list(prior.get("stale") or []) + [
-        n
-        for n in (
-            prior["data_dir"], prior["centroids"], prior.get("pq_books")
-        )
-        if n and n not in new
-    ]
     m = {
         "data_dir": names["data_dir"],
         "data_gen": names["gen"],
         "appends_since_compact": 0,
         "centroids": names["centroids"],
         "pq_books": names["pq_books"],
-        "stale": sorted(set(stale)),
+        "stale": list(prior.get("stale") or []),
     }
+    StoreManifest.record_stale(
+        m,
+        [
+            n
+            for n in (
+                prior["data_dir"], prior["centroids"], prior.get("pq_books")
+            )
+            if n and n not in new
+        ],
+    )
     _write_store_manifest(spark, path, m)  # the commit point
     _sweep_stale(spark, path, m)
 
@@ -246,11 +251,7 @@ def append_vectors(
     _bump_appends(spark, path, auto_compact_at, id_col, compact_cleanup)
 
 
-def _check_compact_at(auto_compact_at: int | None) -> None:
-    if auto_compact_at is not None and auto_compact_at < 1:
-        raise ValueError(
-            f"auto_compact_at must be >= 1, got {auto_compact_at}"
-        )
+_check_compact_at = StoreManifest.check_compact_at
 
 
 def _bump_appends(
@@ -261,12 +262,7 @@ def _bump_appends(
     compact_cleanup: bool = True,
 ) -> None:
     m = _store_manifest(spark, path)
-    m["appends_since_compact"] = int(m.get("appends_since_compact", 0)) + 1
-    _write_store_manifest(spark, path, m)
-    if (
-        auto_compact_at is not None
-        and m["appends_since_compact"] >= auto_compact_at
-    ):
+    if _sm(spark, path).bump_appends(m, auto_compact_at):
         compact_store(spark, path, id_col=id_col, cleanup=compact_cleanup)
 
 
@@ -303,7 +299,7 @@ def compact_store(
     and delete can never leak a directory forever."""
     m = _store_manifest(spark, path)
     gen = int(m.get("data_gen", 0)) + 1
-    new_dir = f"{_DATA}_g{gen}"
+    new_dir = StoreManifest.gen_name(_DATA, gen)
     df = spark.read.parquet(fsio.join(path, m["data_dir"])).dropDuplicates(
         [id_col]
     )
@@ -332,7 +328,7 @@ def compact_store(
     m["data_dir"] = new_dir
     m["data_gen"] = gen
     m["appends_since_compact"] = 0
-    m["stale"] = sorted(set(m.get("stale") or []) | {old_dir})
+    StoreManifest.record_stale(m, [old_dir])
     _write_store_manifest(spark, path, m)  # the commit point
     if cleanup:
         _sweep_stale(spark, path, m)
