@@ -1,0 +1,219 @@
+"""GIF codec (operators/gif.py): LZW exactness across code widths and
+table resets, interlace, transparency + disposal compositing, hostile
+inputs, and the multimodal dispatch (decode_media / phash_image)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tube_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+    gif_dimensions,
+)
+
+
+def _pal(n, seed=7):
+    return np.random.default_rng(seed).integers(0, 256, (n, 3), dtype=np.uint8)
+
+
+def _idx(h, w, hi, seed=9):
+    return np.random.default_rng(seed).integers(0, hi, (h, w), dtype=np.uint8)
+
+
+@pytest.mark.parametrize(
+    "mcs,hi,n",
+    [
+        (2, 4, 50),
+        (2, 4, 5000),       # width growth through 12 bits
+        (4, 13, 4000),
+        (8, 256, 60000),    # full byte alphabet
+        (4, 16, 200000),    # multiple 4096-entry table resets
+    ],
+)
+def test_lzw_roundtrip_exact(mcs, hi, n):
+    seq = np.random.default_rng(3).integers(0, hi, n, dtype=np.uint8)
+    assert np.array_equal(_lzw_decode(_lzw_encode(seq, mcs), mcs, n), seq)
+
+
+def test_lzw_corrupt_streams_return_none():
+    seq = np.arange(64, dtype=np.uint8) % 13
+    enc = _lzw_encode(seq, 4)
+    assert _lzw_decode(enc[: len(enc) // 2], 4, 64) is None  # short
+    assert _lzw_decode(b"", 4, 10) is None
+    assert _lzw_decode(enc, 1, 64) is None  # bad min code size
+
+
+def test_single_frame_roundtrip_exact():
+    pal = _pal(13)
+    idx = _idx(17, 23, 13)
+    buf = encode_gif([idx], pal)
+    assert gif_dimensions(buf) == (23, 17)
+    assert np.array_equal(decode_gif(buf), pal[idx])
+
+
+def test_interlaced_roundtrip_exact():
+    pal = _pal(13)
+    for h in (1, 2, 5, 8, 17):  # pass boundaries
+        idx = _idx(h, 9, 13, seed=h)
+        buf = encode_gif([idx], pal, interlace=True)
+        assert np.array_equal(decode_gif(buf), pal[idx]), h
+
+
+def test_256_color_and_table_reset_frame():
+    pal = _pal(256)
+    idx = _idx(200, 300, 256)
+    assert np.array_equal(decode_gif(encode_gif([idx], pal)), pal[idx])
+
+
+def test_animation_transparency_and_disposal_background():
+    pal = _pal(13)
+    f0 = _idx(10, 12, 13, seed=1)
+    f1 = _idx(4, 5, 13, seed=2)
+    buf = encode_gif(
+        [f0, (f1, 3, 2), (f1, 0, 0)], pal,
+        delays_ms=[40, 20, 30], transparent=5, disposal=[0, 2, 0], loop=0,
+    )
+    frames = decode_gif_frames(buf)
+    assert len(frames) == 3
+    assert [d for _, d in frames] == [40, 20, 30]
+    # reference compositing in plain numpy
+    canvas = np.empty((10, 12, 3), np.uint8)
+    canvas[:] = pal[0]  # background color index 0
+    m0 = f0 != 5
+    canvas[m0] = pal[f0[m0]]
+    assert np.array_equal(frames[0][0], canvas)
+    c1 = canvas.copy()
+    reg = c1[2:6, 3:8]
+    m1 = f1 != 5
+    reg[m1] = pal[f1[m1]]
+    assert np.array_equal(frames[1][0], c1)
+    c2 = canvas.copy()
+    c2[2:6, 3:8] = pal[0]  # disposal 2: region restored to background
+    reg = c2[0:4, 0:5]
+    reg[m1] = pal[f1[m1]]
+    assert np.array_equal(frames[2][0], c2)
+
+
+def test_disposal_restore_previous():
+    pal = _pal(13)
+    f0 = _idx(10, 12, 13, seed=1)
+    f1 = _idx(4, 5, 13, seed=2)
+    buf = encode_gif([f0, (f1, 1, 1), (f1, 6, 5)], pal, disposal=[0, 3, 0])
+    fr = decode_gif_frames(buf)
+    c0 = pal[f0]
+    assert np.array_equal(fr[0][0], c0)
+    c1 = c0.copy()
+    c1[1:5, 1:6] = pal[f1]
+    assert np.array_equal(fr[1][0], c1)
+    c2 = c0.copy()  # frame-1 region restored to what preceded it
+    c2[5:9, 6:11] = pal[f1]
+    assert np.array_equal(fr[2][0], c2)
+
+
+def test_local_color_table_overrides_global():
+    """Hand-built stream: frame carries an LCT that differs from the
+    GCT — pixels must come from the LCT."""
+    gct = np.zeros((2, 3), np.uint8)
+    lct = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    lzw = _lzw_encode(idx.reshape(-1), 2)
+    buf = bytearray(b"GIF89a")
+    buf += struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) + gct.tobytes()
+    buf += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+    buf += bytes([0x80])  # LCT present, 2 entries
+    buf += lct.tobytes()
+    buf += bytes([2])  # min code size
+    buf += bytes([len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    assert np.array_equal(decode_gif(bytes(buf)), lct[idx])
+
+
+def test_gif87a_and_skipped_extensions():
+    """87a signature decodes; comment/application extensions skip."""
+    pal = _pal(4)
+    idx = _idx(3, 3, 4)
+    buf = bytearray(encode_gif([idx], pal, loop=3))  # has NETSCAPE ext
+    buf[:6] = b"GIF89a"
+    assert np.array_equal(decode_gif(bytes(buf)), pal[idx])
+    buf87 = bytearray(encode_gif([idx], pal))
+    buf87[:6] = b"GIF87a"
+    assert np.array_equal(decode_gif(bytes(buf87)), pal[idx])
+
+
+def test_hostile_inputs_never_raise():
+    pal = _pal(13)
+    buf = encode_gif([_idx(9, 9, 13)], pal)
+    assert decode_gif(None) is None
+    assert decode_gif(b"GIF89a") is None
+    for cut in (5, 12, 30, len(buf) // 2, len(buf) - 2):
+        decode_gif(buf[:cut])  # must not raise
+    rng = np.random.default_rng(5)
+    for _ in range(60):
+        b = bytearray(buf)
+        for _ in range(6):
+            b[int(rng.integers(6, len(b)))] = int(rng.integers(0, 256))
+        decode_gif(bytes(b))  # must not raise
+    bomb = bytearray(buf)
+    bomb[6:10] = b"\xff\xff\xff\xff"  # 65535x65535 screen
+    assert decode_gif(bytes(bomb)) is None
+
+
+def test_hostile_frame_count_capped():
+    """A stream repeating one tiny frame thousands of times stops at
+    _MAX_FRAMES instead of compositing forever."""
+    from tube_spark.operators import gif as G
+
+    pal = _pal(4)
+    idx = np.zeros((1, 1), np.uint8)
+    one = encode_gif([idx], pal)
+    # splice the image block (0x2C..before trailer) many times
+    img_at = one.index(b"\x2c")
+    img = one[img_at:-1]
+    hostile = one[:img_at] + img * (G._MAX_FRAMES + 50) + b"\x3b"
+    frames = decode_gif_frames(bytes(hostile))
+    assert frames is not None and len(frames) == G._MAX_FRAMES
+
+
+def test_encoder_validation():
+    pal = _pal(4)
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif([np.zeros((2, 2), np.uint8)], np.zeros((300, 3), np.uint8))
+    with pytest.raises(ValueError, match="index outside"):
+        encode_gif([np.full((2, 2), 9, np.uint8)], pal)
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_gif(
+            [np.zeros((4, 4), np.uint8), (np.zeros((3, 3), np.uint8), 3, 3)],
+            pal,
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        encode_gif([], pal)
+
+
+def test_decode_media_and_phash_dispatch():
+    """multimodal integration: decode_media classifies single-frame
+    GIF as image and animation as video with summed duration; GIF and
+    BMP of identical pixels hash identically."""
+    from tube_spark.operators.multimodal import decode_media, phash_image
+    from tube_spark.operators.png import encode_png
+
+    pal = _pal(16, seed=21)
+    idx = _idx(24, 32, 16, seed=22)
+    single = encode_gif([idx], pal)
+    meta = decode_media(single)
+    assert meta["kind"] == "image" and (meta["width"], meta["height"]) == (32, 24)
+    assert meta["value_mean"] == pytest.approx(float(pal[idx].mean()))
+
+    anim = encode_gif([idx, idx], pal, delays_ms=[30, 50])
+    meta2 = decode_media(anim)
+    assert meta2["kind"] == "video" and meta2["duration_ms"] == 80
+
+    # cross-format pHash identity on the same pixels (GIF is lossless
+    # given the palette; PNG is lossless period)
+    px = pal[idx]
+    assert phash_image(single) == phash_image(encode_png(px))

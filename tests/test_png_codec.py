@@ -153,9 +153,13 @@ def test_multiple_idat_chunks():
 
 def test_out_of_scope_and_fuzz_never_raise():
     px = _img(9, 9)
-    # 16-bit depth: out of scope
-    g16 = _hand_png(9, 9, 0, px[..., :1], depth=16)
-    assert decode_png(g16) is None
+    # 4-bit depth: out of scope
+    g4 = _hand_png(9, 9, 0, px[..., :1], depth=4)
+    assert decode_png(g4) is None
+    # 16-bit is IN scope now, but a 16-bit header over 8-bit-sized
+    # scanlines is a short stream -> None, not an exception
+    g16_short = _hand_png(9, 9, 0, px[..., :1], depth=16)
+    assert decode_png(g16_short) is None
     assert decode_png(None) is None
     assert decode_png(b"\x89PNG\r\n\x1a\n") is None
     buf = encode_png(px, 4)
@@ -265,3 +269,67 @@ def test_hostile_dims_and_zlib_bomb_return_none():
         b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
     ) + _chunk(b"IDAT", zlib.compress(b"\x00" * 10_000)) + _chunk(b"IEND", b"")
     assert decode_png(overlong) is None
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, "adaptive"])
+def test_16bit_roundtrip_every_filter_exact(ft):
+    """VERDICT r12 item 7: 16-bit depth.  encode(bit_depth=16) writes
+    v*257 samples; the decoder's high-byte strip inverts exactly, so
+    the roundtrip is pixel-exact for every filter (filters operate on
+    bytes, bpp=ch*2)."""
+    px = _img(21, 13)
+    assert np.array_equal(decode_png(encode_png(px, ft, bit_depth=16)), px)
+    g = _img(11, 27)[..., 0]
+    got = decode_png(encode_png(g, ft, bit_depth=16))
+    assert np.array_equal(got, np.stack([g, g, g], axis=-1))
+
+
+def test_16bit_true_values_strip_high_byte():
+    """A genuine 16-bit gray stream (not v*257): output is the high
+    byte — libpng's classic strip-16."""
+    rng = np.random.default_rng(11)
+    u16 = rng.integers(0, 65536, (5, 7), dtype=np.uint16)
+    h, w = u16.shape
+    rows = bytearray()
+    be = u16.astype(">u2")
+    for y in range(h):
+        rows.append(0)  # filter None
+        rows += be[y].tobytes()
+    buf = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    got = decode_png(buf)
+    want8 = (u16 >> 8).astype(np.uint8)
+    assert np.array_equal(got, np.stack([want8] * 3, axis=-1))
+
+
+def test_16bit_rgba_drops_alpha_and_palette16_rejected():
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (6, 4, 4), dtype=np.uint8)
+    h, w = px.shape[:2]
+    be = (px.astype(np.uint16) * 257).astype(">u2")
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        rows += be[y].tobytes()
+    buf = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 6, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(buf), px[..., :3])
+    # 16-bit palette is spec-invalid (PLTE depth caps at 8): None
+    idx = np.zeros((3, 3, 1), np.uint8)
+    pal = np.array([[1, 2, 3]], np.uint8)
+    bad = _hand_png(3, 3, 3, idx, extra_chunks=_chunk(b"PLTE", pal.tobytes()),
+                    depth=16)
+    assert decode_png(bad) is None
+
+
+def test_encoder_bit_depth_validation():
+    with pytest.raises(ValueError, match="bit_depth"):
+        encode_png(np.zeros((4, 4, 3), np.uint8), bit_depth=12)

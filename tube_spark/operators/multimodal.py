@@ -256,8 +256,8 @@ def decode_avi(payload: bytes) -> dict | None:
 def decode_png_meta(payload: bytes) -> dict | None:
     """PNG → the decode_bmp-shaped metadata dict: IHDR dims always;
     value_mean from the REAL pixel decode (operators/png.py) when the
-    payload is in the codec's scope, NULL when only the header parses
-    (16-bit etc.) — the degrade-to-header contract."""
+    payload is in the codec's scope (8/16-bit), NULL when only the
+    header parses (1/2/4-bit) — the degrade-to-header contract."""
     from tube_spark.operators.png import decode_png, png_dimensions
 
     dims = png_dimensions(payload)
@@ -275,11 +275,39 @@ def decode_png_meta(payload: bytes) -> dict | None:
     }
 
 
+def decode_gif_meta(payload: bytes) -> dict | None:
+    """GIF → the decode_bmp-shaped metadata dict: screen dims from the
+    header always; a single-frame GIF is kind="image", an animation is
+    kind="video" with duration_ms summed over frame delays (the AVI
+    contract); value_mean from the REAL first composited frame
+    (operators/gif.py), NULL when only the header parses — the
+    degrade-to-header contract."""
+    from tube_spark.operators.gif import decode_gif_frames, gif_dimensions
+
+    dims = gif_dimensions(payload)
+    if dims is None:
+        return None
+    frames = decode_gif_frames(payload)
+    n = len(frames) if frames else 0
+    return {
+        "kind": "video" if n > 1 else "image",
+        "width": dims[0],
+        "height": dims[1],
+        "n_bytes": len(payload),
+        "sample_rate": None,
+        "duration_ms": sum(d for _, d in frames) if n > 1 else None,
+        "value_mean": float(frames[0][0].mean()) if frames else None,
+    }
+
+
 def decode_media(payload: bytes) -> dict:
-    """Dispatch on magic bytes: BMP/PNG → image stats, WAV → audio
-    stats, AVI → video stats, anything else → kind="unknown" with byte
-    stats only (the hook where a deployment plugs Pillow/ffmpeg)."""
-    for dec in (decode_bmp, decode_png_meta, decode_wav, decode_avi):
+    """Dispatch on magic bytes: BMP/PNG/GIF → image stats (animated
+    GIF → video stats), WAV → audio stats, AVI → video stats, anything
+    else → kind="unknown" with byte stats only (the hook where a
+    deployment plugs Pillow/ffmpeg)."""
+    for dec in (
+        decode_bmp, decode_png_meta, decode_gif_meta, decode_wav, decode_avi
+    ):
         out = dec(payload)
         if out is not None:
             return out
@@ -827,10 +855,11 @@ def phash_bmp(payload: bytes) -> int | None:
 
 def phash_image(payload: bytes) -> int | None:
     """pHash over any decodable image payload: BMP (fast header path),
-    PNG (operators/png.py) or JPEG (operators/jpeg.py, baseline or
-    progressive) — all reduced to the SAME BT.601 luma plane, so a BMP
-    and a lossless PNG of identical pixels hash identically (pytest-
-    pinned).  None for undecodable payloads."""
+    PNG (operators/png.py), GIF first frame (operators/gif.py) or JPEG
+    (operators/jpeg.py, baseline or progressive) — all reduced to the
+    SAME BT.601 luma plane, so a BMP and a lossless PNG/GIF of
+    identical pixels hash identically (pytest-pinned).  None for
+    undecodable payloads."""
     if payload is None:
         return None
     if len(payload) >= 2 and payload[:2] == b"BM":
@@ -840,6 +869,10 @@ def phash_image(payload: bytes) -> int | None:
         from tube_spark.operators.png import decode_png
 
         px = decode_png(payload)
+    elif len(payload) >= 6 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from tube_spark.operators.gif import decode_gif
+
+        px = decode_gif(payload)
     elif len(payload) >= 2 and payload[:2] == b"\xff\xd8":
         px = decode_jpeg_pixels(payload)
     if px is None:
@@ -853,7 +886,7 @@ def phash_image(payload: bytes) -> int | None:
 def image_phash(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "media"
 ) -> DataFrame:
-    """(id, phash) via Arrow mapInPandas over BMP/PNG/JPEG payloads;
+    """(id, phash) via Arrow mapInPandas over BMP/PNG/GIF/JPEG payloads;
     undecodable payloads yield NULL phash (filtered by near-dup
     callers, reportable by audits)."""
     schema = f"`{id_col}` long, phash long"

@@ -10,19 +10,25 @@ Average/Paeth, RFC 2083 §6) and the Adam7 deinterlace are the whole
 codec.
 
 Scope (documented, asserted by tests):
-* DECODE: 8-bit samples; color types 0 (gray), 2 (RGB), 3 (palette),
-  4 (gray+alpha), 6 (RGBA); interlace 0 (sequential) and 1 (Adam7);
-  multiple IDAT chunks; CRCs are NOT verified (corrupt streams surface
-  as zlib/shape errors and return None — same never-raise contract as
-  the JPEG decoder).  1/2/4/16-bit depths return None.  Alpha is
-  dropped (feature pipelines consume RGB; compositing policy belongs
-  to the caller), grayscale replicates to 3 channels — the exact
-  output contract of ``decode_baseline_jpeg``.
-* ENCODE: 8-bit gray/RGB, non-interlaced, a fixed per-row filter type
-  (0-4) or "adaptive" (minimum-sum-of-absolute-residuals, the libpng
-  heuristic).  Deterministic bytes; exists so tests synthesize REAL
-  PNG payloads exercising every unfilter path — decode(encode(px,
-  filter=f)) must be pixel-EXACT for every f (PNG is lossless).
+* DECODE: 8- and 16-bit samples; color types 0 (gray), 2 (RGB),
+  3 (palette), 4 (gray+alpha), 6 (RGBA); interlace 0 (sequential) and
+  1 (Adam7); multiple IDAT chunks; CRCs are NOT verified (corrupt
+  streams surface as zlib/shape errors and return None — same
+  never-raise contract as the JPEG decoder).  1/2/4-bit depths return
+  None.  16-bit samples (scientific/medical gray imagery) decode by
+  high-byte strip (libpng's classic 16->8), EXACT for the v*257
+  representation an 8->16 upconvert produces; filtering operates on
+  BYTES per RFC 2083 §6.2, so the scanline machinery is shared.
+  Alpha is dropped (feature pipelines consume RGB; compositing policy
+  belongs to the caller), grayscale replicates to 3 channels — the
+  exact output contract of ``decode_baseline_jpeg``.
+* ENCODE: 8- or 16-bit gray/RGB (16-bit upconverts v -> v*257, the
+  standard bit-replication), non-interlaced, a fixed per-row filter
+  type (0-4) or "adaptive" (minimum-sum-of-absolute-residuals, the
+  libpng heuristic).  Deterministic bytes; exists so tests synthesize
+  REAL PNG payloads exercising every unfilter path — decode(encode(px,
+  filter=f)) must be pixel-EXACT for every f and depth (PNG is
+  lossless, and high-byte strip inverts v*257).
 
 Throughput: Up/Sub unfilters are vectorized numpy (Sub via per-lane
 cumulative sum); Average/Paeth are byte-serial per row — fine for
@@ -119,6 +125,16 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _samples8(rows: np.ndarray, pw: int, ch: int, bs: int) -> np.ndarray:
+    """Unfiltered scanline bytes -> (n_rows, pw, ch) 8-bit samples.
+    ``bs`` is bytes per sample; 16-bit samples strip to the high byte
+    (libpng's classic 16->8) — exact for v*257-encoded content."""
+    if bs == 1:
+        return rows.reshape(-1, pw, ch)
+    u16 = np.ascontiguousarray(rows).reshape(-1).view(">u2")
+    return (u16 >> 8).astype(np.uint8).reshape(-1, pw, ch)
+
+
 def _to_rgb(
     samples: np.ndarray, color_type: int, palette: "np.ndarray | None"
 ) -> np.ndarray:
@@ -167,6 +183,7 @@ def _decode(buf: bytes) -> "np.ndarray | None":
         return None
     pos = 8
     w = h = None
+    depth = 8
     color_type = interlace = 0
     palette = None
     idat = bytearray()
@@ -182,8 +199,10 @@ def _decode(buf: bytes) -> "np.ndarray | None":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or comp != 0 or filt != 0:
-                return None  # 1/2/4/16-bit: out of scope
+            if depth not in (8, 16) or comp != 0 or filt != 0:
+                return None  # 1/2/4-bit: out of scope
+            if depth == 16 and color_type == 3:
+                return None  # spec-invalid: palette depth caps at 8
             if color_type not in _CHANNELS or interlace not in (0, 1):
                 return None
             if w == 0 or h == 0 or w * h > _MAX_PIXELS:
@@ -201,18 +220,19 @@ def _decode(buf: bytes) -> "np.ndarray | None":
     if w is None or not idat or not seen_iend:
         return None
     ch = _CHANNELS[color_type]
+    bs = depth // 8  # bytes per sample; filters operate on BYTES
     # the exact inflated size is known from the header, so bound the
     # inflate to it (+1 to detect overruns) — an unbounded decompress
     # would let a small zlib bomb expand fully into memory first
     if interlace == 0:
-        expected = h * (1 + w * ch)
+        expected = h * (1 + w * ch * bs)
     else:
         expected = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw and ph:
-                expected += ph * (1 + pw * ch)
+                expected += ph * (1 + pw * ch * bs)
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expected + 1)
     if len(raw) != expected:  # short stream, or overrun (got the +1)
@@ -220,10 +240,10 @@ def _decode(buf: bytes) -> "np.ndarray | None":
     data = np.frombuffer(raw, dtype=np.uint8)
 
     if interlace == 0:
-        stride = w * ch
+        stride = w * ch * bs
         if data.size != h * (1 + stride):
             return None
-        px = _unfilter(data, h, stride, ch).reshape(h, w, ch)
+        px = _samples8(_unfilter(data, h, stride, ch * bs), w, ch, bs)
         return _to_rgb(px, color_type, palette)
 
     # Adam7: seven independently-filtered sub-images
@@ -234,13 +254,13 @@ def _decode(buf: bytes) -> "np.ndarray | None":
         ph = (h - y0 + dy - 1) // dy
         if pw == 0 or ph == 0:
             continue
-        stride = pw * ch
+        stride = pw * ch * bs
         need = ph * (1 + stride)
         sub = data[off : off + need]
         if sub.size != need:
             return None
         off += need
-        spx = _unfilter(sub, ph, stride, ch).reshape(ph, pw, ch)
+        spx = _samples8(_unfilter(sub, ph, stride, ch * bs), pw, ch, bs)
         out[y0::dy, x0::dx] = spx
     if off != data.size:
         return None
@@ -279,12 +299,18 @@ def _filter_row(
 
 
 def encode_png(
-    pixels: np.ndarray, filter_type: "int | str" = 0, level: int = 6
+    pixels: np.ndarray,
+    filter_type: "int | str" = 0,
+    level: int = 6,
+    bit_depth: int = 8,
 ) -> bytes:
     """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as a
-    non-interlaced 8-bit PNG.  ``filter_type`` 0-4 applies that filter
+    non-interlaced PNG.  ``filter_type`` 0-4 applies that filter
     to every row; "adaptive" picks per row by minimum sum of absolute
-    residuals (the libpng heuristic).  Deterministic bytes."""
+    residuals (the libpng heuristic).  ``bit_depth=16`` upconverts
+    each 8-bit value v to v*257 (v<<8 | v, the standard bit
+    replication) so the decoder's high-byte strip inverts it exactly.
+    Deterministic bytes."""
     if pixels.ndim == 2:
         ct, ch = 0, 1
         h, w = pixels.shape
@@ -297,15 +323,23 @@ def encode_png(
         raise ValueError(f"expected HxW or HxWx3, got {pixels.shape}")
     if isinstance(filter_type, int) and not 0 <= filter_type <= 4:
         raise ValueError(f"filter_type must be 0-4 or 'adaptive'")
-    rows = flat.reshape(h, w * ch).astype(np.uint8)
+    if bit_depth not in (8, 16):
+        raise ValueError(f"bit_depth must be 8 or 16, got {bit_depth}")
+    if bit_depth == 8:
+        rows = flat.reshape(h, w * ch).astype(np.uint8)
+    else:
+        wide = (flat.astype(np.uint16) * 257).astype(">u2")
+        rows = wide.reshape(h, w * ch).view(np.uint8).reshape(h, w * ch * 2)
+    bpp = ch * (bit_depth // 8)  # filters operate on BYTES (RFC 2083)
+    stride = w * bpp
 
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         if filter_type == "adaptive":
             best, best_ft = None, 0
             for ft in range(5):
-                cand = _filter_row(ft, rows[y], prev, ch)
+                cand = _filter_row(ft, rows[y], prev, bpp)
                 # minimum sum of absolute differences, residuals as signed
                 cost = int(
                     np.abs(cand.astype(np.int8).astype(np.int32)).sum()
@@ -316,7 +350,7 @@ def encode_png(
         else:
             ft = int(filter_type)
         raw.append(ft)
-        raw += _filter_row(ft, rows[y], prev, ch).tobytes()
+        raw += _filter_row(ft, rows[y], prev, bpp).tobytes()
         prev = rows[y]
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
@@ -327,7 +361,7 @@ def encode_png(
             + zlib.crc32(ctype + body).to_bytes(4, "big")
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, ct, 0, 0, 0)
     return (
         _SIG
         + chunk(b"IHDR", ihdr)
