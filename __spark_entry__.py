@@ -3557,6 +3557,38 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_independence(cust, "c_mktsegment", "c_nationkey")
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov over order pricing: is
+    o_totalprice distributed identically in urgent vs low-priority
+    orders (operators/stats_tests.py ks_two_sample)?  Max ECDF gap
+    over the pooled distinct values plus Smirnov's asymptotic 95%
+    threshold — distribution drift ACROSS slices, where cusum_drift
+    is drift across time.  The oracle replays the per-value group
+    counts, the cumulative ECDFs, and the sqrt threshold."""
+    from tube_spark.operators.stats_tests import ks_two_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return ks_two_sample(
+        orders, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-priority outlier screen over order totals
+    (operators/stats_tests.py mad_outliers): median + MAD per group,
+    values beyond k·MAD flagged — the 50%-breakdown alternative to
+    mean/stddev z-scores whose scale estimate the outliers themselves
+    inflate.  k=2.0 (≈1.35σ if normal) so the screen discriminates on
+    this data: some priorities flag a tail, others none.  The oracle
+    replays both exact-percentile aggregations and the fence."""
+    from tube_spark.operators.stats_tests import mad_outliers
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return mad_outliers(
+        orders, "o_orderpriority", "o_totalprice", k=2.0
+    ).orderBy("o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3703,6 +3735,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "benford_law": q_benford_law,
         "revenue_gini": q_revenue_gini,
         "chi_square": q_chi_square,
+        "ks_test": q_ks_test,
+        "mad_outliers": q_mad_outliers,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3780,12 +3814,12 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r14 window queue — 7 round-11 entries remain after the r13
-    # rotation promoted sorted_neighborhood .. attribution: r14
-    # promotes these 7 (event_transitions .. chi_square) plus
-    # span_quarantine and any r13 additions appended below, demoting a
-    # matching count of green r13 rows (suggest the
-    # sorted_neighborhood..attribution block).  Backlog after r14 ~= 0.
+    # r14 window queue — exactly 10: the 7 remaining round-11 entries
+    # (event_transitions .. chi_square), the round-12 span_quarantine,
+    # and the round-13 ks_test/mad_outliers.  r14 promotes all 10,
+    # demoting 10 green r13 rows (suggest the
+    # sorted_neighborhood..attribution block).  Backlog after r14 = 0
+    # (plus any r14 additions).
     "event_transitions",
     "rfm_scores",
     "ab_test",
@@ -3795,6 +3829,10 @@ _EXTRA_QUERY_NAMES = (
     "chi_square",
     # round-12 addition (r14 queue)
     "span_quarantine",
+    # round-13 additions (r14 queue; ship with the stats_tests
+    # ks_two_sample / mad_outliers operators)
+    "ks_test",
+    "mad_outliers",
     # -- round-13 rotation: the triangle_stats..c4_filter block (green
     # CORRECTNESS_r12 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r13 queue
@@ -3977,11 +4015,11 @@ _QUERY_ORDER = (
     # rows) take slots 31-40; the triangle_stats .. c4_filter block
     # (green r12 rows) demotes to _EXTRA_QUERY_NAMES, staying
     # differentially verified by pytest (tests/test_extra_queries.py).
-    # r14 schedule: promote the remaining 7 of the r11 queue
-    # (event_transitions .. chi_square) plus span_quarantine and any
-    # r13 additions; demote a matching count of green r13 rows
-    # (suggest this sorted_neighborhood..attribution block).  Backlog
-    # after r14 ~= 0.
+    # r14 schedule: promote the 10-entry queue exactly — the 7
+    # remaining round-11 entries (event_transitions .. chi_square),
+    # span_quarantine (r12), and ks_test/mad_outliers (r13) — demoting
+    # 10 green r13 rows (suggest this sorted_neighborhood..attribution
+    # block).  Backlog after r14 = 0 (plus any r14 additions).
     "sorted_neighborhood",
     "graph_degree_stats",
     "zipf_fit",
@@ -5905,6 +5943,74 @@ def _all_oracle_sql() -> dict[str, str]:
                    ((n_a - 1) * (n_b - 1))::BIGINT AS dof,
                    round(chi_obs + (n - e_obs), 6) AS chi2
             FROM cs_a""",
+        "ks_test": """
+            WITH ks_p AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END AS a,
+                       CASE WHEN o_orderpriority = '5-LOW'
+                            THEN 1 ELSE 0 END AS b
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+                  AND o_orderpriority IN ('1-URGENT', '5-LOW')
+            ),
+            ks_v AS (
+                SELECT v, sum(a) AS ca, sum(b) AS cb FROM ks_p GROUP BY v
+            ),
+            ks_c AS (
+                SELECT sum(ca) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cuma,
+                       sum(cb) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cumb,
+                       sum(ca) OVER () AS na,
+                       sum(cb) OVER () AS nb
+                FROM ks_v
+            )
+            SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                   round(max(abs(cuma / na - cumb / nb)), 6) AS ks_d,
+                   round(max(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                                          / CAST(na * nb AS DOUBLE))),
+                         6) AS critical_95,
+                   max(abs(cuma / na - cumb / nb))
+                   > max(1.358 * sqrt(CAST(na + nb AS DOUBLE)
+                                      / CAST(na * nb AS DOUBLE)))
+                       AS reject_95
+            FROM ks_c""",
+        "mad_outliers": """
+            WITH mo_v AS (
+                SELECT o_orderpriority AS g,
+                       CAST(o_totalprice AS DOUBLE) AS x
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                  AND NOT isnan(CAST(o_totalprice AS DOUBLE))
+            ),
+            mo_m AS (
+                SELECT g, quantile_cont(x, 0.5) AS med
+                FROM mo_v GROUP BY g
+            ),
+            mo_d AS (
+                SELECT mo_v.g AS g, x, med, abs(x - med) AS adev
+                FROM mo_v JOIN mo_m ON mo_v.g = mo_m.g
+            ),
+            mo_s AS (
+                SELECT g, quantile_cont(adev, 0.5) AS mad
+                FROM mo_d GROUP BY g
+            )
+            SELECT mo_d.g AS o_orderpriority,
+                   count(*)::BIGINT AS n,
+                   round(max(med), 6) AS med,
+                   round(max(mo_s.mad), 6) AS mad,
+                   sum(CASE WHEN adev > 2.0 * mo_s.mad
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                   round(avg(CASE WHEN adev > 2.0 * mo_s.mad
+                                  THEN 1.0 ELSE 0.0 END), 6)
+                       AS outlier_share
+            FROM mo_d JOIN mo_s ON mo_d.g = mo_s.g
+            GROUP BY mo_d.g
+            ORDER BY o_orderpriority""",
         "readability": r"""
             WITH rd_p AS (
                 SELECT doc_id,

@@ -217,3 +217,75 @@ def test_decode_media_and_phash_dispatch():
     # given the palette; PNG is lossless period)
     px = pal[idx]
     assert phash_image(single) == phash_image(encode_png(px))
+
+
+def test_webp_header_dims_parse():
+    """WebP header walk (multimodal.webp_dimensions): VP8X / VP8L /
+    VP8-keyframe variants, hand-built per RFC 9649 — the degrade-to-
+    header path for the format whose pixel decode is out of scope."""
+    import struct as st
+
+    from tube_spark.operators.multimodal import decode_media, webp_dimensions
+
+    def riff(chunks):
+        body = b"WEBP"
+        for fourcc, payload in chunks:
+            body += fourcc + st.pack("<I", len(payload)) + payload
+            if len(payload) % 2:
+                body += b"\x00"
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    # VP8X: canvas 320x240 -> stored minus-one 24-bit LE
+    vp8x = bytes([0x08, 0, 0, 0]) + (319).to_bytes(3, "little") + (
+        239
+    ).to_bytes(3, "little")
+    assert webp_dimensions(riff([(b"VP8X", vp8x)])) == (320, 240)
+    # VP8L: signature byte + 14+14 bit packed dims
+    bits = (17 - 1) | ((9 - 1) << 14)
+    vp8l = bytes([0x2F]) + bits.to_bytes(4, "little")
+    assert webp_dimensions(riff([(b"VP8L", vp8l)])) == (17, 9)
+    # VP8 lossy keyframe: frame tag (keyframe: bit0=0) + start code + dims
+    vp8 = bytes([0x00, 0x00, 0x00]) + b"\x9d\x01\x2a" + st.pack(
+        "<HH", 64, 48
+    )
+    assert webp_dimensions(riff([(b"VP8 ", vp8)])) == (64, 48)
+    # interframe / bad start code / truncation -> None
+    assert webp_dimensions(riff([(b"VP8 ", bytes([1]) + vp8[1:])])) is None
+    assert webp_dimensions(riff([(b"VP8 ", vp8[:5])])) is None
+    assert webp_dimensions(b"RIFF\x00\x00\x00\x00WEBP") is None
+    # decode_media: header dims, NULL value_mean (degrade contract)
+    meta = decode_media(riff([(b"VP8X", vp8x)]))
+    assert meta["kind"] == "image" and meta["width"] == 320
+    assert meta["value_mean"] is None
+
+
+def test_gif_frame_stats_spark(spark):
+    """Distributed per-frame stats over animated GIFs: every composited
+    frame's channel means equal the local decode, timestamps cumulate
+    delays, undecodable payloads emit no rows."""
+    import numpy as np
+
+    from tube_spark.operators.multimodal import gif_frame_stats
+
+    pal = _pal(8, seed=31)
+    f0 = _idx(6, 8, 8, seed=32)
+    f1 = _idx(6, 8, 8, seed=33)
+    anim = encode_gif([f0, f1], pal, delays_ms=[40, 60])
+    single = encode_gif([f1], pal)
+    rows = [
+        (1, bytearray(anim)),
+        (2, bytearray(single)),
+        (3, bytearray(b"GIF89a garbage")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = gif_frame_stats(df, "doc_id", "media").collect()
+    by_key = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    assert set(by_key) == {(1, 0), (1, 1), (2, 0)}
+    assert by_key[(1, 0)]["ts_ms"] == 0 and by_key[(1, 1)]["ts_ms"] == 40
+    want0 = pal[f0].astype(np.float64)
+    assert by_key[(1, 0)]["mean_r"] == pytest.approx(want0[..., 0].mean())
+    assert by_key[(1, 1)]["mean_b"] == pytest.approx(
+        float(pal[f1][..., 2].mean())
+    )
+    assert by_key[(2, 0)]["width"] == 8 and by_key[(2, 0)]["decoded"]

@@ -488,3 +488,28 @@ def test_hostile_scan_count_capped():
     scan = body[last_sos:]
     hostile = body + scan * (J._MAX_SCANS + 8) + b"\xff\xd9"
     assert decode_baseline_jpeg(hostile) is None
+
+
+def test_decode_media_dispatches_bare_jpeg():
+    """Before r13 a bare .jpg payload — the majority web image format —
+    fell through to kind="unknown" (only MJPEG-inside-AVI dispatched).
+    Both baseline and progressive decode to image stats; header-only
+    streams (no scan) degrade to dims with NULL value_mean."""
+    from tube_spark.operators.multimodal import decode_media, synthesize_jpeg
+    from tube_spark.operators.jpeg import (
+        encode_baseline_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    px = _noisy((16, 24, 3))
+    for enc in (encode_baseline_jpeg, encode_progressive_jpeg):
+        m = decode_media(enc(px, 75))
+        assert m["kind"] == "image"
+        assert (m["width"], m["height"]) == (24, 16)
+        assert m["value_mean"] == pytest.approx(
+            float(decode_baseline_jpeg(enc(px, 75)).mean())
+        )
+    # header-only synth (no entropy scan): dims parse, pixels don't
+    ho = decode_media(synthesize_jpeg(3, 40, 30))
+    assert ho["kind"] == "image" and ho["width"] == 40
+    assert ho["value_mean"] is None

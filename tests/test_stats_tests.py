@@ -148,3 +148,146 @@ class TestChiSquare:
             for a in "xy" for b in "pq"
         )
         assert r["chi2"] == pytest.approx(chi2, abs=1e-6)
+
+
+class TestKsTwoSample:
+    def test_identical_distributions_d_zero(self, spark):
+        from tube_spark.operators.stats_tests import ks_two_sample
+
+        rows = [(float(i % 10), "a") for i in range(50)] + [
+            (float(i % 10), "b") for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+        assert r["ks_d"] == 0.0 and not r["reject_95"]
+        assert r["n_a"] == 50 and r["n_b"] == 50
+
+    def test_disjoint_supports_d_one(self, spark):
+        from tube_spark.operators.stats_tests import ks_two_sample
+
+        rows = [(float(i), "a") for i in range(30)] + [
+            (float(i + 100), "b") for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+        assert r["ks_d"] == 1.0 and r["reject_95"]
+
+    def test_matches_python_reference(self, spark):
+        """D equals a plain-python ECDF scan; third groups and NULL/NaN
+        values are excluded."""
+        from tube_spark.operators.stats_tests import ks_two_sample
+
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        a = list(rng.normal(0, 1, 80))
+        b = list(rng.normal(0.7, 1.3, 60))
+        rows = (
+            [(float(x), "a") for x in a]
+            + [(float(x), "b") for x in b]
+            + [(None, "a"), (float("nan"), "b"), (5.0, "zz")]
+        )
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+        pooled = sorted(set(a) | set(b))
+        sa, sb = sorted(a), sorted(b)
+        import bisect
+
+        d = max(
+            abs(
+                bisect.bisect_right(sa, v) / len(a)
+                - bisect.bisect_right(sb, v) / len(b)
+            )
+            for v in pooled
+        )
+        assert r["ks_d"] == pytest.approx(round(d, 6), abs=1e-9)
+        assert r["n_a"] == 80 and r["n_b"] == 60
+        crit = 1.358 * math.sqrt((80 + 60) / (80 * 60))
+        assert r["critical_95"] == pytest.approx(round(crit, 6), abs=1e-9)
+        assert r["reject_95"] == (d > crit)
+
+
+class TestMadOutliers:
+    def test_known_hand_values(self, spark):
+        from tube_spark.operators.stats_tests import mad_outliers
+
+        # group a: median 5, MAD 1, one far point beyond 3*MAD
+        rows = [("a", v) for v in [4.0, 5.0, 6.0, 5.0, 100.0]]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mad_outliers(df, "g", "v", k=3.0).collect()[0]
+        assert r["med"] == 5.0 and r["mad"] == 1.0
+        assert r["n"] == 5 and r["n_outliers"] == 1
+        assert r["outlier_share"] == pytest.approx(0.2)
+
+    def test_zero_mad_flags_any_deviation(self, spark):
+        from tube_spark.operators.stats_tests import mad_outliers
+
+        rows = [("a", 3.0)] * 6 + [("a", 4.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mad_outliers(df, "g", "v", k=3.0).collect()[0]
+        assert r["mad"] == 0.0 and r["n_outliers"] == 1
+
+    def test_robust_to_contamination_where_zscore_is_not(self, spark):
+        """The selling point: 20% contamination shifts mean/stddev so a
+        3-sigma rule misses planted outliers; the MAD fence holds."""
+        from tube_spark.operators.stats_tests import mad_outliers
+
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        clean = list(rng.normal(10, 1, 80))
+        planted = [1000.0 + float(x) for x in rng.normal(0, 1, 20)]
+        vals = clean + planted
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in vals], "g string, v double"
+        )
+        r = mad_outliers(df, "g", "v", k=3.0).collect()[0]
+        assert r["n_outliers"] == 20  # every planted point flagged
+        # mean/std cut misses them all: std ~ 400, mean ~ 208
+        mu, sd = float(np.mean(vals)), float(np.std(vals))
+        assert all(abs(p - mu) < 3 * sd for p in planted)
+
+    def test_nulls_and_nans_excluded(self, spark):
+        from tube_spark.operators.stats_tests import mad_outliers
+
+        rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+                ("a", float("nan"))]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mad_outliers(df, "g", "v").collect()[0]
+        assert r["n"] == 3 and r["med"] == 2.0
+
+
+class TestCompressionSignals:
+    def test_matches_local_zlib_and_ranks_redundancy(self, spark):
+        """Differential vs local zlib; repeated text compresses far
+        better than varied text; NULL text keeps its row with NULL
+        signals."""
+        import zlib
+
+        from tube_spark.operators.text_analysis import compression_signals
+
+        varied = " ".join(f"w{i*i % 9973}x{i}" for i in range(400))
+        spam = "click here buy now " * 100
+        rows = [(1, varied), (2, spam), (3, None), (4, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               compression_signals(df).collect()}
+        assert len(out) == 4
+        for did, t in [(1, varied), (2, spam)]:
+            raw = t.encode()
+            assert out[did]["n_bytes"] == len(raw)
+            assert out[did]["n_deflate_bytes"] == len(zlib.compress(raw, 6))
+            assert out[did]["compression_ratio"] == pytest.approx(
+                len(raw) / len(zlib.compress(raw, 6))
+            )
+        assert out[2]["compression_ratio"] > 3 * out[1]["compression_ratio"]
+        assert out[3]["n_bytes"] is None and out[3]["compression_ratio"] is None
+        # empty text: 0 bytes compress to a nonzero stub -> ratio 0
+        assert out[4]["n_bytes"] == 0 and out[4]["compression_ratio"] == 0.0
+
+    def test_arrow_stage_not_row_python(self, spark):
+        from tube_spark.operators.text_analysis import compression_signals
+
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        plan = compression_signals(df)._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan and "BatchEvalPython" not in plan

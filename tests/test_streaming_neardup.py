@@ -169,3 +169,92 @@ class TestStreamingNearDup:
         # both drained docs are now themselves in the index
         after = idx.probe(_docs(spark, [(600, BASE * 3)]), threshold=0.9)
         assert {r["indexed_id"] for r in after.collect()} >= {400, 500}
+
+
+class TestCrashRecoveryDrill:
+    """VERDICT r12 stretch: the probe-then-append loop, many batches,
+    a kill injected at EVERY commit boundary in rotation, with
+    auto-compaction firing mid-run — the final hit log and index must
+    equal the no-crash run bit-exactly."""
+
+    N_BATCHES = 9
+
+    def _batches(self, spark):
+        out = []
+        for k in range(self.N_BATCHES):
+            rows = [
+                # one near-dup of the seed per batch + one chained
+                # near-dup of the PREVIOUS batch + one novel doc
+                (1000 * k + 1, BASE.replace("fox", f"fox{k}") * 3),
+                (1000 * k + 2, OTHER.replace("spark", f"eng{k // 2}") * 3),
+                (1000 * k + 3, f"novel text number {k} about topic "
+                               f"{k * 7} with unique words w{k}a w{k}b " * 4),
+            ]
+            out.append(_docs(spark, rows))
+        return out
+
+    def _run(self, spark, tmp_path, tag, crash_boundary=None):
+        """crash_boundary: None = clean run; else a callable
+        (batch_id) -> boundary in {None, 'pre-intent', 'post-append'}
+        — the kill to inject for that batch before redelivery."""
+        idx = NearDupIndex(str(tmp_path / f"ix_{tag}"), name=f"nd_{tag}")
+        idx.build(_docs(spark, [(1, BASE * 3), (2, OTHER * 3)]))
+        proc = StreamingNearDup(
+            idx, str(tmp_path / f"hits_{tag}"), threshold=0.6,
+            auto_compact_at=4,  # compaction fires mid-run
+        )
+        for k, batch in enumerate(self._batches(spark)):
+            boundary = crash_boundary(k) if crash_boundary else None
+            if boundary is not None:
+                real = proc._write_state
+
+                def crashing(state, _real=real, _b=boundary):
+                    if _b == "pre-intent":
+                        # kill BEFORE the intent lands (hits written)
+                        if "pending" in state:
+                            raise RuntimeError("kill pre-intent")
+                    else:  # post-append: kill before the watermark
+                        if "pending" not in state:
+                            raise RuntimeError("kill post-append")
+                    _real(state)
+
+                proc._write_state = crashing
+                with pytest.raises(RuntimeError, match="kill"):
+                    proc.process_batch(batch, k)
+                proc._write_state = real
+            # the redelivery (or first delivery on a clean run)
+            proc.process_batch(batch, k)
+            # post-watermark "crash" = plain wholesale-skip redelivery
+            proc.process_batch(batch, k)
+        return idx, proc
+
+    def test_killed_run_equals_clean_run_bit_exactly(self, spark, tmp_path):
+        clean_idx, clean_proc = self._run(spark, tmp_path, "clean")
+        boundaries = [None, "pre-intent", "post-append"]
+        killed_idx, killed_proc = self._run(
+            spark, tmp_path, "killed",
+            crash_boundary=lambda k: boundaries[k % 3],
+        )
+        try:
+            # hit logs identical
+            clean_hits = sorted(map(tuple, clean_proc.hits(spark).collect()))
+            killed_hits = sorted(map(tuple, killed_proc.hits(spark).collect()))
+            assert killed_hits == clean_hits
+            assert len(clean_hits) > self.N_BATCHES  # the drill saw hits
+            # index state identical: same signatures, same probe result
+            cs = sorted(map(tuple, spark.table(
+                clean_idx.tables()["sigs"]).collect()))
+            ks = sorted(map(tuple, spark.table(
+                killed_idx.tables()["sigs"]).collect()))
+            assert ks == cs
+            delta = _docs(spark, [(99991, BASE * 3), (99992, OTHER * 3)])
+            cp = sorted(map(tuple, clean_idx.probe(delta, threshold=0.6).collect()))
+            kp = sorted(map(tuple, killed_idx.probe(delta, threshold=0.6).collect()))
+            assert kp == cp
+            # compaction really fired mid-run in both
+            assert clean_idx._manifest()["table_gen"] >= 2
+            assert killed_idx._manifest()["table_gen"] >= 2
+            assert not killed_idx._manifest().get("pending")
+        finally:
+            clean_idx.drop(spark)
+            killed_idx.drop(spark)

@@ -300,13 +300,98 @@ def decode_gif_meta(payload: bytes) -> dict | None:
     }
 
 
+def webp_dimensions(buf: bytes) -> "tuple[int, int] | None":
+    """(width, height) from a WebP container (RFC 9649): VP8X extended
+    header (24-bit canvas dims), VP8L lossless signature (14-bit
+    packed dims), or a VP8 lossy KEYFRAME header (start code
+    9D 01 2A + 14-bit dims).  Header walk only — WebP PIXEL decode is
+    a full VP8/VP8L decoder and deliberately out of the pure-numpy
+    scope (COVERAGE.md codec-breadth decision); payloads degrade to
+    these header dims exactly like non-baseline JPEG."""
+    if buf is None or len(buf) < 20 or buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        return None
+    pos = 12
+    while pos + 8 <= len(buf):
+        fourcc = buf[pos : pos + 4]
+        size, = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            return None
+        if fourcc == b"VP8X" and size >= 10:
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            return w, h
+        if fourcc == b"VP8L" and size >= 5 and body[0] == 0x2F:
+            bits = int.from_bytes(body[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return w, h
+        if fourcc == b"VP8 " and size >= 10:
+            if body[0] & 0x1:  # interframe: no dims in-stream
+                return None
+            if body[3:6] != b"\x9d\x01\x2a":
+                return None
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return (w, h) if w and h else None
+        pos += 8 + size + (size % 2)  # RIFF chunks pad to even
+    return None
+
+
+def decode_webp_meta(payload: bytes) -> dict | None:
+    """WebP → header-dims-only metadata (kind="image", value_mean
+    NULL): the degrade-to-header contract for the one major web format
+    whose pixel decode is out of pure-numpy scope (a deployment drops
+    Pillow/libwebp into decode_jpeg_pixels-style hooks for bulk
+    decode)."""
+    dims = webp_dimensions(payload)
+    if dims is None:
+        return None
+    return {
+        "kind": "image",
+        "width": dims[0],
+        "height": dims[1],
+        "n_bytes": len(payload),
+        "sample_rate": None,
+        "duration_ms": None,
+        "value_mean": None,
+    }
+
+
+def decode_jpeg_meta(payload: bytes) -> dict | None:
+    """Bare JPEG → the decode_bmp-shaped metadata dict: SOF dims from
+    the marker walk always; value_mean from the REAL pixel decode
+    (baseline or progressive, operators/jpeg.py) when in the codec's
+    scope, NULL when only the header parses (arithmetic/12-bit) — the
+    degrade-to-header contract.  The majority format of a web image
+    corpus; before r13 a bare .jpg payload fell through to
+    kind="unknown" (only MJPEG-inside-AVI dispatched)."""
+    if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    dims = jpeg_dimensions(payload)
+    if dims is None:
+        return None
+    px = decode_jpeg_pixels(payload)
+    return {
+        "kind": "image",
+        "width": dims[0],
+        "height": dims[1],
+        "n_bytes": len(payload),
+        "sample_rate": None,
+        "duration_ms": None,
+        "value_mean": float(px.mean()) if px is not None else None,
+    }
+
+
 def decode_media(payload: bytes) -> dict:
-    """Dispatch on magic bytes: BMP/PNG/GIF → image stats (animated
-    GIF → video stats), WAV → audio stats, AVI → video stats, anything
-    else → kind="unknown" with byte stats only (the hook where a
-    deployment plugs Pillow/ffmpeg)."""
+    """Dispatch on magic bytes: BMP/PNG/GIF/JPEG → image stats
+    (animated GIF → video stats), WebP → header dims (pixel decode out
+    of scope), WAV → audio stats, AVI → video stats, anything else →
+    kind="unknown" with byte stats only (the hook where a deployment
+    plugs Pillow/ffmpeg)."""
     for dec in (
-        decode_bmp, decode_png_meta, decode_gif_meta, decode_wav, decode_avi
+        decode_bmp, decode_png_meta, decode_gif_meta, decode_webp_meta,
+        decode_jpeg_meta, decode_wav, decode_avi
     ):
         out = dec(payload)
         if out is not None:
@@ -598,6 +683,63 @@ def frame_pixel_stats(
                             "std_luma": float(luma.std()),
                         }
                     )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PIXEL_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=_PIXEL_SCHEMA
+    )
+
+
+def gif_frame_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "media",
+    max_frames: "int | None" = None,
+) -> DataFrame:
+    """Per-frame pixel statistics over animated-GIF payloads — the GIF
+    twin of ``frame_pixel_stats``: every composited frame (transparency
+    and disposal applied, operators/gif.py) emits channel means + luma
+    stddev with its cumulative presentation timestamp, so scene-cut /
+    brightness screens run on GIFs exactly as on MJPEG-AVI.
+    Undecodable payloads emit NO rows (a GIF with a parseable header
+    but corrupt LZW has no composited frames to measure — use
+    ``decode_media`` for header-level audits); same explode-shaped
+    Arrow ``mapInPandas`` contract as the demuxer."""
+    from tube_spark.operators.gif import decode_gif_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else None
+                frames = decode_gif_frames(raw, max_frames=max_frames)
+                if not frames:
+                    continue
+                ts = 0
+                for i, (px, delay) in enumerate(frames):
+                    p = px.astype(np.float64)
+                    luma = (
+                        0.299 * p[..., 0]
+                        + 0.587 * p[..., 1]
+                        + 0.114 * p[..., 2]
+                    )
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_idx": i,
+                            "ts_ms": ts,
+                            "decoded": True,
+                            "width": px.shape[1],
+                            "height": px.shape[0],
+                            "mean_r": float(p[..., 0].mean()),
+                            "mean_g": float(p[..., 1].mean()),
+                            "mean_b": float(p[..., 2].mean()),
+                            "std_luma": float(luma.std()),
+                        }
+                    )
+                    ts += delay
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _PIXEL_SCHEMA.fields]
             )

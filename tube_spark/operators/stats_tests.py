@@ -1,7 +1,7 @@
 """Distributional data-quality tests: Benford digit analysis, Gini
-concentration, chi-square independence.
+concentration, chi-square independence, two-sample KS, MAD outliers.
 
-Three single-pass screens an analytics warehouse runs over fact
+Single-pass screens an analytics warehouse runs over fact
 columns (the statistical siblings of quality_checks / psi_drift):
 
 * ``benford_digits`` — leading-digit distribution vs Benford's law
@@ -17,8 +17,16 @@ columns (the statistical siblings of quality_checks / psi_drift):
   categorical columns: expected counts from the margins, the chi²
   sum, and the degrees of freedom.
 
-All three are one groupBy/window pass + closed-form arithmetic — no
-UDFs, no iteration; every number replays in SQL.
+* ``ks_two_sample`` — two-sample Kolmogorov-Smirnov: max ECDF gap
+  between two slices of a numeric column, with Smirnov's asymptotic
+  95% rejection threshold.  Distribution drift ACROSS slices, where
+  ``cusum_drift`` is drift across time.
+* ``mad_outliers`` — per-group median-absolute-deviation outlier
+  screen: the 50%-breakdown robust alternative to mean/stddev
+  z-scores.
+
+All are groupBy/window passes + closed-form arithmetic — no UDFs, no
+iteration; every number replays in SQL.
 """
 
 from __future__ import annotations
@@ -159,4 +167,125 @@ def chi_square_independence(
         F.col("n_b").cast("long").alias("n_b"),
         ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
         F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    a_value,
+    b_value,
+) -> DataFrame:
+    """One row: (n_a, n_b, ks_d, critical_95, reject_95) — the
+    two-sample Kolmogorov-Smirnov test of whether ``value_col`` is
+    distributed identically in groups ``a_value`` and ``b_value`` of
+    ``group_col``.  The distributional drift screen for SLICES (does
+    priority-1 pricing look like priority-5 pricing?), complementing
+    ``cusum_drift``'s temporal shift detection.
+
+    D = max over pooled distinct values v of |ECDF_a(v) − ECDF_b(v)|
+    (ECDFs are right-continuous, so evaluating at the distinct values
+    is exact — ties collapse in the groupBy).  ``critical_95`` is the
+    large-sample rejection threshold c(0.05)·√((n_a+n_b)/(n_a·n_b))
+    with c(0.05)=1.358 (Smirnov's asymptotic law): pure √ arithmetic,
+    no libm beyond IEEE sqrt, so every number replays in SQL.
+
+    Shape: one groupBy on the value + one global-order cumulative
+    window over the DISTINCT values (the gini/ranked-cut shape: the
+    windowed frame is |distinct values|, already reduced — pre-bin a
+    continuous measure upstream if its distinct count is itself at
+    data scale).  NULL/NaN values and rows in neither group are
+    excluded."""
+    v = F.col(value_col)
+    g = F.col(group_col)
+    pts = df.filter(
+        v.isNotNull() & ~F.isnan(v.cast("double")) & g.isin(a_value, b_value)
+    ).select(
+        v.alias("__v"),
+        F.when(g == F.lit(a_value), 1).otherwise(0).alias("__a"),
+        F.when(g == F.lit(b_value), 1).otherwise(0).alias("__b"),
+    )
+    per_v = pts.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_v.select(
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+    )
+    d = F.abs(
+        F.try_divide(F.col("__cuma"), F.col("__na"))
+        - F.try_divide(F.col("__cumb"), F.col("__nb"))
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        F.try_divide(
+            (F.col("__na") + F.col("__nb")).cast("double"),
+            (F.col("__na") * F.col("__nb")).cast("double"),
+        )
+    )
+    return cum.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.round(F.max(d), 6).alias("ks_d"),
+        F.round(F.max(crit), 6).alias("critical_95"),
+        (F.max(d) > F.max(crit)).alias("reject_95"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per group: (group, n, med, mad, n_outliers, outlier_share) —
+    robust outlier screening by median absolute deviation.  A value is
+    an outlier when |x − median| > k·MAD; unlike mean/stddev z-scores
+    (``outlier_flags``), the median-based cut does not let the
+    outliers themselves inflate the scale estimate (breakdown point
+    50% vs 0%).  MAD = 0 (over half the group identical) degrades to
+    flagging any x ≠ median — the k·0 boundary, not a special case.
+
+    Shape: ONE scan, ONE hash shuffle on the group — both exact
+    percentiles are WINDOW aggregates over the same group
+    partitioning, so the deviation pass and the final groupBy reuse
+    the partitioning with no further exchange (an agg-and-join-back
+    form re-scans the fact table per estimate: 4 scans at 100 TB; the
+    plan report pins this one at a single scan).  NULL/NaN values are
+    excluded from both the estimates and the counts.  Exact
+    ``percentile`` interpolation is the same lower+(upper−lower)·frac
+    arithmetic DuckDB's quantile_cont uses, so every number replays in
+    SQL."""
+    v = F.col(value_col).cast("double")
+    ok = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col), v.alias("__x")
+    )
+    wg = Window.partitionBy(group_col)
+    flagged = (
+        ok.withColumn("__med", F.percentile("__x", 0.5).over(wg))
+        .withColumn("__adev", F.abs(F.col("__x") - F.col("__med")))
+        .withColumn("__mad", F.percentile("__adev", 0.5).over(wg))
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("__med"), 6).alias("med"),
+            F.round(F.max("__mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("__adev") > F.lit(k) * F.col("__mad")).cast("long")
+            ).alias("n_outliers"),
+            F.round(
+                F.avg(
+                    (F.col("__adev") > F.lit(k) * F.col("__mad")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("outlier_share"),
+        )
     )
