@@ -289,3 +289,23 @@ def test_gif_frame_stats_spark(spark):
         float(pal[f1][..., 2].mean())
     )
     assert by_key[(2, 0)]["width"] == 8 and by_key[(2, 0)]["decoded"]
+
+
+def test_truncated_extension_returns_none_not_desync():
+    """A comment extension whose sub-block chain runs off the buffer
+    must return None rather than desyncing the block walk."""
+    pal = _pal(4)
+    buf = bytearray(encode_gif([_idx(3, 3, 4)], pal))
+    # splice a comment extension with a size byte pointing past the end
+    at = buf.index(b"\x2c")
+    hostile = bytes(buf[:at]) + b"\x21\xfe\xff" + bytes(buf[at : at + 4])
+    assert decode_gif(hostile) is None
+
+
+def test_encoder_length_validation():
+    pal = _pal(4)
+    frames = [_idx(2, 2, 4), _idx(2, 2, 4)]
+    with pytest.raises(ValueError, match="match the frame count"):
+        encode_gif(frames, pal, delays_ms=[10])
+    with pytest.raises(ValueError, match="match the frame count"):
+        encode_gif(frames, pal, disposal=[0, 1, 2])

@@ -283,7 +283,9 @@ def _decode_frames(buf, max_frames):
                 delay_ms = int.from_bytes(body[1:3], "little") * 10
                 transparent = body[3] if flags & 0x1 else None
             else:  # comment / app / plain-text: skip the sub-blocks
-                _, pos = read_subblocks(pos)
+                blk, pos = read_subblocks(pos)
+                if blk is None:
+                    return None  # truncated extension: don't desync
             continue
         if marker != 0x2C:  # image descriptor is the only other block
             return None
@@ -403,6 +405,11 @@ def encode_gif(
         list(disposal) if isinstance(disposal, (list, tuple))
         else [disposal] * len(norm)
     )
+    if len(delays) != len(norm) or len(disposals) != len(norm):
+        raise ValueError(
+            f"delays_ms/disposal must match the frame count "
+            f"({len(delays)}/{len(disposals)} vs {len(norm)})"
+        )
     min_code_size = max(2, k + 1)
     for i, (arr, left, top) in enumerate(norm):
         if delays[i] or transparent is not None or disposals[i]:
