@@ -3573,6 +3573,35 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode under a full-value oracle: every document gets
+    a deterministic 2-frame animated GIF (multimodal.synthesize_gif —
+    real variable-width LZW bytes, odd ids interlaced), decoded by the
+    pure-numpy codec (operators/gif.py) through gif_frame_stats'
+    Arrow mapInPandas; the oracle replays the palette arithmetic from
+    doc_id alone (channel means per composited frame, presentation
+    timestamps from the first frame's delay) — so a hash match proves
+    the LZW entropy decode, deinterlace, and compositing byte-exactly,
+    the multimodal_decode pattern extended to the LZW family."""
+    from tube_spark.operators.multimodal import (
+        gif_frame_stats,
+        synthesize_gif_col,
+    )
+
+    docs = synthesize_gif_col(_docs(spark, sf_dir).select("doc_id"))
+    out = gif_frame_stats(docs)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-priority outlier screen over order totals
     (operators/stats_tests.py mad_outliers): median + MAD per group,
@@ -3737,6 +3766,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "chi_square": q_chi_square,
         "ks_test": q_ks_test,
         "mad_outliers": q_mad_outliers,
+        "gif_decode": q_gif_decode,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
         "k_truss": q_k_truss,
@@ -3814,12 +3844,12 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r14 window queue — exactly 10: the 7 remaining round-11 entries
+    # r14 window queue — 11: the 7 remaining round-11 entries
     # (event_transitions .. chi_square), the round-12 span_quarantine,
-    # and the round-13 ks_test/mad_outliers.  r14 promotes all 10,
-    # demoting 10 green r13 rows (suggest the
-    # sorted_neighborhood..attribution block).  Backlog after r14 = 0
-    # (plus any r14 additions).
+    # and the round-13 ks_test/mad_outliers/gif_decode.  r14 promotes
+    # all 11, demoting 11 green r13 rows (suggest
+    # sorted_neighborhood..attribution plus one of the r12 block).
+    # Backlog after r14 = 0 (plus any r14 additions).
     "event_transitions",
     "rfm_scores",
     "ab_test",
@@ -3830,9 +3860,10 @@ _EXTRA_QUERY_NAMES = (
     # round-12 addition (r14 queue)
     "span_quarantine",
     # round-13 additions (r14 queue; ship with the stats_tests
-    # ks_two_sample / mad_outliers operators)
+    # ks_two_sample / mad_outliers operators and the GIF codec)
     "ks_test",
     "mad_outliers",
+    "gif_decode",
     # -- round-13 rotation: the triangle_stats..c4_filter block (green
     # CORRECTNESS_r12 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r13 queue
@@ -4015,10 +4046,11 @@ _QUERY_ORDER = (
     # rows) take slots 31-40; the triangle_stats .. c4_filter block
     # (green r12 rows) demotes to _EXTRA_QUERY_NAMES, staying
     # differentially verified by pytest (tests/test_extra_queries.py).
-    # r14 schedule: promote the 10-entry queue exactly — the 7
+    # r14 schedule: promote the 11-entry queue exactly — the 7
     # remaining round-11 entries (event_transitions .. chi_square),
-    # span_quarantine (r12), and ks_test/mad_outliers (r13) — demoting
-    # 10 green r13 rows (suggest this sorted_neighborhood..attribution
+    # span_quarantine (r12), and ks_test/mad_outliers/gif_decode (r13)
+    # — demoting 11 green r13 rows (suggest this
+    # sorted_neighborhood..attribution block plus one of the r12
     # block).  Backlog after r14 = 0 (plus any r14 additions).
     "sorted_neighborhood",
     "graph_degree_stats",
@@ -5979,6 +6011,39 @@ def _all_oracle_sql() -> dict[str, str]:
                                       / CAST(na * nb AS DOUBLE)))
                        AS reject_95
             FROM ks_c""",
+        "gif_decode": """
+            WITH gd AS (
+                SELECT doc_id,
+                       doc_id % 9 + 2 AS w,
+                       doc_id % 6 + 2 AS h,
+                       (doc_id % 20 + 1) * 10 AS delay0
+                FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, w, h, delay0, unnest([0, 1]) AS fi
+                FROM gd
+            )
+            SELECT doc_id,
+                   cast(fi AS INTEGER) AS frame_idx,
+                   cast(CASE WHEN fi = 0 THEN 0 ELSE delay0 END
+                        AS BIGINT) AS ts_ms,
+                   cast(w AS INTEGER) AS width,
+                   cast(h AS INTEGER) AS height,
+                   round(list_sum(list_transform(range(0, w*h), p ->
+                       (doc_id*11
+                        + ((doc_id*13 + fi*4 + p*29) % 8) * 37) % 256))
+                       / cast(w*h AS DOUBLE), 6) AS mean_r,
+                   round(list_sum(list_transform(range(0, w*h), p ->
+                       (doc_id*11
+                        + ((doc_id*13 + fi*4 + p*29) % 8) * 37
+                        + 71) % 256))
+                       / cast(w*h AS DOUBLE), 6) AS mean_g,
+                   round(list_sum(list_transform(range(0, w*h), p ->
+                       (doc_id*11
+                        + ((doc_id*13 + fi*4 + p*29) % 8) * 37
+                        + 142) % 256))
+                       / cast(w*h AS DOUBLE), 6) AS mean_b
+            FROM fr""",
         "mad_outliers": """
             WITH mo_v AS (
                 SELECT o_orderpriority AS g,

@@ -309,3 +309,26 @@ def test_encoder_length_validation():
         encode_gif(frames, pal, delays_ms=[10])
     with pytest.raises(ValueError, match="match the frame count"):
         encode_gif(frames, pal, disposal=[0, 1, 2])
+
+
+def test_synthesize_gif_matches_arithmetic():
+    """The oracle contract of q_gif_decode: decoding the synthesized
+    GIF reproduces the closed-form palette arithmetic exactly."""
+    import numpy as np
+
+    from tube_spark.operators.multimodal import synthesize_gif
+
+    for seed in (0, 1, 7, 40, 101):
+        frames = decode_gif_frames(synthesize_gif(seed))
+        w, h = seed % 9 + 2, seed % 6 + 2
+        assert len(frames) == 2
+        assert frames[0][1] == (seed % 20 + 1) * 10
+        p = np.arange(h * w)
+        for f, (px, _) in enumerate(frames):
+            assert px.shape == (h, w, 3)
+            for c in range(3):
+                want = np.mean(
+                    (seed * 11 + ((seed * 13 + f * 4 + p * 29) % 8) * 37
+                     + c * 71) % 256
+                )
+                assert abs(px[..., c].mean() - want) < 1e-12

@@ -57,6 +57,7 @@ ARROW_OK = {
     "hard_negatives": 0,  # rides cosine_topk's Arrow cosine kernel
     "embedding_covariance": 1,  # the PCA moment pass: one Gram-partial mapInPandas
     "scene_cuts": 2,  # synth pandas_udf + demux/histogram mapInPandas
+    "gif_decode": 2,  # synth pandas_udf + LZW-decode/stats mapInPandas
 }
 
 # queries where a BroadcastNestedLoopJoin is the intended plan AND every

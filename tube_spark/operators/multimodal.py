@@ -749,6 +749,52 @@ def gif_frame_stats(
     )
 
 
+def synthesize_gif(seed: int) -> bytes:
+    """A deterministic 2-frame animated GIF with REAL LZW payload
+    (operators/gif.py encoder): w = seed%9+2, h = seed%6+2, an 8-color
+    palette with channel c of color i = (seed*11 + i*37 + c*71) % 256,
+    frame-f pixel p (row-major) indexing color
+    (seed*13 + f*4 + p*29) % 8, first-frame delay (seed%20+1)*10 ms.
+    Odd seeds interlace (decode is pixel-identical either way).  Every
+    emitted stat is therefore closed-form in ``seed`` — the oracle
+    replays the palette arithmetic while Spark decodes the actual
+    entropy-coded bytes."""
+    from tube_spark.operators.gif import encode_gif
+
+    w = seed % 9 + 2
+    h = seed % 6 + 2
+    pal = np.array(
+        [
+            [(seed * 11 + i * 37 + c * 71) % 256 for c in range(3)]
+            for i in range(8)
+        ],
+        dtype=np.uint8,
+    )
+    p = np.arange(h * w, dtype=np.int64)
+    frames = [
+        (((seed * 13 + f * 4 + p * 29) % 8).astype(np.uint8).reshape(h, w))
+        for f in range(2)
+    ]
+    return encode_gif(
+        frames,
+        pal,
+        delays_ms=[(seed % 20 + 1) * 10, 0],
+        interlace=bool(seed % 2),
+    )
+
+
+def synthesize_gif_col(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic ``media`` GIF column (``synthesize_gif``
+    per id) — the LZW-family twin of ``synthesize_media_col``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synthesize_gif(int(i)) for i in ids])
+
+    return df.withColumn("media", synth(F.col(id_col)))
+
+
 def synthesize_jpeg(seed: int, width: int, height: int) -> bytes:
     """A minimal structurally-valid JPEG: SOI, APP0/JFIF, SOF0 carrying
     the real dimensions, then EOI.  ``jpeg_dimensions`` (and any
