@@ -153,11 +153,14 @@ def test_multiple_idat_chunks():
 
 def test_out_of_scope_and_fuzz_never_raise():
     px = _img(9, 9)
-    # 4-bit depth: out of scope
-    g4 = _hand_png(9, 9, 0, px[..., :1], depth=4)
-    assert decode_png(g4) is None
-    # 16-bit is IN scope now, but a 16-bit header over 8-bit-sized
-    # scanlines is a short stream -> None, not an exception
+    # every legal depth is in scope now; a depth-4 header over
+    # 8-bit-sized scanlines is a stream-length mismatch -> None
+    g4_bad = _hand_png(9, 9, 0, px[..., :1], depth=4)
+    assert decode_png(g4_bad) is None
+    # 3-bit depth is not legal PNG at all
+    g3 = _hand_png(9, 9, 0, px[..., :1], depth=3)
+    assert decode_png(g3) is None
+    # 16-bit header over 8-bit-sized scanlines: short stream -> None
     g16_short = _hand_png(9, 9, 0, px[..., :1], depth=16)
     assert decode_png(g16_short) is None
     assert decode_png(None) is None
@@ -333,3 +336,80 @@ def test_16bit_rgba_drops_alpha_and_palette16_rejected():
 def test_encoder_bit_depth_validation():
     with pytest.raises(ValueError, match="bit_depth"):
         encode_png(np.zeros((4, 4, 3), np.uint8), bit_depth=12)
+
+
+def _pack_rows(vals2d, b):
+    """filter-0 scanlines with b-bit samples packed MSB-first."""
+    h, w = vals2d.shape
+    out = bytearray()
+    for y in range(h):
+        row = bytearray([0])
+        acc = 0
+        n = 0
+        for x in range(w):
+            acc = (acc << b) | int(vals2d[y, x])
+            n += b
+            if n == 8:
+                row.append(acc)
+                acc = 0
+                n = 0
+        if n:
+            row.append(acc << (8 - n))
+        out += row
+    return bytes(out)
+
+
+@pytest.mark.parametrize("b", [1, 2, 4])
+def test_low_depth_gray_exact(b):
+    """VERDICT r12 item 7 follow-through: 1/2/4-bit gray rows unpack
+    MSB-first and scale by the exact 255/85/17 factors."""
+    rng = np.random.default_rng(b)
+    vals = rng.integers(0, 1 << b, (5, 11))
+    buf = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 5, b, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(_pack_rows(vals, b)))
+        + _chunk(b"IEND", b"")
+    )
+    want = (vals * (255 // ((1 << b) - 1))).astype(np.uint8)
+    assert np.array_equal(decode_png(buf), np.stack([want] * 3, axis=-1))
+
+
+def test_low_depth_palette_and_adam7():
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    vals = rng.integers(0, 16, (7, 9))
+    buf = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 7, 4, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(_pack_rows(vals, 4)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(buf), pal[vals])
+    # Adam7 2-bit gray: per-pass sub-byte strides
+    from tube_spark.operators.png import _ADAM7
+
+    h, w = 9, 13
+    g = rng.integers(0, 4, (h, w))
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = g[y0::dy, x0::dx]
+        if sub.size:
+            raw += _pack_rows(sub, 2)
+    buf = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 2, 0, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    want = (g * 85).astype(np.uint8)
+    assert np.array_equal(decode_png(buf), np.stack([want] * 3, axis=-1))
+    # sub-byte RGB is spec-invalid -> None
+    bad = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(bad) is None

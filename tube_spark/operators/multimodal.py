@@ -256,8 +256,9 @@ def decode_avi(payload: bytes) -> dict | None:
 def decode_png_meta(payload: bytes) -> dict | None:
     """PNG → the decode_bmp-shaped metadata dict: IHDR dims always;
     value_mean from the REAL pixel decode (operators/png.py) when the
-    payload is in the codec's scope (8/16-bit), NULL when only the
-    header parses (1/2/4-bit) — the degrade-to-header contract."""
+    payload decodes (every legal depth now), NULL when only the
+    header parses (corrupt stream) — the degrade-to-header
+    contract."""
     from tube_spark.operators.png import decode_png, png_dimensions
 
     dims = png_dimensions(payload)

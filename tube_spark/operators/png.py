@@ -14,11 +14,13 @@ Scope (documented, asserted by tests):
   3 (palette), 4 (gray+alpha), 6 (RGBA); interlace 0 (sequential) and
   1 (Adam7); multiple IDAT chunks; CRCs are NOT verified (corrupt
   streams surface as zlib/shape errors and return None — same
-  never-raise contract as the JPEG decoder).  1/2/4-bit depths return
-  None.  16-bit samples (scientific/medical gray imagery) decode by
+  never-raise contract as the JPEG decoder).  EVERY legal bit depth
+  decodes: 16-bit samples (scientific/medical gray imagery) by
   high-byte strip (libpng's classic 16->8), EXACT for the v*257
-  representation an 8->16 upconvert produces; filtering operates on
-  BYTES per RFC 2083 §6.2, so the scanline machinery is shared.
+  representation an 8->16 upconvert produces; 1/2/4-bit gray/palette
+  rows unpack MSB-first (gray scales by the exact 255/85/17 factors).
+  Filtering operates on BYTES per RFC 2083 §6.2 (bpp rounds up to 1
+  for sub-byte rows), so the scanline machinery is shared.
   Alpha is dropped (feature pipelines consume RGB; compositing policy
   belongs to the caller), grayscale replicates to 3 channels — the
   exact output contract of ``decode_baseline_jpeg``.
@@ -125,14 +127,32 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def _samples8(rows: np.ndarray, pw: int, ch: int, bs: int) -> np.ndarray:
+def _samples8(
+    rows: np.ndarray, pw: int, ch: int, depth: int, color_type: int
+) -> np.ndarray:
     """Unfiltered scanline bytes -> (n_rows, pw, ch) 8-bit samples.
-    ``bs`` is bytes per sample; 16-bit samples strip to the high byte
-    (libpng's classic 16->8) — exact for v*257-encoded content."""
-    if bs == 1:
+    16-bit samples strip to the high byte (libpng's classic 16->8,
+    exact for v*257-encoded content); 1/2/4-bit samples (gray or
+    palette indices, ch==1 by spec) unpack MSB-first and gray scales
+    by 255/(2^depth−1) — exact integer factors 255/85/17."""
+    if depth == 8:
         return rows.reshape(-1, pw, ch)
-    u16 = np.ascontiguousarray(rows).reshape(-1).view(">u2")
-    return (u16 >> 8).astype(np.uint8).reshape(-1, pw, ch)
+    if depth == 16:
+        u16 = np.ascontiguousarray(rows).reshape(-1).view(">u2")
+        return (u16 >> 8).astype(np.uint8).reshape(-1, pw, ch)
+    n = rows.shape[0]
+    bits = np.unpackbits(np.ascontiguousarray(rows), axis=1)
+    per = bits[:, : pw * depth].reshape(n, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (per * weights).sum(axis=2, dtype=np.uint16)
+    if color_type == 0:  # gray: scale to full 8-bit range
+        vals = vals * (255 // ((1 << depth) - 1))
+    return vals.astype(np.uint8)[:, :, None]
+
+
+def _row_stride(w: int, ch: int, depth: int) -> int:
+    """Bytes per scanline (sub-byte depths pack, rows pad to a byte)."""
+    return (w * ch * depth + 7) // 8
 
 
 def _to_rgb(
@@ -199,10 +219,12 @@ def _decode(buf: bytes) -> "np.ndarray | None":
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth not in (8, 16) or comp != 0 or filt != 0:
-                return None  # 1/2/4-bit: out of scope
+            if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0:
+                return None
             if depth == 16 and color_type == 3:
                 return None  # spec-invalid: palette depth caps at 8
+            if depth < 8 and color_type not in (0, 3):
+                return None  # spec: sub-byte only for gray/palette
             if color_type not in _CHANNELS or interlace not in (0, 1):
                 return None
             if w == 0 or h == 0 or w * h > _MAX_PIXELS:
@@ -220,19 +242,20 @@ def _decode(buf: bytes) -> "np.ndarray | None":
     if w is None or not idat or not seen_iend:
         return None
     ch = _CHANNELS[color_type]
-    bs = depth // 8  # bytes per sample; filters operate on BYTES
+    # filters operate on BYTES; sub-byte depths use bpp = 1 (RFC 2083)
+    bpp = max(1, ch * depth // 8)
     # the exact inflated size is known from the header, so bound the
     # inflate to it (+1 to detect overruns) — an unbounded decompress
     # would let a small zlib bomb expand fully into memory first
     if interlace == 0:
-        expected = h * (1 + w * ch * bs)
+        expected = h * (1 + _row_stride(w, ch, depth))
     else:
         expected = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw and ph:
-                expected += ph * (1 + pw * ch * bs)
+                expected += ph * (1 + _row_stride(pw, ch, depth))
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expected + 1)
     if len(raw) != expected:  # short stream, or overrun (got the +1)
@@ -240,10 +263,12 @@ def _decode(buf: bytes) -> "np.ndarray | None":
     data = np.frombuffer(raw, dtype=np.uint8)
 
     if interlace == 0:
-        stride = w * ch * bs
+        stride = _row_stride(w, ch, depth)
         if data.size != h * (1 + stride):
             return None
-        px = _samples8(_unfilter(data, h, stride, ch * bs), w, ch, bs)
+        px = _samples8(
+            _unfilter(data, h, stride, bpp), w, ch, depth, color_type
+        )
         return _to_rgb(px, color_type, palette)
 
     # Adam7: seven independently-filtered sub-images
@@ -254,13 +279,15 @@ def _decode(buf: bytes) -> "np.ndarray | None":
         ph = (h - y0 + dy - 1) // dy
         if pw == 0 or ph == 0:
             continue
-        stride = pw * ch * bs
+        stride = _row_stride(pw, ch, depth)
         need = ph * (1 + stride)
         sub = data[off : off + need]
         if sub.size != need:
             return None
         off += need
-        spx = _samples8(_unfilter(sub, ph, stride, ch * bs), pw, ch, bs)
+        spx = _samples8(
+            _unfilter(sub, ph, stride, bpp), pw, ch, depth, color_type
+        )
         out[y0::dy, x0::dx] = spx
     if off != data.size:
         return None
