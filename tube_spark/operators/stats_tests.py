@@ -191,12 +191,16 @@ def ks_two_sample(
     with c(0.05)=1.358 (Smirnov's asymptotic law): pure √ arithmetic,
     no libm beyond IEEE sqrt, so every number replays in SQL.
 
-    Shape: one groupBy on the value + one global-order cumulative
-    window over the DISTINCT values (the gini/ranked-cut shape: the
-    windowed frame is |distinct values|, already reduced — pre-bin a
-    continuous measure upstream if its distinct count is itself at
-    data scale).  NULL/NaN values and rows in neither group are
-    excluded."""
+    Shape: one groupBy on the value, then a DISTRIBUTED two-phase
+    prefix sum over the distinct-value order (the shards/packing
+    `_ranked` pattern: range partition on the value, per-partition
+    totals — one row each — collected, cumulative offsets broadcast
+    back, LOCAL cumulative window per partition).  A continuous
+    measure's distinct count is itself at data scale, so a
+    global-order single-partition window here would be the one-task
+    bottleneck the pattern exists to avoid; the per-partition totals
+    also hand the driver n_a/n_b for free.  NULL/NaN values and rows
+    in neither group are excluded."""
     v = F.col(value_col)
     g = F.col(group_col)
     pts = df.filter(
@@ -209,27 +213,52 @@ def ks_two_sample(
     per_v = pts.groupBy("__v").agg(
         F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb")
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = per_v.select(
-        F.sum("__ca").over(w).alias("__cuma"),
-        F.sum("__cb").over(w).alias("__cumb"),
-        F.sum("__ca").over(wall).alias("__na"),
-        F.sum("__cb").over(wall).alias("__nb"),
+    # pin the sampled range-partition layout: the pid->offset map below
+    # is only valid for THIS layout (the _ranked hazard + fix)
+    parts = (
+        per_v.repartitionByRange("__v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
+    totals = sorted(
+        (r["__pid"], int(r["ca"] or 0), int(r["cb"] or 0))
+        for r in parts.groupBy("__pid")
+        .agg(F.sum("__ca").alias("ca"), F.sum("__cb").alias("cb"))
+        .collect()
+    )
+    offsets, acc_a, acc_b = [], 0, 0
+    for pid, ca, cb in totals:
+        offsets.append((pid, acc_a, acc_b))
+        acc_a += ca
+        acc_b += cb
+    na, nb = acc_a, acc_b
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        offsets or [(0, 0, 0)], "__pid int, __offa long, __offb long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = parts.join(F.broadcast(off), "__pid").select(
+        (F.sum("__ca").over(w) + F.col("__offa")).alias("__cuma"),
+        (F.sum("__cb").over(w) + F.col("__offb")).alias("__cumb"),
+    )
+    lna = F.lit(na).cast("long")
+    lnb = F.lit(nb).cast("long")
     d = F.abs(
-        F.try_divide(F.col("__cuma"), F.col("__na"))
-        - F.try_divide(F.col("__cumb"), F.col("__nb"))
+        F.try_divide(F.col("__cuma"), lna)
+        - F.try_divide(F.col("__cumb"), lnb)
     )
     crit = F.lit(1.358) * F.sqrt(
         F.try_divide(
-            (F.col("__na") + F.col("__nb")).cast("double"),
-            (F.col("__na") * F.col("__nb")).cast("double"),
+            (lna + lnb).cast("double"), (lna * lnb).cast("double")
         )
     )
     return cum.agg(
-        F.max("__na").alias("n_a"),
-        F.max("__nb").alias("n_b"),
+        F.max(lna).alias("n_a"),
+        F.max(lnb).alias("n_b"),
         F.round(F.max(d), 6).alias("ks_d"),
         F.round(F.max(crit), 6).alias("critical_95"),
         (F.max(d) > F.max(crit)).alias("reject_95"),
