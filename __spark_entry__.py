@@ -1143,18 +1143,21 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: ntile quartiles of order value per customer segment."""
-    from pyspark.sql import Window
+    """W3: ntile quartiles of order value.  The tile comes from the
+    distributed global rank (operators/ranking.ntile_distributed —
+    bit-identical to ``ntile(4) OVER (ORDER BY …)``, which the oracle
+    replays), never a single-task global window over the data-scale
+    orders frame (r14: the last such window was audited out;
+    tests/test_plan_audit.py now bans the shape registry-wide)."""
+    from tube_spark.operators.ranking import ntile_distributed
 
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.partitionBy().orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return (
-        o.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
+    t = ntile_distributed(
+        o, 4, ["o_totalprice", "o_orderkey"], tile_col="quartile"
+    )
+    return t.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -3618,6 +3621,24 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum over lineitem pricing: does
+    l_extendedprice sit higher for returned (R) than accepted (A)
+    lineitems
+    (operators/stats_tests.py mann_whitney_u)?  Midranks over the
+    pooled distinct values via the same distributed two-phase prefix
+    sum as ks_test, then the tie-corrected normal z.  Completes the
+    nonparametric drift family: KS detects any shape difference,
+    rank-sum targets location and keeps power under heavy tails where
+    ab_test's mean z does not.  The oracle replays the per-value group
+    counts, the midrank cumulative sums, the tie correction, and the
+    z arithmetic with identical association order."""
+    from tube_spark.operators.stats_tests import mann_whitney_u
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return mann_whitney_u(li, "l_extendedprice", "l_returnflag", "R", "A")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3766,6 +3787,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "chi_square": q_chi_square,
         "ks_test": q_ks_test,
         "mad_outliers": q_mad_outliers,
+        "mann_whitney": q_mann_whitney,
         "gif_decode": q_gif_decode,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
@@ -3844,26 +3866,25 @@ _ROWS_ONLY = (
 )
 
 _EXTRA_QUERY_NAMES = (
-    # r14 window queue — 11: the 7 remaining round-11 entries
-    # (event_transitions .. chi_square), the round-12 span_quarantine,
-    # and the round-13 ks_test/mad_outliers/gif_decode.  r14 promotes
-    # all 11, demoting 11 green r13 rows (suggest
-    # sorted_neighborhood..attribution plus one of the r12 block).
-    # Backlog after r14 = 0 (plus any r14 additions).
-    "event_transitions",
-    "rfm_scores",
-    "ab_test",
-    "lang_confusion",
-    "benford_law",
-    "revenue_gini",
-    "chi_square",
-    # round-12 addition (r14 queue)
-    "span_quarantine",
-    # round-13 additions (r14 queue; ship with the stats_tests
-    # ks_two_sample / mad_outliers operators and the GIF codec)
-    "ks_test",
-    "mad_outliers",
-    "gif_decode",
+    # r15 window queue (round-14 additions; the pre-r14 backlog is 0 —
+    # the r14 rotation promoted all 11 queued entries).  r15 promotes
+    # these, demoting an equal count of green r14 rows.
+    "mann_whitney",
+    # -- round-14 rotation: the sorted_neighborhood..attribution block
+    # plus k_truss (green CORRECTNESS_r13 driver rows) demoted to the
+    # extras tier (pytest-verified) to make room for the full 11-entry
+    # r14 queue (event_transitions .. gif_decode) --
+    "sorted_neighborhood",
+    "graph_degree_stats",
+    "zipf_fit",
+    "khop_reach",
+    "hyperball",
+    "readability",
+    "effective_diameter",
+    "k_anonymity",
+    "seasonal_decompose",
+    "attribution",
+    "k_truss",
     # -- round-13 rotation: the triangle_stats..c4_filter block (green
     # CORRECTNESS_r12 driver rows) demoted to the extras tier
     # (pytest-verified) to make room for the first 10 of the r13 queue
@@ -4040,28 +4061,27 @@ _QUERY_ORDER = (
     "embedding_near_dup_exact",
     "corpus_curation",
     "multimodal_decode",
-    # -- round-13 rotation (executes the r12 schedule comment): the
-    # next 10 entries of the extras queue (sorted_neighborhood ..
-    # attribution — round-11 additions awaiting their first driver
-    # rows) take slots 31-40; the triangle_stats .. c4_filter block
-    # (green r12 rows) demotes to _EXTRA_QUERY_NAMES, staying
-    # differentially verified by pytest (tests/test_extra_queries.py).
-    # r14 schedule: promote the 11-entry queue exactly — the 7
-    # remaining round-11 entries (event_transitions .. chi_square),
-    # span_quarantine (r12), and ks_test/mad_outliers/gif_decode (r13)
-    # — demoting 11 green r13 rows (suggest this
-    # sorted_neighborhood..attribution block plus one of the r12
-    # block).  Backlog after r14 = 0 (plus any r14 additions).
-    "sorted_neighborhood",
-    "graph_degree_stats",
-    "zipf_fit",
-    "khop_reach",
-    "hyperball",
-    "readability",
-    "effective_diameter",
-    "k_anonymity",
-    "seasonal_decompose",
-    "attribution",
+    # -- round-14 rotation (executes the r13 schedule comment exactly):
+    # the full 11-entry queue takes slots 31-41 — the 7 remaining
+    # round-11 entries (event_transitions .. chi_square),
+    # span_quarantine (r12), and ks_test / mad_outliers / gif_decode
+    # (r13).  Demoted to _EXTRA_QUERY_NAMES (still differentially
+    # verified by pytest, tests/test_extra_queries.py): the
+    # sorted_neighborhood .. attribution block (green CORRECTNESS_r13
+    # rows) plus k_truss from the round-10 block.  Backlog after this
+    # rotation: 0 pre-existing; the r15 queue is exactly the round-14
+    # additions (mann_whitney .. — see the _EXTRA_QUERY_NAMES head).
+    "event_transitions",
+    "rfm_scores",
+    "ab_test",
+    "lang_confusion",
+    "benford_law",
+    "revenue_gini",
+    "chi_square",
+    "span_quarantine",
+    "ks_test",
+    "mad_outliers",
+    "gif_decode",
     # -- round-10 promotions: first driver rows for the round-9 work --
     "k_core",
     "epoch_shuffle",
@@ -4072,7 +4092,6 @@ _QUERY_ORDER = (
     "neardup_transitivity",
     "sentence_chunks",
     "basket_rules",
-    "k_truss",
     # -- positions 51+: permanently rows-only (len(_ROWS_ONLY) entries) --
 ) + _ROWS_ONLY
 
@@ -6011,6 +6030,55 @@ def _all_oracle_sql() -> dict[str, str]:
                                       / CAST(na * nb AS DOUBLE)))
                        AS reject_95
             FROM ks_c""",
+        "mann_whitney": """
+            WITH mw_p AS (
+                SELECT l_extendedprice AS v,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+                       CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS b
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+                  AND l_returnflag IN ('R', 'A')
+            ),
+            mw_v AS (
+                SELECT v, sum(a) AS ca, sum(b) AS cb FROM mw_p GROUP BY v
+            ),
+            mw_c AS (
+                SELECT ca, ca + cb AS c,
+                       sum(ca + cb) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+                         - (ca + cb) + (ca + cb + 1) / 2.0 AS mid
+                FROM mw_v
+            ),
+            mw_s AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(c - ca) AS BIGINT) AS nb,
+                       sum(ca * mid) AS ra,
+                       CAST(sum(c * c * c - c) AS BIGINT) AS tie
+                FROM mw_c
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   round(ra - (na * (na + 1)) / 2.0, 1) AS u_a,
+                   round(CAST(na * nb AS DOUBLE)
+                         - (ra - (na * (na + 1)) / 2.0), 1) AS u_b,
+                   round((ra - (na * (na + 1)) / 2.0
+                          - CAST(na * nb AS DOUBLE) / 2.0)
+                         / sqrt(CAST(na * nb AS DOUBLE) / 12.0
+                                * (CAST(na + nb + 1 AS DOUBLE)
+                                   - CAST(tie AS DOUBLE)
+                                     / CAST((na + nb) * (na + nb - 1)
+                                            AS DOUBLE))), 6) AS z,
+                   coalesce(abs((ra - (na * (na + 1)) / 2.0
+                                 - CAST(na * nb AS DOUBLE) / 2.0)
+                                / sqrt(CAST(na * nb AS DOUBLE) / 12.0
+                                       * (CAST(na + nb + 1 AS DOUBLE)
+                                          - CAST(tie AS DOUBLE)
+                                            / CAST((na + nb)
+                                                   * (na + nb - 1)
+                                                   AS DOUBLE))))
+                            > 1.96, false) AS reject_95
+            FROM mw_s""",
         "gif_decode": """
             WITH gd AS (
                 SELECT doc_id,

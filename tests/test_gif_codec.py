@@ -332,3 +332,92 @@ def test_synthesize_gif_matches_arithmetic():
                      + c * 71) % 256
                 )
                 assert abs(px[..., c].mean() - want) < 1e-12
+
+
+def _pack_codes(codes, width):
+    """LSB-first LZW bit packing (the GIF wire order)."""
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _bomb_gif(w, h, n_frames, delay_cs=20):
+    """Hand-built hostile animation: a w*h logical screen whose frames
+    are all 1x1 — a few hundred bytes of input that would composite
+    n_frames full-screen canvases."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80, 0, 0])  # GCT flag, 2 entries
+    out += bytes([10, 20, 30, 40, 50, 60])
+    one_px = _pack_codes([4, 0, 5], 3)  # clear, index 0, end @ width 3
+    for _ in range(n_frames):
+        out += bytes([0x21, 0xF9, 0x04, 0x00]) + struct.pack("<H", delay_cs)
+        out += bytes([0x00, 0x00])  # no transparency; terminator
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+        out += bytes([2, len(one_px)]) + one_px + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_animation_decode_bomb_budget():
+    """ADVICE r13 (high): tiny input, large screen, many sub-frames —
+    the cumulative decoded-output budget must stop compositing once
+    total output pixels exceed _MAX_PIXELS, instead of multiplying
+    memory without bound (4.7 KB -> 603 MB measured pre-fix)."""
+    from tube_spark.operators.gif import _MAX_PIXELS, decode_gif_frames
+
+    w = h = 4096  # 16.7M px/frame, 1/4 of the budget
+    buf = _bomb_gif(w, h, 16)
+    assert len(buf) < 1000
+    frames = decode_gif_frames(buf)
+    assert frames is not None
+    assert len(frames) == _MAX_PIXELS // (w * h) == 4
+    assert frames[0][0].shape == (h, w, 3)
+    assert frames[0][1] == 200  # the GCE delay still lands
+
+
+def test_frame_delays_structural_scan():
+    """gif_frame_delays: delay-exact vs the pixel decoder on
+    well-formed animations; full frame count on a budget-capped bomb
+    (no compositing); None on structural corruption."""
+    from tube_spark.operators.gif import decode_gif_frames, gif_frame_delays
+
+    pal = _pal(8, seed=31)
+    frames = [_idx(6, 7, 8, seed=s) for s in range(5)]
+    buf = encode_gif(frames, pal, delays_ms=[10, 20, 30, 40, 50])
+    assert gif_frame_delays(buf) == [d for _, d in decode_gif_frames(buf)]
+
+    bomb = _bomb_gif(4096, 4096, 16, delay_cs=7)
+    assert gif_frame_delays(bomb) == [70] * 16  # all 16, not just 4
+
+    assert gif_frame_delays(buf[:20]) is None  # truncated stream
+    assert gif_frame_delays(b"not a gif") is None
+    # unknown block marker desyncs the walk: reject like the decoder
+    corrupt = bytearray(buf)
+    corrupt[13 + 3 * 8] = 0x55  # first block marker after the GCT
+    assert gif_frame_delays(bytes(corrupt)) is None
+
+
+def test_meta_bomb_is_header_cost():
+    """decode_gif_meta on a decode bomb: duration/kind from the
+    structural scan (all frames), value_mean from ONE composited
+    frame — never a canvas copy per sub-frame."""
+    from tube_spark.operators.multimodal import decode_gif_meta
+
+    bomb = _bomb_gif(4096, 4096, 16, delay_cs=20)
+    m = decode_gif_meta(bomb)
+    assert m["kind"] == "video"
+    assert m["duration_ms"] == 16 * 200
+    assert (m["width"], m["height"]) == (4096, 4096)
+    # canvas = bg = GCT[0] = (10,20,30) everywhere; the 1x1 frame draws
+    # the same entry -> mean over channels is 20
+    assert m["value_mean"] == pytest.approx(20.0)

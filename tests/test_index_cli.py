@@ -172,3 +172,21 @@ def test_auto_compact_without_append_is_rejected(tmp_path, capsys):
             main(argv)
         assert ei.value.code == 2
         assert "--auto-compact requires --append" in capsys.readouterr().err
+
+
+def test_auto_compact_rejected_before_session_startup(tmp_path, capsys, monkeypatch):
+    """ADVICE r13: the usage error must fire BEFORE get_spark — invalid
+    CLI input should not pay JVM/session startup just to exit."""
+    import pytest
+
+    import tube_spark.session as sess
+
+    def _boom(*a, **k):  # noqa: ARG001
+        raise AssertionError("get_spark called before CLI validation")
+
+    monkeypatch.setattr(sess, "get_spark", _boom)
+    with pytest.raises(SystemExit) as ei:
+        main(["build", "--docs", "x", "--index", str(tmp_path / "i"),
+              "--auto-compact", "3"])
+    assert ei.value.code == 2
+    capsys.readouterr()

@@ -127,6 +127,21 @@ BNLJ_EXACT_BASELINE = {
     "reciprocal_nn",  # exact mutual-NN baseline: side_b broadcast IS half the corpus (IVF store is the scale path — see the operator docstring)
 }
 
+# queries whose plan may contain a PARTITION-LESS Window over an input
+# the structural walker (_is_bounded) cannot prove bounded: each entry
+# names the low-cardinality grouping columns that bound the frame (the
+# BNLJ_AGG_OK discipline — enum-sized keyed aggregates, never a corpus
+# id).  Everything else: a partition-less WindowExec is allowed ONLY
+# over a provably bounded input (top-k survivors after orderBy+limit,
+# one-row aggregates, local relations) — the single-task global window
+# over a data-scale frame is the r13-verdict scale-killer shape
+# (top_vocab / gini_coefficient / rfm_scores, all rewritten r14).
+GLOBAL_WINDOW_OK: dict[str, set[str]] = {
+    "benford_law": {"digit"},  # <= 9 first-digit cells
+    # r x c contingency cells: segment enum (5) x nation enum (25)
+    "chi_square": {"c_mktsegment", "c_nationkey"},
+}
+
 # queries that execute driver-side work or streams when *built* — they
 # are audited by their own operator tests; planning them here would
 # re-run training loops / streaming queries for no added signal
@@ -321,6 +336,36 @@ def test_plan_has_no_scale_killers(spark, name):
         assert n_arrow <= ARROW_OK[name], (
             f"{name}: {n_arrow} Arrow Python stages, declared max "
             f"{ARROW_OK[name]} — a new Python stage crept into the plan\n{plan[:1500]}"
+        )
+
+    # partition-less Window sweep: every WindowExec/WindowGroupLimitExec
+    # with an empty partitionSpec must sit over a bounded-by-construction
+    # input, or the query must declare the enum keys that bound it
+    for nd in _walk(exec_plan):
+        cls = nd.getClass().getSimpleName()
+        if not cls.startswith(("WindowExec", "WindowGroupLimitExec", "WindowInPandas")):
+            continue
+        try:
+            if not nd.partitionSpec().isEmpty():
+                continue
+        except Exception:
+            continue
+        kids = _children(nd)
+        if kids and all(_is_bounded(c) for c in kids):
+            continue
+        assert name in GLOBAL_WINDOW_OK, (
+            f"{name}: partition-less {cls} over an input not bounded by "
+            f"construction — a single-task global window over a "
+            f"data-scale frame; use orderBy().limit(k) (TakeOrdered) or "
+            f"the sinks/shards._ranked two-phase prefix count\n"
+            f"{nd.toString()[:1200]}"
+        )
+        assert kids and all(
+            _is_agg_bounded(c, GLOBAL_WINDOW_OK[name]) for c in kids
+        ), (
+            f"{name}: declared global window, but its input is not "
+            f"bounded by an aggregate over the declared enum keys "
+            f"{GLOBAL_WINDOW_OK[name]}\n{nd.toString()[:1200]}"
         )
 
     if "BroadcastNestedLoopJoin" in plan:

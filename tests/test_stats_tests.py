@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from tube_spark.operators.stats_tests import (
     benford_digits,
     chi_square_independence,
@@ -205,6 +207,106 @@ class TestKsTwoSample:
         crit = 1.358 * math.sqrt((80 + 60) / (80 * 60))
         assert r["critical_95"] == pytest.approx(round(crit, 6), abs=1e-9)
         assert r["reject_95"] == (d > crit)
+
+    def test_empty_input_degenerate_row(self, spark):
+        """ADVICE r13: zero input rows (or both groups filtered away)
+        must pin n_a=n_b=0 and reject_95=false — callers branching on
+        reject_95 must never read a silent NULL.  ks_d/critical_95
+        stay NULL (no statistic exists)."""
+        from tube_spark.operators.stats_tests import ks_two_sample
+
+        df = spark.createDataFrame([], "v double, g string")
+        r = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+        assert r["n_a"] == 0 and r["n_b"] == 0
+        assert r["reject_95"] is False
+        assert r["ks_d"] is None and r["critical_95"] is None
+
+
+class TestMannWhitney:
+    def _ref(self, a, b):
+        """Pure-python midrank rank-sum reference."""
+        import collections
+
+        vals = sorted(a + b)
+        ranks, i = {}, 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[j] == vals[i]:
+                j += 1
+            ranks[vals[i]] = (i + 1 + j) / 2.0
+            i = j
+        na, nb, n = len(a), len(b), len(a) + len(b)
+        ra = sum(ranks[x] for x in a)
+        ua = ra - na * (na + 1) / 2.0
+        tie = sum(
+            c**3 - c for c in collections.Counter(vals).values()
+        )
+        var = na * nb / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+        z = (ua - na * nb / 2.0) / math.sqrt(var) if var > 0 else None
+        return na, nb, ua, na * nb - ua, z
+
+    def test_matches_python_reference_with_ties(self, spark):
+        """u/z equal the midrank reference; third groups and NULL/NaN
+        excluded; rounding to 2 decimals forces heavy ties."""
+        from tube_spark.operators.stats_tests import mann_whitney_u
+
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        a = [round(float(x), 1) for x in rng.normal(0, 1, 70)]
+        b = [round(float(x), 1) for x in rng.normal(0.6, 1.2, 50)]
+        rows = (
+            [(float(x), "a") for x in a]
+            + [(float(x), "b") for x in b]
+            + [(None, "a"), (float("nan"), "b"), (3.0, "zz")]
+        )
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        na, nb, ua, ub, z = self._ref(a, b)
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["u_a"] == pytest.approx(round(ua, 1), abs=1e-9)
+        assert r["u_b"] == pytest.approx(round(ub, 1), abs=1e-9)
+        assert r["z"] == pytest.approx(round(z, 6), abs=1e-9)
+        assert r["reject_95"] == (abs(z) > 1.96)
+
+    def test_location_shift_detected_symmetrically(self, spark):
+        """A clear upward shift of group a gives z > 1.96; swapping
+        the labels negates z."""
+        from tube_spark.operators.stats_tests import mann_whitney_u
+
+        rows = [(float(i), "a") for i in range(40, 80)] + [
+            (float(i), "b") for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        s = mann_whitney_u(df, "v", "g", "b", "a").collect()[0]
+        assert r["z"] > 1.96 and r["reject_95"]
+        assert s["z"] == -r["z"] and s["u_a"] == r["u_b"]
+
+    def test_degenerate_inputs_pinned(self, spark):
+        """Empty input, one-sided input, and all-tied input: counts
+        pinned, z NULL, reject_95 false — never a silent NULL branch
+        (the ks_two_sample empty-row contract)."""
+        from tube_spark.operators.stats_tests import mann_whitney_u
+
+        df = spark.createDataFrame(
+            [(1.0, "a")] * 5 + [(1.0, "b")] * 5, "v double, g string"
+        )
+        tied = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        # every comparison is a tie: U_a = U_b = n_a*n_b/2, zero variance
+        assert tied["u_a"] == tied["u_b"] == 12.5
+        assert tied["z"] is None and tied["reject_95"] is False
+
+        empty = mann_whitney_u(
+            df.where(F.lit(False)), "v", "g", "a", "b"
+        ).collect()[0]
+        assert empty["n_a"] == 0 and empty["n_b"] == 0
+        assert empty["z"] is None and empty["reject_95"] is False
+
+        one = mann_whitney_u(
+            df.where(F.col("g") == "a"), "v", "g", "a", "b"
+        ).collect()[0]
+        assert one["n_b"] == 0 and one["reject_95"] is False
 
 
 class TestMadOutliers:

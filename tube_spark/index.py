@@ -107,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    if getattr(args, "auto_compact", 0) and not getattr(args, "append", False):
+        # --auto-compact counts APPENDS; a fresh build has none and the
+        # flag would be silently ignored — refuse ambiguous input.
+        # Validated BEFORE get_spark(): bad CLI input should not pay
+        # JVM/session startup just to exit (ADVICE r13).
+        ap.error("--auto-compact requires --append")
+
     from tube_spark.session import get_spark
 
     spark = get_spark(
@@ -114,11 +121,6 @@ def main(argv: list[str] | None = None) -> int:
         master=args.master,
         extra_conf={"spark.ui.enabled": "false"},
     )
-
-    if getattr(args, "auto_compact", 0) and not getattr(args, "append", False):
-        # --auto-compact counts APPENDS; a fresh build has none and the
-        # flag would be silently ignored — refuse ambiguous input
-        ap.error("--auto-compact requires --append")
 
     if args.cmd == "build":
         from tube_spark.operators.searchindex import (

@@ -24,7 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",
@@ -76,30 +75,39 @@ def rfm_scores(
     ``quantiles``/``quantiles``/``quantiles`` is the best segment.
     ``segment`` concatenates the three digits ("444").
 
-    The ntile windows are corpus-wide orderings — the standard
-    single-pass form at report grain (one row per user, ntile over
-    users).  For a 100 TB event log the per-user rollup has already
-    reduced the frame to |users| rows; if even that exceeds one
-    stage's comfort, swap ntile for the distributed prefix-count rank
-    (sinks/shards._ranked) — same contract.
+    Each score is a corpus-wide ordering over the per-user rollup —
+    |users| rows, data-scale at 100 TB — so every score comes from
+    ``operators/ranking.ntile_distributed`` (range partition →
+    per-partition counts → broadcast offsets → partition-local window
+    → arithmetic tile), bit-identical to ``ntile(q) OVER (ORDER BY
+    metric, user)`` (the SQL oracle replays it as real ntile) while
+    never funneling the frame through a single-task global window.
+    One events scan → per-user rollup → three rank shuffles.
     """
+    from tube_spark.operators.ranking import ntile_distributed
+
     conv = events.filter(F.col(type_col) == conversion_type)
-    per_user = conv.groupBy(user_col).agg(
+    out = conv.groupBy(user_col).agg(
         F.max(ts_col).alias("last_ts"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum(value_col), 6).alias("monetary"),
     )
-    r = F.ntile(quantiles).over(Window.orderBy(F.col("last_ts").asc(), F.col(user_col).asc()))
-    f = F.ntile(quantiles).over(Window.orderBy(F.col("frequency").asc(), F.col(user_col).asc()))
-    m = F.ntile(quantiles).over(Window.orderBy(F.col("monetary").asc(), F.col(user_col).asc()))
-    return per_user.select(
+    for order_col, score_col in (
+        ("last_ts", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        out = ntile_distributed(
+            out, quantiles, [order_col, user_col], tile_col=score_col
+        )
+    return out.select(
         user_col,
         "last_ts",
         "frequency",
         "monetary",
-        r.alias("r_score"),
-        f.alias("f_score"),
-        m.alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).withColumn(
         "segment",
         F.concat(

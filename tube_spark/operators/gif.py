@@ -217,6 +217,114 @@ def decode_gif_frames(
         return None
 
 
+def gif_frame_delays(buf: bytes) -> "list[int] | None":
+    """Per-frame presentation delays (ms) by STRUCTURAL scan only:
+    walks the block stream with the same descriptor / color-table /
+    sub-block length validation as the pixel decoder, but never
+    entropy-decodes or composites — O(input bytes) work, O(frames)
+    ints of output, zero canvas allocation.  This is the animation-
+    metadata path for untrusted payloads (``decode_gif_meta``): a
+    decode bomb costs a scan here, not a canvas copy per frame.  LZW
+    validity is deliberately NOT checked — ``decode_gif_frames`` is
+    the pixel-level contract.  None on invalid container structure."""
+    try:
+        return _frame_delays(buf)
+    except (ValueError, IndexError, struct.error, OverflowError):
+        return None
+
+
+def _frame_delays(buf):
+    dims = gif_dimensions(buf)
+    if dims is None:
+        return None
+    w, h = dims
+    if w * h > _MAX_PIXELS:
+        return None
+    packed = buf[10]
+    pos = 13
+    have_gct = bool(packed & 0x80)
+    if have_gct:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(buf):
+            return None
+        pos += 3 * n
+
+    def skip_subblocks(p):
+        while True:
+            if p >= len(buf):
+                return None
+            size = buf[p]
+            p += 1
+            if size == 0:
+                return p
+            if p + size > len(buf):
+                return None
+            p += size
+
+    delays: list[int] = []
+    delay_ms = 0
+    while pos < len(buf):
+        marker = buf[pos]
+        pos += 1
+        if marker == 0x3B:
+            break
+        if marker == 0x21:
+            if pos >= len(buf):
+                return None
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension: read body
+                chunks = []
+                while True:
+                    if pos >= len(buf):
+                        return None
+                    size = buf[pos]
+                    pos += 1
+                    if size == 0:
+                        break
+                    blk = buf[pos : pos + size]
+                    if len(blk) != size:
+                        return None
+                    chunks.append(blk)
+                    pos += size
+                body = b"".join(chunks)
+                if len(body) < 4:
+                    return None
+                delay_ms = int.from_bytes(body[1:3], "little") * 10
+            else:
+                pos = skip_subblocks(pos)
+                if pos is None:
+                    return None
+            continue
+        if marker != 0x2C:
+            return None
+        if pos + 9 > len(buf):
+            return None
+        left, top, fw, fh = struct.unpack_from("<HHHH", buf, pos)
+        fpacked = buf[pos + 8]
+        pos += 9
+        if fw == 0 or fh == 0 or left + fw > w or top + fh > h:
+            return None
+        if fpacked & 0x80:
+            nl = 2 << (fpacked & 0x07)
+            if pos + 3 * nl > len(buf):
+                return None
+            pos += 3 * nl
+        elif not have_gct:
+            return None  # no palette anywhere: the decoder rejects too
+        if pos >= len(buf):
+            return None
+        pos += 1  # LZW minimum code size
+        pos = skip_subblocks(pos)
+        if pos is None:
+            return None
+        delays.append(delay_ms)
+        if len(delays) >= _MAX_FRAMES:
+            return delays
+        delay_ms = 0
+    return delays if delays else None
+
+
 def _decode_frames(buf, max_frames):
     dims = gif_dimensions(buf)
     if dims is None:
@@ -332,6 +440,14 @@ def _decode_frames(buf, max_frames):
             region[mask] = pal[idx[mask]]
         else:
             region[:] = pal[idx]
+        # cumulative decoded-output budget: each presented frame is a
+        # full w*h canvas copy, so a tiny input with a large screen and
+        # many 1x1 sub-frames multiplies memory (4.7 KB -> 603 MB
+        # measured) — the per-frame and per-screen guards alone don't
+        # compose.  Stop once total output pixels would exceed
+        # _MAX_PIXELS (<= 192 MB RGB per payload, hard bound).
+        if (len(frames) + 1) * (w * h) > _MAX_PIXELS:
+            return frames if frames else None
         frames.append((canvas.copy(), delay_ms))
         if max_frames is not None and len(frames) >= max_frames:
             return frames

@@ -47,7 +47,7 @@ SURVEY.md scopes beyond reference parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tube_spark.functions.text import tokens
@@ -102,11 +102,17 @@ def top_vocab(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # single-partition window: the frame is vocabulary-sized (counts,
-    # not corpus rows) — bounded state, same shape as the other top-k
-    # cuts in this repo
-    w = F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("term").asc()))
-    return counts.withColumn("__rn", w).where(F.col("__rn") <= vocab_size).select("term")
+    # TakeOrderedAndProject (per-partition heaps + a vocab_size-row
+    # merge), the zipf_fit form — at 100 TB the distinct-term frame is
+    # 10^8-10^9 rows, so a single-task row_number window over it is a
+    # scale-killer; with a deterministic total order, limit(k) selects
+    # exactly the rows a row_number <= k cut would (the SQL oracle
+    # replays it as that cut)
+    return (
+        counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(vocab_size)
+        .select("term")
+    )
 
 
 def bigram_lm_perplexity(

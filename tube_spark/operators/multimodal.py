@@ -282,22 +282,30 @@ def decode_gif_meta(payload: bytes) -> dict | None:
     kind="video" with duration_ms summed over frame delays (the AVI
     contract); value_mean from the REAL first composited frame
     (operators/gif.py), NULL when only the header parses — the
-    degrade-to-header contract."""
-    from tube_spark.operators.gif import decode_gif_frames, gif_dimensions
+    degrade-to-header contract.
+
+    Frame count and duration come from ``gif_frame_delays`` — a
+    structural scan of the GCE delay fields that never composites, so
+    a decode-bomb animation (tiny input, huge screen, thousands of
+    sub-frames) costs a byte walk here, not a canvas copy per frame —
+    and only the FIRST frame is pixel-decoded (one canvas) for
+    value_mean."""
+    from tube_spark.operators.gif import decode_gif_frames, gif_frame_delays, gif_dimensions
 
     dims = gif_dimensions(payload)
     if dims is None:
         return None
-    frames = decode_gif_frames(payload)
-    n = len(frames) if frames else 0
+    delays = gif_frame_delays(payload)
+    n = len(delays) if delays else 0
+    first = decode_gif_frames(payload, max_frames=1)
     return {
         "kind": "video" if n > 1 else "image",
         "width": dims[0],
         "height": dims[1],
         "n_bytes": len(payload),
         "sample_rate": None,
-        "duration_ms": sum(d for _, d in frames) if n > 1 else None,
-        "value_mean": float(frames[0][0].mean()) if frames else None,
+        "duration_ms": sum(delays) if n > 1 else None,
+        "value_mean": float(first[0][0].mean()) if first else None,
     }
 
 

@@ -93,12 +93,18 @@ def gini_coefficient(
     as one key holds everything.  Rank formula over values ascending
     with deterministic key tie-break; NULL values count as 0 (a key
     with no measure is a real population member)."""
+    from tube_spark.sinks.shards import _ranked
+
     per_key = df.groupBy(key_col).agg(
         F.coalesce(F.sum(value_col), F.lit(0.0)).alias("x")
     )
-    w = Window.orderBy(F.col("x").asc(), F.col(key_col).asc())
-    ranked = per_key.select(
-        F.col(key_col), "x", F.row_number().over(w).alias("i")
+    # distributed prefix count (range partition -> per-partition totals
+    # -> broadcast offsets -> partition-local window): the rank frame is
+    # |keys| — data-scale at 100 TB, so never a single-task global
+    # row_number.  _ranked orders by (order_col, key_col) = (x asc,
+    # key asc), exactly the original window's deterministic order.
+    ranked = _ranked(per_key, key_col, None, order_col="x").select(
+        F.col(key_col), "x", (F.col("__rank") + 1).alias("i")
     )
     # try_divide: an all-zero measure (or empty frame) has no defined
     # concentration — NULL, not an ANSI divide-by-zero
@@ -256,12 +262,135 @@ def ks_two_sample(
             (lna + lnb).cast("double"), (lna * lnb).cast("double")
         )
     )
+    # empty input (or both groups filtered away): the agg over zero
+    # rows yields NULLs — pin n_a/n_b to 0 and reject_95 to false so
+    # callers branching on reject_95 never read a silent NULL; ks_d /
+    # critical_95 stay NULL (no statistic exists).  (ADVICE r13.)
     return cum.agg(
-        F.max(lna).alias("n_a"),
-        F.max(lnb).alias("n_b"),
+        F.coalesce(F.max(lna), F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce(F.max(lnb), F.lit(0).cast("long")).alias("n_b"),
         F.round(F.max(d), 6).alias("ks_d"),
         F.round(F.max(crit), 6).alias("critical_95"),
-        (F.max(d) > F.max(crit)).alias("reject_95"),
+        F.coalesce(F.max(d) > F.max(crit), F.lit(False)).alias("reject_95"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    a_value,
+    b_value,
+) -> DataFrame:
+    """One row: (n_a, n_b, u_a, u_b, z, reject_95) — the two-sample
+    Mann-Whitney U (Wilcoxon rank-sum) test of whether ``value_col``
+    tends larger in group ``a_value`` than in ``b_value``.  Completes
+    the nonparametric drift family: KS (``ks_two_sample``) detects ANY
+    distributional difference, rank-sum targets a LOCATION shift and
+    keeps power under heavy tails where the t/z mean tests
+    (``ab_test``) lose theirs.
+
+    Midranks over the pooled sample: a distinct value v with
+    c_v = ca_v + cb_v occurrences and C_v pooled count strictly below
+    it occupies ranks C_v+1 .. C_v+c_v — midrank C_v + (c_v+1)/2 — so
+    the rank-sum R_a = Σ_v ca_v·midrank_v needs exactly the KS ECDF
+    machinery: group by value, then the distributed two-phase prefix
+    sum (range partition on the value, per-partition totals — one row
+    each — collected, cumulative offsets broadcast back, LOCAL window
+    per partition; never a single-task global cumulative window over
+    the data-scale distinct-value frame).
+
+    U_a = R_a − n_a(n_a+1)/2, U_b = n_a·n_b − U_a; z is the
+    tie-corrected normal approximation (Lehmann 1975, no continuity
+    correction — keeps every number plain arithmetic a SQL oracle
+    replays bit-for-bit):
+
+        var(U) = (n_a·n_b/12)·((N+1) − Σ_v (c_v³−c_v)/(N(N−1)))
+        z      = (U_a − n_a·n_b/2) / sqrt(var(U))
+
+    reject_95 = |z| > 1.96 (two-sided).  Midranks are multiples of
+    0.5 with magnitudes far below 2^52, so every partial sum is an
+    exact double and the result is summation-order independent.
+    NULL/NaN values and rows in neither group are excluded; degenerate
+    inputs (either group empty, all values tied, or no rows) yield
+    NULL u/z and reject_95=false with n_a/n_b pinned to their counts.
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    pts = df.filter(
+        v.isNotNull() & ~F.isnan(v.cast("double")) & g.isin(a_value, b_value)
+    ).select(
+        v.alias("__v"),
+        F.when(g == F.lit(a_value), 1).otherwise(0).alias("__a"),
+        F.when(g == F.lit(b_value), 1).otherwise(0).alias("__b"),
+    )
+    per_v = pts.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"), F.sum("__b").alias("__cb")
+    )
+    # pin the sampled range-partition layout: the pid->offset map below
+    # is only valid for THIS layout (the _ranked hazard + fix)
+    parts = (
+        per_v.repartitionByRange("__v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = sorted(
+        (r["__pid"], int(r["ca"] or 0), int(r["cb"] or 0))
+        for r in parts.groupBy("__pid")
+        .agg(F.sum("__ca").alias("ca"), F.sum("__cb").alias("cb"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, ca, cb in totals:
+        offsets.append((pid, acc))
+        acc += ca + cb
+    na = sum(t[1] for t in totals)
+    nb = sum(t[2] for t in totals)
+    n = na + nb
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offn long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = F.col("__ca") + F.col("__cb")
+    mid = parts.join(F.broadcast(off), "__pid").select(
+        "__ca",
+        c.alias("__c"),
+        # pooled count strictly BELOW v + midrank offset
+        (
+            F.sum(F.col("__ca") + F.col("__cb")).over(w)
+            + F.col("__offn")
+            - c
+            + (c + 1) / F.lit(2.0)
+        ).alias("__mid"),
+    )
+    lna = F.lit(na).cast("long")
+    lnb = F.lit(nb).cast("long")
+    ln = F.lit(n).cast("long")
+    ra = F.sum(F.col("__ca") * F.col("__mid"))
+    tie = F.sum(F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c"))
+    u_a = ra - (lna * (lna + 1)) / F.lit(2.0)
+    var_u = (
+        (lna * lnb).cast("double")
+        / F.lit(12.0)
+        * (
+            (ln + 1).cast("double")
+            - F.try_divide(tie.cast("double"), (ln * (ln - 1)).cast("double"))
+        )
+    )
+    z = F.try_divide(u_a - (lna * lnb).cast("double") / F.lit(2.0), F.sqrt(var_u))
+    # n_a/n_b are driver literals (from the totals collect) — coalesced
+    # so the empty-frame degenerate row pins 0/0/false, never a silent
+    # NULL (the ks_two_sample contract)
+    return mid.agg(
+        F.coalesce(F.max(lna), F.lit(na).cast("long")).alias("n_a"),
+        F.coalesce(F.max(lnb), F.lit(nb).cast("long")).alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round((lna * lnb).cast("double") - u_a, 1).alias("u_b"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(1.96), F.lit(False)).alias("reject_95"),
     )
 
 
