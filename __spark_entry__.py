@@ -3639,6 +3639,35 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(li, "l_extendedprice", "l_returnflag", "R", "A")
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of lineitem quantity vs extended
+    price (operators/stats_tests.py spearman_corr): midrank ties via
+    the shared distributed prefix-sum kernel, centered sums (rank mean
+    is exactly (n+1)/2), rho + the large-sample z.  The monotone-
+    association screen Pearson's moment form cannot give.  The oracle
+    replays midranks as avg(row_number) over value groups — exact
+    0.5-multiples in both engines — and the identical centered-sum
+    arithmetic."""
+    from tube_spark.operators.stats_tests import spearman_corr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test of event value across ALL event types
+    (operators/stats_tests.py kruskal_wallis) — the k-group
+    generalization of mann_whitney over the same midrank kernel:
+    per-group rank sums from a value-level join (midranks depend only
+    on the value), H plus the tie-corrected H.  The oracle replays the
+    midranks, the per-group rank sums, and the H arithmetic with
+    identical association order."""
+    from tube_spark.operators.stats_tests import kruskal_wallis
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kruskal_wallis(ev, "value", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3788,6 +3817,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "ks_test": q_ks_test,
         "mad_outliers": q_mad_outliers,
         "mann_whitney": q_mann_whitney,
+        "spearman": q_spearman,
+        "kruskal": q_kruskal,
         "gif_decode": q_gif_decode,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
@@ -3870,6 +3901,8 @@ _EXTRA_QUERY_NAMES = (
     # the r14 rotation promoted all 11 queued entries).  r15 promotes
     # these, demoting an equal count of green r14 rows.
     "mann_whitney",
+    "spearman",
+    "kruskal",
     # -- round-14 rotation: the sorted_neighborhood..attribution block
     # plus k_truss (green CORRECTNESS_r13 driver rows) demoted to the
     # extras tier (pytest-verified) to make room for the full 11-entry
@@ -6030,6 +6063,86 @@ def _all_oracle_sql() -> dict[str, str]:
                                       / CAST(na * nb AS DOUBLE)))
                        AS reject_95
             FROM ks_c""",
+        "spearman": """
+            WITH sp_p AS (
+                SELECT CAST(l_quantity AS DOUBLE) AS x,
+                       CAST(l_extendedprice AS DOUBLE) AS y
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND NOT isnan(CAST(l_quantity AS DOUBLE))
+                  AND l_extendedprice IS NOT NULL
+                  AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+            ),
+            sp_n AS (SELECT count(*) AS c FROM sp_p),
+            sp_rx AS (
+                SELECT x AS v, avg(rn) AS mx
+                FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn
+                      FROM sp_p)
+                GROUP BY x
+            ),
+            sp_ry AS (
+                SELECT y AS v, avg(rn) AS my
+                FROM (SELECT y, row_number() OVER (ORDER BY y) AS rn
+                      FROM sp_p)
+                GROUP BY y
+            ),
+            sp_j AS (
+                SELECT mx - ((SELECT c FROM sp_n) + 1) / 2.0 AS dx,
+                       my - ((SELECT c FROM sp_n) + 1) / 2.0 AS dy
+                FROM sp_p
+                JOIN sp_rx ON sp_p.x = sp_rx.v
+                JOIN sp_ry ON sp_p.y = sp_ry.v
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   round(sum(dx * dy)
+                         / sqrt(sum(dx * dx) * sum(dy * dy)), 6) AS rho,
+                   round(sum(dx * dy)
+                         / sqrt(sum(dx * dx) * sum(dy * dy))
+                         * sqrt((SELECT c FROM sp_n) - 1.0), 6) AS z,
+                   coalesce(abs(sum(dx * dy)
+                                / sqrt(sum(dx * dx) * sum(dy * dy))
+                                * sqrt((SELECT c FROM sp_n) - 1.0))
+                            > 1.96, false) AS reject_95
+            FROM sp_j""",
+        "kruskal": """
+            WITH kw_p AS (
+                SELECT CAST(value AS DOUBLE) AS v, event_type AS g
+                FROM events
+                WHERE value IS NOT NULL
+                  AND NOT isnan(CAST(value AS DOUBLE))
+            ),
+            kw_n AS (SELECT count(*) AS c FROM kw_p),
+            kw_m AS (
+                SELECT v, count(*) AS cv, avg(rn) AS mid
+                FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn
+                      FROM kw_p)
+                GROUP BY v
+            ),
+            kw_vg AS (SELECT v, g, count(*) AS cg FROM kw_p GROUP BY v, g),
+            kw_g AS (
+                SELECT g, sum(cg) AS nj, sum(cg * mid) AS rj
+                FROM kw_vg JOIN kw_m USING (v)
+                GROUP BY g
+            ),
+            kw_t AS (SELECT sum(cv * cv * cv - cv) AS tie FROM kw_m),
+            kw_h AS (
+                SELECT CAST(sum(nj) AS BIGINT) AS n,
+                       CAST(count(*) AS INTEGER) AS k,
+                       (12.0 / (CAST((SELECT c FROM kw_n) AS DOUBLE)
+                                * ((SELECT c FROM kw_n) + 1)))
+                       * sum((rj * rj) / CAST(nj AS DOUBLE))
+                       - 3.0 * ((SELECT c FROM kw_n) + 1) AS h_raw
+                FROM kw_g
+            )
+            SELECT n, k, round(h_raw, 6) AS h,
+                   round(h_raw
+                         / (1.0 - CAST((SELECT tie FROM kw_t) AS DOUBLE)
+                            / (CAST((SELECT c FROM kw_n) AS DOUBLE)
+                               * (SELECT c FROM kw_n)
+                               * (SELECT c FROM kw_n)
+                               - (SELECT c FROM kw_n))), 6)
+                       AS h_tie_corrected
+            FROM kw_h""",
         "mann_whitney": """
             WITH mw_p AS (
                 SELECT l_extendedprice AS v,

@@ -104,6 +104,7 @@ BNLJ_OK = {
     "collocations",  # one-row corpus-total-tokens broadcast for the lift division
     "zipf_fit",  # two one-row aggregates (vocab count x OLS fit) cross-joined
     "graph_degree_stats",  # one-row degree-moments x one-row Pearson cross-join
+    "kruskal",  # one-row H aggregate x one-row tie-term aggregate cross-join
 }
 
 # BNLJ builds that are KEYED aggregates: bounded by group-key

@@ -393,3 +393,151 @@ class TestCompressionSignals:
         df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
         plan = compression_signals(df)._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+class TestSpearman:
+    def _mid(self, vals):
+        s = sorted(vals)
+        r, i = {}, 0
+        while i < len(s):
+            j = i
+            while j < len(s) and s[j] == s[i]:
+                j += 1
+            r[s[i]] = (i + 1 + j) / 2.0
+            i = j
+        return r
+
+    def test_matches_python_reference_with_ties(self, spark):
+        """rho/z equal the midrank Pearson reference (centered sums);
+        NULL/NaN rows excluded."""
+        from tube_spark.operators.stats_tests import spearman_corr
+
+        import numpy as np
+
+        rng = np.random.default_rng(19)
+        xs = [round(float(v), 1) for v in rng.normal(0, 1, 120)]
+        ys = [
+            round(x * 0.6 + round(float(e), 1), 1)
+            for x, e in zip(xs, rng.normal(0, 0.9, 120))
+        ]
+        rows = list(zip(xs, ys)) + [(None, 1.0), (1.0, float("nan"))]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = spearman_corr(df, "x", "y").collect()[0]
+        rx, ry = self._mid(xs), self._mid(ys)
+        n = len(xs)
+        mean = (n + 1) / 2
+        d = [(rx[a] - mean, ry[b] - mean) for a, b in zip(xs, ys)]
+        sxy = sum(a * b for a, b in d)
+        sxx = sum(a * a for a, _ in d)
+        syy = sum(b * b for _, b in d)
+        rho = sxy / math.sqrt(sxx * syy)
+        z = rho * math.sqrt(n - 1)
+        assert r["n"] == n
+        assert r["rho"] == pytest.approx(round(rho, 6), abs=1e-9)
+        assert r["z"] == pytest.approx(round(z, 6), abs=1e-9)
+        assert r["reject_95"] == (abs(z) > 1.96)
+
+    def test_monotone_invariance(self, spark):
+        """rho is invariant under a strictly monotone transform of
+        either column — the property Pearson lacks."""
+        from tube_spark.operators.stats_tests import spearman_corr
+
+        rows = [(float(i), float(i * i)) for i in range(1, 40)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        a = spearman_corr(df, "x", "y").collect()[0]
+        assert a["rho"] == 1.0 and a["reject_95"]
+        cubed = df.select(F.col("x"), (F.col("y") ** 3).alias("y"))
+        assert spearman_corr(cubed, "x", "y").collect()[0]["rho"] == 1.0
+
+    def test_degenerate_inputs_pinned(self, spark):
+        from tube_spark.operators.stats_tests import spearman_corr
+
+        df = spark.createDataFrame(
+            [(1.0, float(i)) for i in range(5)], "x double, y double"
+        )
+        const = spearman_corr(df, "x", "y").collect()[0]
+        assert const["rho"] is None and const["reject_95"] is False
+        empty = spearman_corr(
+            df.where(F.lit(False)), "x", "y"
+        ).collect()[0]
+        assert empty["n"] == 0 and empty["rho"] is None
+        assert empty["reject_95"] is False
+
+
+class TestKruskalWallis:
+    def test_matches_python_reference_with_ties(self, spark):
+        from tube_spark.operators.stats_tests import kruskal_wallis
+
+        import collections
+
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        gs = [str(g) for g in rng.choice(list("abc"), 130)]
+        shift = {"a": 0.0, "b": 0.4, "c": -0.3}
+        vs = [
+            round(float(rng.normal(shift[g], 1)), 1) for g in gs
+        ]
+        df = spark.createDataFrame(
+            list(zip(vs, gs)) + [(None, "a")], "v double, g string"
+        )
+        r = kruskal_wallis(df, "v", "g").collect()[0]
+        s = sorted(vs)
+        mid, i = {}, 0
+        while i < len(s):
+            j = i
+            while j < len(s) and s[j] == s[i]:
+                j += 1
+            mid[s[i]] = (i + 1 + j) / 2.0
+            i = j
+        N = len(vs)
+        rj, nj = collections.Counter(), collections.Counter()
+        for v_, g_ in zip(vs, gs):
+            rj[g_] += mid[v_]
+            nj[g_] += 1
+        H = 12 / (N * (N + 1)) * sum(
+            rj[g] ** 2 / nj[g] for g in nj
+        ) - 3 * (N + 1)
+        tie = sum(
+            c**3 - c
+            for c in collections.Counter(vs).values()
+        )
+        Hc = H / (1 - tie / (N**3 - N))
+        assert r["n"] == N and r["k"] == 3
+        assert r["h"] == pytest.approx(round(H, 6), abs=1e-9)
+        assert r["h_tie_corrected"] == pytest.approx(round(Hc, 6), abs=1e-9)
+
+    def test_two_groups_equals_squared_mwu_z(self, spark):
+        """With k=2 and no ties across groups, tie-corrected H equals
+        the squared Mann-Whitney z (both are the same rank-sum test)."""
+        from tube_spark.operators.stats_tests import (
+            kruskal_wallis,
+            mann_whitney_u,
+        )
+
+        rows = [(float(i), "a") for i in range(30)] + [
+            (float(i) + 0.5, "b") for i in range(25)
+        ]
+        df = spark.createDataFrame(rows, "v double, g string")
+        h = kruskal_wallis(df, "v", "g").collect()[0]
+        z = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]["z"]
+        assert h["h_tie_corrected"] == pytest.approx(z * z, abs=1e-4)
+
+    def test_degenerates(self, spark):
+        from tube_spark.operators.stats_tests import kruskal_wallis
+
+        df = spark.createDataFrame(
+            [(1.0, "a")] * 4 + [(1.0, "b")] * 4, "v double, g string"
+        )
+        tied = kruskal_wallis(df, "v", "g").collect()[0]
+        assert tied["h"] == 0.0 and tied["h_tie_corrected"] is None
+        empty = kruskal_wallis(
+            df.where(F.lit(False)), "v", "g"
+        ).collect()[0]
+        assert empty["n"] == 0 and empty["k"] == 0 and empty["h"] is None
+        # NULL group label forms its own level
+        ng = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "a"), (3.0, None), (4.0, None)],
+            "v double, g string",
+        )
+        assert kruskal_wallis(ng, "v", "g").collect()[0]["k"] == 2

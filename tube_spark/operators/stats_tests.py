@@ -394,6 +394,202 @@ def mann_whitney_u(
     )
 
 
+def _value_midranks(
+    pts: DataFrame, value_col: str
+) -> "tuple[DataFrame, int]":
+    """Pooled MIDRANKS per distinct value of ``value_col`` over ``pts``
+    — the shared kernel of the rank statistics (Spearman, Kruskal-
+    Wallis; Mann-Whitney inlines the same shape with per-group counts).
+
+    Returns ``(frame, n)``: one row per distinct value with ``__c``
+    (occurrence count) and ``__mid`` (midrank — a value occupying
+    pooled ranks C+1..C+c has midrank C + (c+1)/2, an exact multiple
+    of 0.5), plus the total row count as a driver int.  Distributed
+    two-phase prefix sum: range partition on the value, per-partition
+    totals (one row each) collected, cumulative offsets broadcast
+    back, LOCAL cumulative window per partition — never a single-task
+    global window over the data-scale distinct-value frame."""
+    per_v = pts.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    parts = (
+        per_v.repartitionByRange("__v")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = sorted(
+        (r["__pid"], int(r["c"] or 0))
+        for r in parts.groupBy("__pid").agg(F.sum("__c").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in totals:
+        offsets.append((pid, acc))
+        acc += c
+    spark = pts.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mid = (
+        parts.join(F.broadcast(off), "__pid")
+        .withColumn(
+            "__mid",
+            F.sum("__c").over(w)
+            + F.col("__off")
+            - F.col("__c")
+            + (F.col("__c") + 1) / F.lit(2.0),
+        )
+        .drop("__pid", "__off")
+    )
+    return mid, acc
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row: (n, rho, z, reject_95) — Spearman rank correlation
+    with midrank tie handling (= Pearson correlation of the pooled
+    midranks).  The monotone-association screen: unlike Pearson on raw
+    values (``graph_degree_stats``' moment form) it is invariant to
+    monotone transforms and robust to heavy tails — the right default
+    for corpus-quality-vs-engagement style questions.
+
+    Ranks come from ``_value_midranks`` twice (x and y), each a
+    distributed two-phase prefix sum; rows then join their midranks
+    back by value (two shuffle equi-joins) and ONE aggregation forms
+    the centered sums.  The rank mean is exactly (n+1)/2 (midranks sum
+    to n(n+1)/2 by construction), injected as a driver literal, so
+    the centered form never suffers the n·Σx²−(Σx)² cancellation:
+
+        rho = Σ dx·dy / sqrt(Σ dx² · Σ dy²),   d = mid − (n+1)/2
+
+    z = rho·√(n−1) is the large-sample normal statistic;
+    reject_95 = |z| > 1.96.  Midranks are exact 0.5-multiples, so dx,
+    dy are exact and every product is an exact 0.25-multiple — the
+    sums are order-independent up to ~2^53 and rho rounds stably to 6
+    decimals (the SQL oracle replays midranks as
+    avg(row_number) OVER value groups, bit-identical).  NULL/NaN in
+    either column excludes the row; n < 2 or a constant column yields
+    NULL rho/z and reject_95 = false."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pts = (
+        df.filter(
+            x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)
+        )
+        .select(x.alias("__x"), y.alias("__y"))
+        # feeds two rank passes plus the final join: pin ONE scan
+        .localCheckpoint(eager=False)
+    )
+    rx, n = _value_midranks(pts, "__x")
+    ry, _ = _value_midranks(pts, "__y")
+    mean = F.lit((n + 1) / 2.0)
+    j = (
+        pts.join(rx.select(F.col("__v").alias("__x"), F.col("__mid").alias("__mx")), "__x")
+        .join(ry.select(F.col("__v").alias("__y"), F.col("__mid").alias("__my")), "__y")
+        .select(
+            (F.col("__mx") - mean).alias("__dx"),
+            (F.col("__my") - mean).alias("__dy"),
+        )
+    )
+    sxy = F.sum(F.col("__dx") * F.col("__dy"))
+    sxx = F.sum(F.col("__dx") * F.col("__dx"))
+    syy = F.sum(F.col("__dy") * F.col("__dy"))
+    rho = F.try_divide(sxy, F.sqrt(sxx * syy))
+    z = rho * F.lit(math.sqrt(n - 1) if n >= 1 else 0.0)
+    return j.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n"),
+        F.round(rho, 6).alias("rho"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > F.lit(1.96), F.lit(False)).alias("reject_95"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One row: (n, k, h, h_tie_corrected) — the Kruskal-Wallis
+    rank-sum test that ``value_col`` has the same distribution across
+    ALL levels of ``group_col`` (the k-group generalization of
+    ``mann_whitney_u``; with k=2 it equals the squared MWU z up to the
+    tie convention).
+
+        H  = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)
+        Hc = H / (1 − Σ_v (c_v³−c_v)/(N³−N))      (tie correction)
+
+    where R_j is the sum of pooled midranks in group j.  Midranks
+    depend only on the value, so R_j = Σ_v c_{v,j}·mid_v: the pooled
+    midrank frame (``_value_midranks``, the shared prefix-sum kernel)
+    joins the per-(value, group) counts by value, the per-group rollup
+    aggregates to k rows, and the final sums run over those k rows —
+    bounded.  Under H0, H ~ χ²(k−1); the p-value lookup is the
+    caller's table (χ² inverse is not plain arithmetic a SQL oracle
+    can replay — same contract as ab_test's z).  NULL values are
+    excluded; NULL group labels form their own level (SQL grouping
+    semantics).  Degenerate inputs: n = 0 yields NULL h; a single
+    all-tied value yields h = 0 with NULL h_tie_corrected (the
+    correction's ties-variance denominator is zero)."""
+    v = F.col(value_col).cast("double")
+    pts = (
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(v.alias("__val"), F.col(group_col).alias("__g"))
+        # feeds the rank kernel AND the per-(value, group) rollup: pin
+        # ONE scan (the one-row-report branch-replay discipline)
+        .localCheckpoint(eager=False)
+    )
+    mid, n = _value_midranks(pts, "__val")
+    # per-(value, group) counts joined to the pooled midrank by value:
+    # midranks depend only on the value, so the group rollup never
+    # re-ranks
+    per_vg = pts.groupBy("__val", "__g").agg(F.count(F.lit(1)).alias("__cg"))
+    joined = per_vg.join(
+        mid.select(F.col("__v").alias("__val"), "__mid", "__c"), "__val"
+    )
+    groups = joined.groupBy("__g").agg(
+        F.sum("__cg").alias("__nj"),
+        F.sum(F.col("__cg") * F.col("__mid")).alias("__rj"),
+    )
+    ln = F.lit(n).cast("double")
+    # try_divide both: n = 0 makes the leading factor 12/0 (ANSI
+    # double division throws; the empty frame must yield NULL h)
+    h = (
+        F.try_divide(F.lit(12.0), ln * (ln + 1))
+        * F.sum(
+            F.try_divide(
+                F.col("__rj") * F.col("__rj"), F.col("__nj").cast("double")
+            )
+        )
+        - F.lit(3.0) * (ln + 1)
+    )
+    # tie term over the distinct-value frame (its own branch hits the
+    # kernel's localCheckpoint, not a re-scan)
+    tie_row = mid.agg(
+        F.sum(
+            F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")
+        ).alias("__tie")
+    )
+    out = groups.agg(
+        F.coalesce(F.sum("__nj"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("int").alias("k"),
+        F.round(h, 6).alias("h"),
+        h.alias("__h_raw"),
+    )
+    correction = F.lit(1.0) - F.try_divide(
+        F.col("__tie").cast("double"), ln * ln * ln - ln
+    )
+    return (
+        out.join(F.broadcast(tie_row))
+        .select(
+            "n",
+            "k",
+            "h",
+            F.round(
+                F.try_divide(F.col("__h_raw"), correction), 6
+            ).alias("h_tie_corrected"),
+        )
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,
