@@ -3668,6 +3668,24 @@ def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(ev, "value", "event_type")
 
 
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of lineitem quantity across return flags
+    (operators/stats_tests.py anova_oneway): per-group conditional
+    sums -> between/within sums of squares -> the F statistic, one
+    map-side-combinable groupBy + a k-row aggregation.  The parametric
+    sibling of kruskal (same question, mean-based).  The measure is
+    INTEGER-VALUED (l_quantity), so every group sum is an exact double
+    in both engines and the oracle replays the sums-of-squares
+    arithmetic bit-for-bit — for fractional measures cross-engine
+    summation order would perturb the quadratic terms (a harness
+    constraint, not an operator one; the pytest reference covers
+    fractional data with tolerances)."""
+    from tube_spark.operators.stats_tests import anova_oneway
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return anova_oneway(li, "l_quantity", "l_returnflag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3819,6 +3837,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "mann_whitney": q_mann_whitney,
         "spearman": q_spearman,
         "kruskal": q_kruskal,
+        "anova": q_anova,
         "gif_decode": q_gif_decode,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
@@ -3903,6 +3922,7 @@ _EXTRA_QUERY_NAMES = (
     "mann_whitney",
     "spearman",
     "kruskal",
+    "anova",
     # -- round-14 rotation: the sorted_neighborhood..attribution block
     # plus k_truss (green CORRECTNESS_r13 driver rows) demoted to the
     # extras tier (pytest-verified) to make room for the full 11-entry
@@ -6063,6 +6083,31 @@ def _all_oracle_sql() -> dict[str, str]:
                                       / CAST(na * nb AS DOUBLE)))
                        AS reject_95
             FROM ks_c""",
+        "anova": """
+            WITH av_p AS (
+                SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS g
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND NOT isnan(CAST(l_quantity AS DOUBLE))
+            ),
+            av_g AS (
+                SELECT g, count(*) AS nj, sum(v) AS sj, sum(v * v) AS qj
+                FROM av_p GROUP BY g
+            ),
+            av_s AS (
+                SELECT CAST(sum(nj) AS BIGINT) AS n,
+                       CAST(count(*) AS INTEGER) AS k,
+                       sum(sj) AS s,
+                       sum((sj * sj) / CAST(nj AS DOUBLE)) AS b,
+                       sum(qj - (sj * sj) / CAST(nj AS DOUBLE)) AS w
+                FROM av_g
+            )
+            SELECT n, k,
+                   round(b - (s * s) / CAST(n AS DOUBLE), 2) AS ss_between,
+                   round(w, 2) AS ss_within,
+                   round(((b - (s * s) / CAST(n AS DOUBLE)) / (k - 1.0))
+                         / (w / (n - CAST(k AS DOUBLE))), 6) AS f
+            FROM av_s""",
         "spearman": """
             WITH sp_p AS (
                 SELECT CAST(l_quantity AS DOUBLE) AS x,

@@ -142,6 +142,17 @@ BENCH_QUERIES = [
     "benford_law",
     "revenue_gini",
     "chi_square",
+    # r13-r14 statistical screens: the distributed rank/prefix-sum
+    # family (ks ECDF, MWU midranks, Spearman double-rank join,
+    # Kruskal value-level join) + the per-group window-aggregate MAD
+    "ks_test",
+    "mad_outliers",
+    "mann_whitney",
+    "spearman",
+    "kruskal",
+    "anova",
+    # GIF codec path: Arrow mapInPandas LZW decode + per-frame stats
+    "gif_decode",
     # span_quarantine stays OUT: its deliberately LOW budget (100 —
     # chosen so the oracle list is populated on synthetic data) makes
     # every pair length-suspicious and forces the full volume-counting

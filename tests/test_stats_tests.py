@@ -541,3 +541,66 @@ class TestKruskalWallis:
             "v double, g string",
         )
         assert kruskal_wallis(ng, "v", "g").collect()[0]["k"] == 2
+
+
+class TestAnovaOneway:
+    def test_matches_python_reference(self, spark):
+        from tube_spark.operators.stats_tests import anova_oneway
+
+        import collections
+        import random
+
+        random.seed(9)
+        gs = [random.choice("abcd") for _ in range(200)]
+        shift = {"a": 10, "b": 11, "c": 9.5, "d": 10.2}
+        vs = [round(random.gauss(shift[g], 2), 2) for g in gs]
+        df = spark.createDataFrame(
+            list(zip(vs, gs)) + [(None, "a"), (float("nan"), "b")],
+            "v double, g string",
+        )
+        r = anova_oneway(df, "v", "g").collect()[0]
+        by = collections.defaultdict(list)
+        for v, g in zip(vs, gs):
+            by[g].append(v)
+        N, k, S = len(vs), len(by), sum(vs)
+        ssb = sum(sum(x) ** 2 / len(x) for x in by.values()) - S * S / N
+        ssw = sum(
+            sum(v * v for v in x) - sum(x) ** 2 / len(x)
+            for x in by.values()
+        )
+        f = (ssb / (k - 1)) / (ssw / (N - k))
+        assert r["n"] == N and r["k"] == k
+        assert r["ss_between"] == pytest.approx(ssb, abs=0.02)
+        assert r["ss_within"] == pytest.approx(ssw, abs=0.02)
+        assert r["f"] == pytest.approx(f, abs=1e-5)
+
+    def test_strong_separation_large_f(self, spark):
+        from tube_spark.operators.stats_tests import anova_oneway
+
+        rows = [(float(i % 3), "a") for i in range(30)] + [
+            (float(i % 3) + 50, "b") for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "v double, g string")
+        assert anova_oneway(df, "v", "g").collect()[0]["f"] > 1000
+
+    def test_degenerates_null_f(self, spark):
+        """One group, empty input, N == k (zero within dof), and zero
+        within-variance all pin NULL f via try_divide — never an ANSI
+        divide-by-zero."""
+        from tube_spark.operators.stats_tests import anova_oneway
+
+        df = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "a"), (3.0, "a")], "v double, g string"
+        )
+        assert anova_oneway(df, "v", "g").collect()[0]["f"] is None
+        e = anova_oneway(df.where(F.lit(False)), "v", "g").collect()[0]
+        assert e["n"] == 0 and e["k"] == 0 and e["f"] is None
+        nk = spark.createDataFrame(
+            [(1.0, "a"), (2.0, "b")], "v double, g string"
+        )
+        assert anova_oneway(nk, "v", "g").collect()[0]["f"] is None
+        zv = spark.createDataFrame(
+            [(1.0, "a")] * 3 + [(1.0, "b")] * 3, "v double, g string"
+        )
+        rz = anova_oneway(zv, "v", "g").collect()[0]
+        assert rz["f"] is None and rz["ss_within"] == 0.0

@@ -590,6 +590,63 @@ def kruskal_wallis(
     )
 
 
+def anova_oneway(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """One row: (n, k, ss_between, ss_within, f) — one-way ANOVA of
+    ``value_col`` across all levels of ``group_col``: the parametric
+    sibling of ``kruskal_wallis`` (same question, mean-based — more
+    power when groups are near-normal with equal variance, fragile
+    under the heavy tails where the rank test keeps its level).
+
+        SSB = Σ_j s_j²/n_j − S²/N      (between-group)
+        SSW = Σ_j (q_j − s_j²/n_j)     (within-group)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    from per-group (n_j, s_j = Σx, q_j = Σx²) — ONE map-side-combinable
+    groupBy, then one aggregation over the k group rows.  Under H0,
+    F ~ F(k−1, N−k); the p-value lookup is the caller's table (the
+    F-inverse is not plain arithmetic a SQL oracle can replay — the
+    ab_test/kruskal contract).  NULL/NaN values are excluded; NULL
+    group labels form their own level.  Degenerate inputs (k < 2 or
+    N ≤ k or zero within-variance) yield NULL f via try_divide.
+    Sums of squares round at 2 (large-double ulp discipline), f at 6.
+    """
+    v = F.col(value_col).cast("double")
+    pts = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        v.alias("__val"), F.col(group_col).alias("__g")
+    )
+    per_g = pts.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__nj"),
+        F.sum("__val").alias("__sj"),
+        F.sum(F.col("__val") * F.col("__val")).alias("__qj"),
+    )
+    nj = F.col("__nj").cast("double")
+    sj = F.col("__sj")
+    qj = F.col("__qj")
+    agg = per_g.agg(
+        F.coalesce(F.sum("__nj"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("int").alias("k"),
+        F.sum(sj).alias("__s"),
+        F.sum(F.try_divide(sj * sj, nj)).alias("__b"),
+        F.sum(qj - F.try_divide(sj * sj, nj)).alias("__w"),
+    )
+    ln = F.col("n").cast("double")
+    lk = F.col("k").cast("double")
+    ssb = F.col("__b") - F.try_divide(F.col("__s") * F.col("__s"), ln)
+    ssw = F.col("__w")
+    f_stat = F.try_divide(
+        F.try_divide(ssb, lk - 1), F.try_divide(ssw, ln - lk)
+    )
+    return agg.select(
+        "n",
+        "k",
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+        F.round(f_stat, 6).alias("f"),
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,
