@@ -3686,6 +3686,20 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anova_oneway(li, "l_quantity", "l_returnflag")
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of market segment x nation over customers
+    (operators/stats_tests.py mutual_information) — the information-
+    theoretic statistic on the same contingency frame as chi_square:
+    entropies, MI in nats, and the normalized MI feature-selection /
+    leakage screen.  The oracle replays the cells, margins, and every
+    p*ln ratio with identical association order (the zipf_fit
+    shared-double-log precedent)."""
+    from tube_spark.operators.stats_tests import mutual_information
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return mutual_information(cust, "c_mktsegment", "c_nationkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3838,6 +3852,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "spearman": q_spearman,
         "kruskal": q_kruskal,
         "anova": q_anova,
+        "mutual_info": q_mutual_info,
         "gif_decode": q_gif_decode,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
@@ -3923,6 +3938,7 @@ _EXTRA_QUERY_NAMES = (
     "spearman",
     "kruskal",
     "anova",
+    "mutual_info",
     # -- round-14 rotation: the sorted_neighborhood..attribution block
     # plus k_truss (green CORRECTNESS_r13 driver rows) demoted to the
     # extras tier (pytest-verified) to make room for the full 11-entry
@@ -6083,6 +6099,44 @@ def _all_oracle_sql() -> dict[str, str]:
                                       / CAST(na * nb AS DOUBLE)))
                        AS reject_95
             FROM ks_c""",
+        "mutual_info": """
+            WITH mi_c AS (
+                SELECT c_mktsegment AS a, c_nationkey AS b,
+                       count(*) AS o
+                FROM customer GROUP BY a, b
+            ),
+            mi_m AS (
+                SELECT o,
+                       sum(o) OVER (PARTITION BY a) AS ra,
+                       sum(o) OVER (PARTITION BY b) AS cb,
+                       sum(o) OVER () AS nn
+                FROM mi_c
+            )
+            SELECT CAST(coalesce(max(nn), 0) AS BIGINT) AS n,
+                   round(-sum((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * ln(CAST(ra AS DOUBLE)
+                                   / CAST(nn AS DOUBLE))), 6) AS h_a,
+                   round(-sum((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * ln(CAST(cb AS DOUBLE)
+                                   / CAST(nn AS DOUBLE))), 6) AS h_b,
+                   round(sum((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                             * ln((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE))
+                                  / (CAST(ra AS DOUBLE)
+                                     * CAST(cb AS DOUBLE)))), 6) AS mi,
+                   round(sum((CAST(o AS DOUBLE) / CAST(nn AS DOUBLE))
+                             * ln((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE))
+                                  / (CAST(ra AS DOUBLE)
+                                     * CAST(cb AS DOUBLE))))
+                         / sqrt((-sum((CAST(o AS DOUBLE)
+                                       / CAST(nn AS DOUBLE))
+                                      * ln(CAST(ra AS DOUBLE)
+                                           / CAST(nn AS DOUBLE))))
+                                * (-sum((CAST(o AS DOUBLE)
+                                         / CAST(nn AS DOUBLE))
+                                        * ln(CAST(cb AS DOUBLE)
+                                             / CAST(nn AS DOUBLE))))),
+                         6) AS nmi
+            FROM mi_m""",
         "anova": """
             WITH av_p AS (
                 SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS g

@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "spearman",
     "kruskal",
     "anova",
+    "mutual_info",
     # GIF codec path: Arrow mapInPandas LZW decode + per-frame stats
     "gif_decode",
     # span_quarantine stays OUT: its deliberately LOW budget (100 —

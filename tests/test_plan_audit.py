@@ -141,6 +141,7 @@ GLOBAL_WINDOW_OK: dict[str, set[str]] = {
     "benford_law": {"digit"},  # <= 9 first-digit cells
     # r x c contingency cells: segment enum (5) x nation enum (25)
     "chi_square": {"c_mktsegment", "c_nationkey"},
+    "mutual_info": {"c_mktsegment", "c_nationkey"},  # same cells frame
 }
 
 # queries that execute driver-side work or streams when *built* — they

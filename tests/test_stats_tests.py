@@ -604,3 +604,73 @@ class TestAnovaOneway:
         )
         rz = anova_oneway(zv, "v", "g").collect()[0]
         assert rz["f"] is None and rz["ss_within"] == 0.0
+
+
+class TestMutualInformation:
+    def test_matches_python_reference(self, spark):
+        from tube_spark.operators.stats_tests import mutual_information
+
+        import collections
+        import random
+
+        random.seed(4)
+        rows = []
+        for _ in range(300):
+            a = random.choice("xyz")
+            b = a if random.random() < 0.6 else random.choice("pq")
+            rows.append((a, b))
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+        n = len(rows)
+        ca = collections.Counter(x for x, _ in rows)
+        cb = collections.Counter(y for _, y in rows)
+        cab = collections.Counter(rows)
+        ha = -sum(c / n * math.log(c / n) for c in ca.values())
+        hb = -sum(c / n * math.log(c / n) for c in cb.values())
+        mi = sum(
+            c / n * math.log((c * n) / (ca[a] * cb[b]))
+            for (a, b), c in cab.items()
+        )
+        assert r["n"] == n
+        assert r["h_a"] == pytest.approx(ha, abs=2e-6)
+        assert r["h_b"] == pytest.approx(hb, abs=2e-6)
+        assert r["mi"] == pytest.approx(mi, abs=2e-6)
+        assert r["nmi"] == pytest.approx(mi / math.sqrt(ha * hb), abs=2e-6)
+
+    def test_independence_zero_identity_one(self, spark):
+        from tube_spark.operators.stats_tests import mutual_information
+
+        ind = spark.createDataFrame(
+            [(a, b) for a in "xy" for b in "pq" for _ in range(25)],
+            "a string, b string",
+        )
+        ri = mutual_information(ind, "a", "b").collect()[0]
+        assert ri["mi"] == pytest.approx(0.0, abs=1e-9)
+        ident = spark.createDataFrame(
+            [("x", "x")] * 30 + [("y", "y")] * 70, "a string, b string"
+        )
+        # perfect dependence: nmi = 1 even with skewed marginals
+        assert mutual_information(ident, "a", "b").collect()[0][
+            "nmi"
+        ] == pytest.approx(1.0, abs=1e-9)
+
+    def test_degenerates(self, spark):
+        """Constant column (H=0) pins NULL nmi; empty input pins n=0;
+        NULL forms its own level."""
+        from tube_spark.operators.stats_tests import mutual_information
+
+        cst = spark.createDataFrame(
+            [("x", "p"), ("x", "q")], "a string, b string"
+        )
+        rc = mutual_information(cst, "a", "b").collect()[0]
+        assert rc["h_a"] == 0.0 and rc["nmi"] is None
+        e = mutual_information(
+            cst.where(F.lit(False)), "a", "b"
+        ).collect()[0]
+        assert e["n"] == 0 and e["mi"] is None
+        nl = spark.createDataFrame(
+            [("x", "p"), (None, "q"), (None, "q")], "a string, b string"
+        )
+        assert mutual_information(nl, "a", "b").collect()[0][
+            "nmi"
+        ] == pytest.approx(1.0, abs=1e-9)

@@ -176,6 +176,58 @@ def chi_square_independence(
     )
 
 
+def mutual_information(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One row: (n, h_a, h_b, mi, nmi) — entropies, mutual information
+    (nats), and the normalized MI = mi/√(h_a·h_b) of two categorical
+    columns.  The information-theoretic sibling of
+    ``chi_square_independence`` on the identical contingency frame:
+    chi² asks "is there dependence?", MI measures HOW MUCH in nats —
+    the standard feature-selection / leakage screen (a feature with
+    nmi≈1 against the label is a leak, not a signal).
+
+    Everything comes from ONE cells frame (groupBy a,b) + its margins
+    as enum-bounded windows:
+
+        H_a = −Σ_cells (o/n)·ln(ra/n)      (Σ_b collapses the margin)
+        MI  = Σ_cells (o/n)·ln(o·n/(ra·cb))
+
+    Zero cells contribute 0 to MI by convention (lim p→0 of p·ln p).
+    NULL categories form their own level (SQL grouping semantics).
+    Degenerate inputs — a constant column has H = 0 — yield NULL nmi
+    via try_divide; empty input yields the all-NULL row with n = 0.
+    Natural log is data-dependent cross-engine arithmetic (unlike the
+    embedded-constant Benford expecteds); the zipf_fit precedent
+    (driver-green shared double log) plus 6-decimal rounding covers
+    the replay."""
+    cells = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("__o"))
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wall = Window.partitionBy()
+    with_m = cells.select(
+        "__o",
+        F.sum("__o").over(wa).alias("__ra"),
+        F.sum("__o").over(wb).alias("__cb"),
+        F.sum("__o").over(wall).alias("__nn"),
+    )
+    o = F.col("__o").cast("double")
+    ra = F.col("__ra").cast("double")
+    cb = F.col("__cb").cast("double")
+    nn = F.col("__nn").cast("double")
+    p = o / nn
+    h_a = -F.sum(p * F.log(ra / nn))
+    h_b = -F.sum(p * F.log(cb / nn))
+    mi = F.sum(p * F.log((o * nn) / (ra * cb)))
+    return with_m.agg(
+        F.coalesce(F.max("__nn"), F.lit(0)).cast("long").alias("n"),
+        F.round(h_a, 6).alias("h_a"),
+        F.round(h_b, 6).alias("h_b"),
+        F.round(mi, 6).alias("mi"),
+        F.round(F.try_divide(mi, F.sqrt(h_a * h_b)), 6).alias("nmi"),
+    )
+
+
 def ks_two_sample(
     df: DataFrame,
     value_col: str,
