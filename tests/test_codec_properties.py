@@ -123,6 +123,51 @@ class TestGifProperties:
         decode_gif(bytes(buf))
 
 
+    @_FAST
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_frames=st.integers(1, 5),
+        interlace=st.booleans(),
+    )
+    def test_structural_delay_scan_matches_decoder(
+        self, seed, n_frames, interlace
+    ):
+        """gif_frame_delays (structural scan, no compositing) returns
+        exactly the per-frame delays the pixel decoder observes — the
+        contract decode_gif_meta's duration/kind rests on (r14)."""
+        from tube_spark.operators.gif import gif_frame_delays
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        frames = [
+            rng.integers(0, 8, (5, 6), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        delays = [int(d) * 10 for d in rng.integers(0, 600, n_frames)]
+        buf = encode_gif(frames, pal, delays_ms=delays, interlace=interlace)
+        assert gif_frame_delays(buf) == delays
+        assert [d for _, d in decode_gif_frames(buf)] == delays
+
+    @_FAST
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        cuts=st.lists(st.integers(0, 10_000), min_size=1, max_size=4),
+    )
+    def test_delay_scan_mutations_never_raise(self, seed, cuts):
+        """The structural scanner holds the same never-raise contract
+        as the pixel decoder under arbitrary byte mutations."""
+        from tube_spark.operators.gif import gif_frame_delays
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        idx = rng.integers(0, 8, (9, 9), dtype=np.uint8)
+        buf = bytearray(encode_gif([idx, idx], pal, delays_ms=[20, 30]))
+        for c in cuts:
+            buf[int(rng.integers(6, len(buf)))] = c % 256
+        out = gif_frame_delays(bytes(buf))
+        assert out is None or isinstance(out, list)
+
+
 class TestJpegProperties:
     @_FAST
     @given(
