@@ -1,8 +1,14 @@
 """Distributional data-quality tests: Benford digit analysis, Gini
-concentration, chi-square independence, two-sample KS, MAD outliers.
+concentration, chi-square independence + mutual information, the
+nonparametric rank family (two-sample KS, Mann-Whitney U, Spearman,
+Kruskal-Wallis), one-way ANOVA, and MAD outliers.
 
 Single-pass screens an analytics warehouse runs over fact
-columns (the statistical siblings of quality_checks / psi_drift):
+columns (the statistical siblings of quality_checks / psi_drift).
+The rank statistics share ``_value_midranks`` — pooled midranks via
+the distributed two-phase prefix sum (range partition → per-partition
+totals → broadcast offsets → partition-local window), never a
+single-task global window over the data-scale distinct-value frame:
 
 * ``benford_digits`` — leading-digit distribution vs Benford's law
   (Newcomb 1881 / Benford 1938: P(d) = log10(1 + 1/d)); gross
@@ -17,10 +23,18 @@ columns (the statistical siblings of quality_checks / psi_drift):
   categorical columns: expected counts from the margins, the chi²
   sum, and the degrees of freedom.
 
+* ``mutual_information`` — entropies + MI + normalized MI on the
+  same contingency frame: the feature-selection / label-leakage
+  screen.
 * ``ks_two_sample`` — two-sample Kolmogorov-Smirnov: max ECDF gap
   between two slices of a numeric column, with Smirnov's asymptotic
   95% rejection threshold.  Distribution drift ACROSS slices, where
   ``cusum_drift`` is drift across time.
+* ``mann_whitney_u`` / ``spearman_corr`` / ``kruskal_wallis`` — the
+  midrank family: two-sample location shift, monotone association,
+  and the k-group rank test.
+* ``anova_oneway`` — the parametric k-group sibling (conditional
+  sums → SSB/SSW → F).
 * ``mad_outliers`` — per-group median-absolute-deviation outlier
   screen: the 50%-breakdown robust alternative to mean/stddev
   z-scores.
