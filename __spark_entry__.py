@@ -3700,6 +3700,33 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(cust, "c_mktsegment", "c_nationkey")
 
 
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-TIFF decode under a full-value oracle: every
+    document gets a deterministic strip-organized TIFF
+    (multimodal.synthesize_tiff — odd ids PackBits-compressed with
+    real run-length bytes, ids%3==0 big-endian, ids%5==0 multi-strip),
+    decoded by the pure-numpy codec (operators/tiff.py) through
+    image_channel_stats' Arrow mapInPandas; the oracle replays the
+    channel arithmetic from doc_id alone — a hash match proves the IFD
+    walk, strip reassembly, and PackBits expansion byte-exactly (the
+    gif_decode pattern extended to the strip family)."""
+    from tube_spark.operators.multimodal import (
+        image_channel_stats,
+        synthesize_tiff_col,
+    )
+
+    docs = synthesize_tiff_col(_docs(spark, sf_dir).select("doc_id"))
+    out = image_channel_stats(docs)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3853,6 +3880,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kruskal": q_kruskal,
         "anova": q_anova,
         "mutual_info": q_mutual_info,
+        "tiff_decode": q_tiff_decode,
         "gif_decode": q_gif_decode,
         "sentence_chunks": q_sentence_chunks,
         "basket_rules": q_basket_rules,
@@ -3939,6 +3967,7 @@ _EXTRA_QUERY_NAMES = (
     "kruskal",
     "anova",
     "mutual_info",
+    "tiff_decode",
     # -- round-14 rotation: the sorted_neighborhood..attribution block
     # plus k_truss (green CORRECTNESS_r13 driver rows) demoted to the
     # extras tier (pytest-verified) to make room for the full 11-entry
@@ -6242,6 +6271,26 @@ def _all_oracle_sql() -> dict[str, str]:
                                - (SELECT c FROM kw_n))), 6)
                        AS h_tie_corrected
             FROM kw_h""",
+        "tiff_decode": """
+            WITH td AS (
+                SELECT doc_id,
+                       doc_id % 9 + 2 AS w,
+                       doc_id % 6 + 2 AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   cast(w AS INTEGER) AS width,
+                   cast(h AS INTEGER) AS height,
+                   round(list_sum(list_transform(range(0, w*h), p ->
+                       (doc_id*17 + p*23) % 256))
+                       / cast(w*h AS DOUBLE), 6) AS mean_r,
+                   round(list_sum(list_transform(range(0, w*h), p ->
+                       (doc_id*17 + p*23 + 29) % 256))
+                       / cast(w*h AS DOUBLE), 6) AS mean_g,
+                   round(list_sum(list_transform(range(0, w*h), p ->
+                       (doc_id*17 + p*23 + 58) % 256))
+                       / cast(w*h AS DOUBLE), 6) AS mean_b
+            FROM td""",
         "mann_whitney": """
             WITH mw_p AS (
                 SELECT l_extendedprice AS v,

@@ -152,8 +152,9 @@ BENCH_QUERIES = [
     "kruskal",
     "anova",
     "mutual_info",
-    # GIF codec path: Arrow mapInPandas LZW decode + per-frame stats
+    # codec paths: Arrow mapInPandas LZW/strip decode + pixel stats
     "gif_decode",
+    "tiff_decode",
     # span_quarantine stays OUT: its deliberately LOW budget (100 —
     # chosen so the oracle list is populated on synthetic data) makes
     # every pair length-suspicious and forces the full volume-counting

@@ -194,3 +194,39 @@ class TestJpegProperties:
         for c in cuts:
             buf[int(rng.integers(2, len(buf)))] = c % 256
         decode_baseline_jpeg(bytes(buf))
+
+
+class TestTiffProperties:
+    @_FAST
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        comp=st.sampled_from([1, 32773]),
+        bo=st.sampled_from(["II", "MM"]),
+        rps=st.sampled_from([None, 3]),
+    )
+    def test_rgb_roundtrip_exact(self, seed, h, w, comp, bo, rps):
+        from tube_spark.operators.tiff import decode_tiff, encode_tiff
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = encode_tiff(px, compression=comp, byte_order=bo,
+                          rows_per_strip=rps)
+        assert np.array_equal(decode_tiff(buf), px)
+
+    @_FAST
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        cuts=st.lists(st.integers(0, 10_000), min_size=1, max_size=4),
+    )
+    def test_mutations_never_raise(self, seed, cuts):
+        from tube_spark.operators.tiff import decode_tiff, encode_tiff, tiff_ifd
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+        buf = bytearray(encode_tiff(px, compression=32773))
+        for c in cuts:
+            buf[int(rng.integers(0, len(buf)))] = c % 256
+        decode_tiff(bytes(buf))
+        tiff_ifd(bytes(buf))

@@ -58,6 +58,7 @@ ARROW_OK = {
     "embedding_covariance": 1,  # the PCA moment pass: one Gram-partial mapInPandas
     "scene_cuts": 2,  # synth pandas_udf + demux/histogram mapInPandas
     "gif_decode": 2,  # synth pandas_udf + LZW-decode/stats mapInPandas
+    "tiff_decode": 2,  # synth pandas_udf + strip-decode/stats mapInPandas
 }
 
 # queries where a BroadcastNestedLoopJoin is the intended plan AND every

@@ -392,6 +392,31 @@ def decode_jpeg_meta(payload: bytes) -> dict | None:
     }
 
 
+def decode_tiff_meta(payload: bytes) -> dict | None:
+    """Baseline TIFF → the decode_bmp-shaped metadata dict: dims from
+    the IFD walk always; value_mean from the REAL pixel decode
+    (operators/tiff.py — uncompressed / PackBits, gray / RGB, both
+    byte orders), NULL when only the header parses (LZW/tiled/16-bit
+    variants) — the degrade-to-header contract."""
+    from tube_spark.operators.tiff import decode_tiff, tiff_dimensions
+
+    if payload is None or len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        return None
+    dims = tiff_dimensions(payload)
+    if dims is None:
+        return None
+    px = decode_tiff(payload)
+    return {
+        "kind": "image",
+        "width": dims[0],
+        "height": dims[1],
+        "n_bytes": len(payload),
+        "sample_rate": None,
+        "duration_ms": None,
+        "value_mean": float(px.mean()) if px is not None else None,
+    }
+
+
 def decode_media(payload: bytes) -> dict:
     """Dispatch on magic bytes: BMP/PNG/GIF/JPEG → image stats
     (animated GIF → video stats), WebP → header dims (pixel decode out
@@ -400,7 +425,7 @@ def decode_media(payload: bytes) -> dict:
     plugs Pillow/ffmpeg)."""
     for dec in (
         decode_bmp, decode_png_meta, decode_gif_meta, decode_webp_meta,
-        decode_jpeg_meta, decode_wav, decode_avi
+        decode_tiff_meta, decode_jpeg_meta, decode_wav, decode_avi
     ):
         out = dec(payload)
         if out is not None:
@@ -1052,11 +1077,11 @@ def phash_bmp(payload: bytes) -> int | None:
 
 def phash_image(payload: bytes) -> int | None:
     """pHash over any decodable image payload: BMP (fast header path),
-    PNG (operators/png.py), GIF first frame (operators/gif.py) or JPEG
-    (operators/jpeg.py, baseline or progressive) — all reduced to the
-    SAME BT.601 luma plane, so a BMP and a lossless PNG/GIF of
-    identical pixels hash identically (pytest-pinned).  None for
-    undecodable payloads."""
+    PNG (operators/png.py), GIF first frame (operators/gif.py), JPEG
+    (operators/jpeg.py, baseline or progressive) or baseline TIFF
+    (operators/tiff.py) — all reduced to the SAME BT.601 luma plane,
+    so a BMP and a lossless PNG/GIF/TIFF of identical pixels hash
+    identically (pytest-pinned).  None for undecodable payloads."""
     if payload is None:
         return None
     if len(payload) >= 2 and payload[:2] == b"BM":
@@ -1072,6 +1097,10 @@ def phash_image(payload: bytes) -> int | None:
         px = decode_gif(payload)
     elif len(payload) >= 2 and payload[:2] == b"\xff\xd8":
         px = decode_jpeg_pixels(payload)
+    elif len(payload) >= 8 and payload[:2] in (b"II", b"MM"):
+        from tube_spark.operators.tiff import decode_tiff
+
+        px = decode_tiff(payload)
     if px is None:
         return None
     gray = (
@@ -1102,6 +1131,109 @@ def image_phash(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         run, schema=schema
     )
+
+
+def image_channel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "media"
+) -> DataFrame:
+    """(id, width, height, mean_r, mean_g, mean_b, std_luma) per
+    decodable SINGLE-IMAGE payload (PNG / GIF first frame / JPEG /
+    baseline TIFF — the px-producing codecs) — the still-image twin of
+    ``frame_pixel_stats``/``gif_frame_stats`` for brightness / channel
+    screens over an image corpus.  Undecodable payloads emit NO rows
+    (``decode_media`` is the header-level audit); Arrow
+    ``mapInPandas``, never row-Python."""
+    from tube_spark.operators.gif import decode_gif
+    from tube_spark.operators.png import decode_png
+    from tube_spark.operators.tiff import decode_tiff
+
+    schema = (
+        f"`{id_col}` long, width int, height int, mean_r double, "
+        "mean_g double, mean_b double, std_luma double"
+    )
+
+    def _px(payload):
+        if payload is None or len(payload) < 8:
+            return None
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            return decode_jpeg_pixels(payload)
+        if payload[:2] in (b"II", b"MM"):
+            return decode_tiff(payload)
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            id_col, "width", "height", "mean_r", "mean_g", "mean_b",
+            "std_luma",
+        ]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = _px(bytes(payload) if payload is not None else None)
+                if px is None:
+                    continue
+                p = px.astype(np.float64)
+                luma = (
+                    0.299 * p[..., 0]
+                    + 0.587 * p[..., 1]
+                    + 0.114 * p[..., 2]
+                )
+                rows.append(
+                    {
+                        id_col: int(did),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "mean_r": float(p[..., 0].mean()),
+                        "mean_g": float(p[..., 1].mean()),
+                        "mean_b": float(p[..., 2].mean()),
+                        "std_luma": float(luma.std()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, schema=schema
+    )
+
+
+def synthesize_tiff(seed: int) -> bytes:
+    """A deterministic baseline TIFF with REAL strip layout: w =
+    seed%9+2, h = seed%6+2, RGB pixel p (row-major) channel c =
+    (seed*17 + p*23 + c*29) % 256.  Odd seeds PackBits-compress
+    (real run-length bytes), seeds divisible by 3 are big-endian,
+    seeds divisible by 5 split into 2-row strips — so decoding the
+    corpus exercises every baseline axis while every emitted stat is
+    closed-form in ``seed`` (the synthesize_gif contract for the TIFF
+    family)."""
+    from tube_spark.operators.tiff import encode_tiff
+
+    w, h = seed % 9 + 2, seed % 6 + 2
+    p = np.arange(h * w, dtype=np.int64)
+    px = np.stack(
+        [(seed * 17 + p * 23 + c * 29) % 256 for c in range(3)], axis=-1
+    ).astype(np.uint8).reshape(h, w, 3)
+    return encode_tiff(
+        px,
+        compression=32773 if seed % 2 else 1,
+        byte_order="MM" if seed % 3 == 0 else "II",
+        rows_per_strip=2 if seed % 5 == 0 else None,
+    )
+
+
+def synthesize_tiff_col(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic ``media`` TIFF column (``synthesize_tiff``
+    per id) — the strip-family twin of ``synthesize_gif_col``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def synth(ids: pd.Series) -> pd.Series:
+        return pd.Series([synthesize_tiff(int(i)) for i in ids])
+
+    return df.withColumn("media", synth(F.col(id_col)))
 
 
 def image_near_duplicates(
