@@ -183,3 +183,101 @@ class TestMultimodalIntegration:
             for c in range(3):
                 want = ((seed * 17 + p * 23 + c * 29) % 256).reshape(h, w)
                 assert np.array_equal(px[..., c], want), (seed, c)
+
+
+def _build_tiff_4bit(w, h, vals, photo=1, colormap=None):
+    """Hand-assembled little-endian single-strip 4-bit TIFF: MSB-first
+    nibbles, byte-aligned rows; optional 16-entry ColorMap (photo 3)."""
+    row_bytes = (w + 1) // 2
+    data = bytearray()
+    for r in range(h):
+        for i in range(0, w, 2):
+            hi = vals[r][i] << 4
+            lo = vals[r][i + 1] if i + 1 < w else 0
+            data.append(hi | lo)
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, 1, [4]),
+        (259, 3, 1, [1]), (262, 3, 1, [photo]),
+        (273, 4, 1, None),  # strip offset patched below
+        (277, 3, 1, [1]), (278, 4, 1, [h]), (279, 4, 1, [len(data)]),
+    ]
+    ext = b""
+    if colormap is not None:
+        entries.append((320, 3, 48, "ext"))
+        ext = struct.pack(
+            "<48H", *(v * 257 for ch in zip(*colormap) for v in ch)
+        )
+    entries.sort()
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = 8 + ifd_size
+    data_off = ext_off + len(ext)
+    out = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if val == "ext":
+            out += struct.pack("<I", ext_off)
+        elif val is None:
+            out += struct.pack("<I", data_off)
+        else:
+            fmt = {3: "H", 4: "I"}[typ]
+            cell = struct.pack("<" + fmt * cnt, *val)
+            out += cell + b"\x00" * (4 - len(cell))
+    out += struct.pack("<I", 0)
+    out += ext + data
+    return bytes(out)
+
+
+class TestPaletteAndSubByte:
+    def test_palette_roundtrip_through_encoder(self):
+        rng = np.random.default_rng(2)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idx = rng.integers(0, 256, (7, 9), dtype=np.uint8)
+        for comp in (1, 32773):
+            for bo in ("II", "MM"):
+                buf = encode_tiff(idx, compression=comp, byte_order=bo,
+                                  palette=pal)
+                assert np.array_equal(decode_tiff(buf), pal[idx]), (comp, bo)
+        # short palettes pad with zeros; out-of-range indices rejected
+        pal16 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx16 = rng.integers(0, 16, (5, 5), dtype=np.uint8)
+        assert np.array_equal(
+            decode_tiff(encode_tiff(idx16, palette=pal16)), pal16[idx16]
+        )
+        with pytest.raises(ValueError, match="outside the palette"):
+            encode_tiff(np.full((2, 2), 16, np.uint8), palette=pal16)
+
+    def test_4bit_gray_hand_built(self):
+        """MSB-first nibble unpack with byte-aligned rows (odd width
+        pads the last nibble) and the x17 gray scaling."""
+        vals = [[1, 15, 7], [0, 8, 3]]
+        buf = _build_tiff_4bit(3, 2, vals)
+        got = decode_tiff(buf)
+        want = (np.array(vals, np.uint8) * 17)
+        assert np.array_equal(got, np.repeat(want[:, :, None], 3, axis=2))
+        # MinIsWhite inverts AFTER scaling
+        miw = decode_tiff(_build_tiff_4bit(3, 2, vals, photo=0))
+        assert np.array_equal(miw[..., 0], 255 - want)
+
+    def test_4bit_palette_hand_built(self):
+        pal = [(i * 16, 255 - i * 16, (i * 37) % 256) for i in range(16)]
+        vals = [[0, 15, 3, 8], [7, 1, 12, 2]]
+        buf = _build_tiff_4bit(4, 2, vals, photo=3, colormap=pal)
+        got = decode_tiff(buf)
+        want = np.array([[pal[v] for v in row] for row in vals], np.uint8)
+        assert np.array_equal(got, want)
+
+    def test_colormap_size_mismatch_rejected(self):
+        """A palette image whose ColorMap does not hold 3*2^bits
+        entries degrades to None (header dims survive)."""
+        pal = [(0, 0, 0)] * 16
+        buf = bytearray(_build_tiff_4bit(4, 2, [[0] * 4] * 2, photo=3,
+                                         colormap=pal))
+        # shrink the declared colormap count
+        n = struct.unpack_from("<H", buf, 8)[0]
+        for i in range(n):
+            base = 8 + 2 + 12 * i
+            if struct.unpack_from("<H", buf, base)[0] == 320:
+                struct.pack_into("<I", buf, base + 4, 24)
+        assert tiff_dimensions(bytes(buf)) == (4, 2)
+        assert decode_tiff(bytes(buf)) is None

@@ -8,15 +8,18 @@ library, every claim pinned by hand-built-stream differential tests.
 Scope — TIFF 6.0 Baseline, strip-organized, chunky planar layout:
 
 * both byte orders (``II`` little / ``MM`` big);
-* 8-bit grayscale (PhotometricInterpretation 0 = MinIsWhite with the
-  spec inversion, 1 = MinIsBlack) and 8-bit RGB (Photometric 2,
-  SamplesPerPixel 3);
+* 8-bit and 4-bit grayscale (PhotometricInterpretation 0 = MinIsWhite
+  with the spec inversion, 1 = MinIsBlack; 4-bit scales 0..15 →
+  0..255 by ×17, MSB-first nibbles, byte-aligned rows), 8-bit RGB
+  (Photometric 2, SamplesPerPixel 3, extra samples dropped), and
+  8/4-bit palette (Photometric 3: 16-bit ColorMap, high-byte
+  narrowing);
 * Compression 1 (none) and 32773 (PackBits — the run-length scheme
   baseline requires, TIFF 6.0 §9);
 * multi-strip images (RowsPerStrip + StripOffsets/StripByteCounts).
 
 Out-of-scope variants (LZW/CCITT/JPEG-in-TIFF, tiles, planar config 2,
-sub-byte or 16-bit depths, palettes) return ``None`` from
+1/2/16-bit depths, CMYK/YCbCr) return ``None`` from
 ``decode_tiff`` — the callers' degrade-to-header contract keeps the
 dims (``tiff_dimensions`` needs only the IFD walk).  A deployment
 swaps in Pillow through ``multimodal.decode_jpeg_pixels``-style hooks
@@ -55,6 +58,7 @@ _TAG_SPP = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
+_TAG_COLORMAP = 320
 
 
 def tiff_ifd(buf: bytes) -> "dict[int, list[int]] | None":
@@ -185,16 +189,30 @@ def _decode(buf):
         return None
     if tags.get(_TAG_PLANAR, [1])[0] != 1:
         return None  # planar config 2 (separate planes) out of scope
+    pal = None
     if photo == 2:
         if spp < 3 or len(bits) != spp or any(b != 8 for b in bits):
             return None
-        use = 3  # extra samples (alpha) beyond 3 are dropped
+        bps = 8
     elif photo in (0, 1):
-        if spp != 1 or bits != [8]:
+        if spp != 1 or bits not in ([8], [4]):
             return None
-        use = 1
+        bps = bits[0]
+    elif photo == 3:  # palette: indices into the 16-bit ColorMap
+        if spp != 1 or bits not in ([8], [4]):
+            return None
+        bps = bits[0]
+        cmap = tags.get(_TAG_COLORMAP)
+        if not cmap or len(cmap) != 3 * (1 << bps):
+            return None
+        # ColorMap stores 3*2^bps SHORTs (all R, all G, all B) in the
+        # 0..65535 range; the 8-bit value is the high byte (v*257 is
+        # the canonical widening, so >>8 inverts it exactly)
+        pal = (
+            np.array(cmap, dtype=np.uint16).reshape(3, 1 << bps).T >> 8
+        ).astype(np.uint8)
     else:
-        return None  # palette/CMYK/YCbCr out of scope
+        return None  # CMYK/YCbCr out of scope
     offsets = tags.get(_TAG_STRIP_OFFSETS)
     counts = tags.get(_TAG_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -206,11 +224,14 @@ def _decode(buf):
     if len(offsets) != n_strips:
         return None
 
+    # rows are padded to byte boundaries (TIFF 6.0: each row begins on
+    # a byte); at bps=8 row_bytes == w*spp
+    row_bytes = (w * spp * bps + 7) // 8
     out = np.empty((h, w * spp), dtype=np.uint8)
     row = 0
     for off, cnt in zip(offsets, counts):
         nrows = min(rps, h - row)
-        need = nrows * w * spp
+        need = nrows * row_bytes
         raw = buf[off : off + cnt]
         if len(raw) != cnt:
             return None
@@ -222,15 +243,26 @@ def _decode(buf):
             data = _packbits_decode(raw, need)
             if data is None:
                 return None
-        out[row : row + nrows] = np.frombuffer(
-            data, dtype=np.uint8
-        ).reshape(nrows, w * spp)
+        arr = np.frombuffer(data, dtype=np.uint8).reshape(nrows, row_bytes)
+        if bps == 8:
+            out[row : row + nrows] = arr
+        else:  # 4-bit, MSB-first nibble order per spec
+            nib = np.empty((nrows, row_bytes * 2), dtype=np.uint8)
+            nib[:, 0::2] = arr >> 4
+            nib[:, 1::2] = arr & 0x0F
+            out[row : row + nrows] = nib[:, : w * spp]
         row += nrows
     if photo == 2:
-        return np.ascontiguousarray(
-            out.reshape(h, w, spp)[..., :use]
-        ) if spp > 3 else out.reshape(h, w, 3)
+        return (
+            np.ascontiguousarray(out.reshape(h, w, spp)[..., :3])
+            if spp > 3
+            else out.reshape(h, w, 3)
+        )
     g = out.reshape(h, w)
+    if pal is not None:
+        return np.ascontiguousarray(pal[g])
+    if bps == 4:
+        g = g * np.uint8(17)  # 0..15 -> 0..255 (the PNG scaling)
     if photo == 0:
         g = 255 - g  # MinIsWhite: 0 is white per spec
     return np.repeat(g[:, :, None], 3, axis=2)
@@ -272,12 +304,28 @@ def encode_tiff(
     byte_order: str = "II",
     rows_per_strip: "int | None" = None,
     min_is_white: bool = False,
+    palette: "np.ndarray | None" = None,
 ) -> bytes:
-    """Baseline TIFF from an HxW (gray) or HxWx3 (RGB) uint8 array —
-    the test/synthesis encoder.  ``compression``: 1 (none) or 32773
-    (PackBits, restarted per strip row); deterministic bytes."""
+    """Baseline TIFF from an HxW (gray), HxWx3 (RGB), or — with
+    ``palette`` (n<=256 x 3 uint8) — HxW palette-index uint8 array.
+    ``compression``: 1 (none) or 32773 (PackBits, restarted per strip
+    row); deterministic bytes.  Palette entries widen 8->16 bit as
+    v*257 (the canonical ColorMap convention the decoder inverts)."""
     px = np.asarray(px, dtype=np.uint8)
-    if px.ndim == 2:
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        if px.ndim != 2 or palette.ndim != 2 or palette.shape != (256, 3):
+            if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+                raise ValueError("palette must be (<=256, 3) uint8")
+            if px.ndim != 2:
+                raise ValueError("palette images are HxW index arrays")
+        if int(px.max(initial=0)) >= len(palette):
+            raise ValueError("index outside the palette")
+        if min_is_white:
+            raise ValueError("min_is_white applies to grayscale only")
+        spp, photo = 1, 3
+        flat = px
+    elif px.ndim == 2:
         spp, photo = 1, (0 if min_is_white else 1)
         flat = (255 - px) if min_is_white else px
     elif px.ndim == 3 and px.shape[2] == 3:
@@ -331,6 +379,11 @@ def encode_tiff(
     _add(_TAG_SPP, 3, [spp])
     _add(_TAG_ROWS_PER_STRIP, 4, [rps])
     _add(_TAG_STRIP_COUNTS, 4, [len(s) for s in strips])
+    if palette is not None:
+        # full 3*256 SHORT map (pad short palettes with zeros), R G B planes
+        table = np.zeros((256, 3), dtype=np.uint16)
+        table[: len(palette)] = palette.astype(np.uint16) * 257
+        _add(_TAG_COLORMAP, 3, [int(v) for v in table.T.reshape(-1)])
 
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
