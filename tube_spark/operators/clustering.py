@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 
 def _sq_dist(vec: Column, center: list[float]) -> Column:
     """Squared Euclidean distance to a literal center — a codegen'd
@@ -80,8 +82,8 @@ def _assign_via_broadcast(
     one-row broadcast is the declared-bounded BNLJ shape
     (tests/test_plan_audit.py)."""
     spark = df.sparkSession
-    cdf = spark.createDataFrame(
-        [([[float(x) for x in c] for c in centers],)], "__c array<array<double>>"
+    cdf = local_df(
+        spark, [([[float(x) for x in c] for c in centers],)], "__c array<array<double>>"
     )
     dists = F.transform(
         F.col("__c"),

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 from tube_spark.functions.text import portable_hash
 
 
@@ -97,9 +99,10 @@ def mixture_sample(
     if total_w == 0:
         raise ValueError("all weights are zero")
     spark = df.sparkSession
-    alloc = spark.createDataFrame(
+    alloc = local_df(
+        spark,
         [(s, int(token_budget * w / total_w)) for s, w in weights.items()],
-        schema=f"{source_col} string, __alloc long",
+        f"{source_col} string, __alloc long",
     )
 
     n = F.col(token_count_col)
@@ -124,8 +127,8 @@ def mixture_sample(
             acc += row["t"]
     if not offsets:
         return df.limit(0).withColumn("cum_before", F.lit(0).cast("long"))
-    off = spark.createDataFrame(
-        offsets, schema=f"__pid int, {source_col} string, __off long"
+    off = local_df(
+        spark, offsets, f"__pid int, {source_col} string, __off long"
     )
 
     w = (

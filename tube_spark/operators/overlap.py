@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 from tube_spark.functions.text import portable_hash60
 
 _SPACE = float(1 << 60)  # portable_hash60 is uniform in [0, 2^60)
@@ -154,7 +156,8 @@ def corpus_overlap(
         ).collect()
     }
     stats = kmv_overlap_stats(rows.get(corpus_a, []), rows.get(corpus_b, []), k)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [tuple(stats[c] for c in (
             "n_a_est", "n_b_est", "n_union_est", "jaccard_est",
             "n_intersection_est",
@@ -194,7 +197,8 @@ def overlap_matrix(
                 (a, b, s["n_a_est"], s["n_b_est"], s["n_union_est"],
                  s["jaccard_est"], s["n_intersection_est"])
             )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         out,
         "corpus_a string, corpus_b string, n_a_est double, n_b_est double, "
         "n_union_est double, jaccard_est double, n_intersection_est double",

@@ -32,6 +32,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 
 def chunk_concat(
     df: DataFrame,
@@ -80,7 +82,7 @@ def chunk_concat(
             for c in ("start_seq", "end_seq", "start_offset")
         ]
         return df.filter(n > 0).select(*df.columns, *empty)
-    off = spark.createDataFrame(offsets, schema="__pid int, __off long")
+    off = local_df(spark, offsets, "__pid int, __off long")
 
     w = (
         Window.partitionBy("__pid")

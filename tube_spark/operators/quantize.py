@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 
 def dimension_ranges(
     df: DataFrame, vec_col: str = "embedding"
@@ -367,7 +369,7 @@ def pq_search_many(
         ]
         rows.append((int(qid), flat))
     q = F.broadcast(
-        spark.createDataFrame(rows, "query_id long, lut array<double>")
+        local_df(spark, rows, "query_id long, lut array<double>")
     )
     score = F.expr(
         f"aggregate(sequence(1, {m}), CAST(0.0 AS DOUBLE), "
@@ -444,8 +446,8 @@ def pq_train(
         # codegen cache hits (the kmeans _assign_via_broadcast lesson —
         # 1024 embedded literals re-compiled a fresh Janino method per
         # iteration)
-        bdf = spark.createDataFrame(
-            [(books,)], "__books array<array<array<double>>>"
+        bdf = local_df(
+            spark, [(books,)], "__books array<array<array<double>>>"
         )
         cents = F.element_at(F.col("__books"), F.col("s") + 1)
         dists = F.transform(

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 _PID = "_gr_pid"
 _OFF = "_gr_offset"
 
@@ -59,7 +61,7 @@ def _ranked_with_total(
         acc += row["n"]
     if not offsets:  # empty input: rank column only
         return df.withColumn(rank_col, F.lit(None).cast("long")), 0
-    off = spark.createDataFrame(offsets, schema=f"{_PID} int, {_OFF} long")
+    off = local_df(spark, offsets, f"{_PID} int, {_OFF} long")
 
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     ranked = (

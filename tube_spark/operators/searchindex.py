@@ -49,6 +49,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 from tube_spark.functions import fsio
 from tube_spark.operators.retrieval import term_stats
 from tube_spark.operators.storelife import StoreManifest
@@ -283,7 +285,7 @@ def search_text_index(
     buckets = sorted(
         {
             r["tb"]
-            for r in spark.createDataFrame([(t,) for t in set(terms)], "term string")
+            for r in local_df(spark, [(t,) for t in set(terms)], "term string")
             .select(F.pmod(F.xxhash64("term"), F.lit(nb)).alias("tb"))
             .collect()
         }

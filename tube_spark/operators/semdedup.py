@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 from tube_spark.operators.similarity import cosine, dot
 
 
@@ -94,7 +96,8 @@ def _assign_via_broadcast(
     DuckDB oracle keeps hash-matching.  The one-row broadcast is the
     plan-audit-declared bounded BNLJ shape."""
     spark = df.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = local_df(
+        spark,
         [([[float(x) for x in c] for c in centroids],)],
         "__cent array<array<double>>",
     )

@@ -50,6 +50,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 
 def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     """(digit 1-9, n, observed_p, expected_p, chi2_term) + the same
@@ -305,8 +307,8 @@ def ks_two_sample(
         acc_b += cb
     na, nb = acc_a, acc_b
     spark = df.sparkSession
-    off = spark.createDataFrame(
-        offsets or [(0, 0, 0)], "__pid int, __offa long, __offb long"
+    off = local_df(
+        spark, offsets or [(0, 0, 0)], "__pid int, __offa long, __offb long"
     )
     w = (
         Window.partitionBy("__pid")
@@ -414,7 +416,7 @@ def mann_whitney_u(
     nb = sum(t[2] for t in totals)
     n = na + nb
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offn long")
+    off = local_df(spark, offsets or [(0, 0)], "__pid int, __offn long")
     w = (
         Window.partitionBy("__pid")
         .orderBy("__v")
@@ -492,7 +494,7 @@ def _value_midranks(
         offsets.append((pid, acc))
         acc += c
     spark = pts.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    off = local_df(spark, offsets or [(0, 0)], "__pid int, __off long")
     w = (
         Window.partitionBy("__pid")
         .orderBy("__v")

@@ -45,6 +45,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tube_spark.functions.localrel import local_df
+
 from tube_spark.functions import fsio
 from tube_spark.operators.similarity import (
     _kmeans_centroids,
@@ -570,7 +572,8 @@ def search_store_pq(
             for j in range(k_codes)
         ]
 
-    luts = spark.createDataFrame(
+    luts = local_df(
+        spark,
         [(r["query_id"], lut_flat(r["q_vec"])) for r in qrows],
         f"query_id {qid_type}, lut array<double>",
     ).join(probed, on="query_id")
@@ -616,7 +619,8 @@ def search_store_pq(
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
         .dropDuplicates(["neighbor_id"])
     )
-    qlits = spark.createDataFrame(
+    qlits = local_df(
+        spark,
         [(r["query_id"], [float(x) for x in r["q_vec"]]) for r in qrows],
         f"query_id {qid_type}, q_vec array<double>",
     )

@@ -110,9 +110,12 @@ def _ranked(
         acc_t += int(t or 0)
     # broadcast-join the per-partition offsets (one row each) instead
     # of a when-chain: at thousands of partitions the chain pays a py4j
-    # round-trip per arm and a deep codegen CASE — the packing.py shape
-    off = df.sparkSession.createDataFrame(
-        offsets, "__pid int, __offc long, __offt long"
+    # round-trip per arm and a deep codegen CASE — the packing.py shape.
+    # local_df: LocalRelation, not a 32-task Python-RDD scan (r14).
+    from tube_spark.functions.localrel import local_df
+
+    off = local_df(
+        df.sparkSession, offsets, "__pid int, __offc long, __offt long"
     )
     w = Window.partitionBy("__pid").orderBy("__ok", key_col)
     out = (
