@@ -42,14 +42,36 @@ def _ensure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _scan_floor(df: DataFrame, key: str) -> DataFrame:
+    """Parallelism floor for compute-heavy scans (guide §2.5 "input
+    skew: one huge unsplittable file … repartition immediately after
+    the read").  The testdata tables are single-row-group parquet, so
+    every scan-side narrow stage (shingle explode + minhash partial
+    agg, Arrow codec decode, text analysis) otherwise runs in ONE task
+    regardless of core count — measured 6.3 s serial for dedup_groups'
+    signature stage at sf0.1 (tools/profile_query.py).  Hash
+    repartition on the id (deterministic row→partition by VALUE — no
+    round-robin position dependence, retry-safe) and only when the
+    scan yields fewer partitions than cores: at 100 TB the scan has
+    thousands of splits and this is a structural no-op."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n, F.col(key))
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _scan_floor(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _scan_floor(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -106,7 +106,18 @@ def main() -> int:
                     except (TypeError, ValueError):
                         return 0
 
+                scopes = []
+                for ri in si.get("RDD Info", []):
+                    sc = ri.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name", "")
+                        except (ValueError, AttributeError):
+                            nm = ""
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
                 stages[si["Stage ID"]] = {
+                    "scopes": ",".join(reversed(scopes))[:90],
                     "name": si.get("Stage Name", si.get("Name", "?")).split("\n")[0][:60],
                     "tasks": si["Number of Tasks"],
                     "in_mb": num("internal.metrics.input.bytesRead") / 1e6,
@@ -145,7 +156,7 @@ def main() -> int:
                 print(
                     f"   stage {sid:4d} {s['ms']/1000:6.2f}s tasks={s['tasks']:4d}"
                     f" in={s['in_mb']:8.2f}MB sread={s['sr_mb']:8.2f}MB"
-                    f" swrite={s['sw_mb']:8.2f}MB  {s['name']}"
+                    f" swrite={s['sw_mb']:8.2f}MB  {s['scopes'] or s['name']}"
                 )
         print(f"total jobs: {njobs}")
     return 0

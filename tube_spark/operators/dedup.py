@@ -257,6 +257,14 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable).cache()
+    # materialize the cache BEFORE the four-way fan-out (band sides a/b,
+    # signature sides a/b): with AQE replanning cached plans, each
+    # un-materialized consumer branch builds its OWN copy of the cached
+    # plan's stages and the signature stage computes 4x concurrently
+    # (measured: 4 x 5.3 s identical Generate stages at sf0.1 —
+    # tools/profile_query.py, r14).  The count is the one materialization
+    # action; every branch then reads InMemoryTableScan blocks.
+    sig.count()
     buckets = minhash_buckets(sig, id_col, num_hashes, bands)
     ca = buckets.select(F.col(id_col).alias("id_a"), "band", "bh")
     cb = buckets.select(F.col(id_col).alias("id_b"), "band", "bh")

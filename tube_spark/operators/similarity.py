@@ -394,6 +394,10 @@ def embedding_near_duplicates(
     width = bits // bands
     planes = _hyperplanes(dim, bits, seed)
     unit = normalized(df, id_col, vec_col).cache()
+    # eager materialization: the frame fans out into both self-join
+    # sides — un-materialized, each AQE branch recomputes the cached
+    # plan (the minhash_lsh_pairs stampede, same fix)
+    unit.count()
     buckets = _band_buckets(unit, planes, bands, id_col, vec_col, "vid", keep_sig=True)
     if max_bucket_size is not None:
         sizes = buckets.groupBy("cb", "cv").agg(F.count(F.lit(1)).alias("_bs"))
