@@ -221,9 +221,18 @@ def semdedup_report(
             for c in _kmeans_centroids(df, vec_col, k_clusters, 5, seed)
         ]
     a = assign_clusters(df, centroids, id_col, vec_col).cache()
+    # materialize BEFORE building consumers (the minhash_lsh_pairs
+    # stampede fix): the cached assignment feeds the sizes branch, the
+    # final join, AND — via CacheManager plan-matching — both self-join
+    # sides inside semantic_duplicates; un-materialized, each branch
+    # recomputes the full assignment concurrently at action time.
+    a.count()
     pairs = semantic_duplicates(
         df, id_col, vec_col, threshold, centroids=centroids
     ).cache()
+    # same: pairs fans out into the neighbors union (2 branches) and
+    # the dropped-id set — one materialization, three cache readers.
+    pairs.count()
     sizes = a.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     neighbors = (
         pairs.select(F.col("id_a").alias(id_col))
