@@ -68,10 +68,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No ``_scan_floor`` here, by measurement: the embeddings frame's
+    consumers are Arrow/pandas-UDF kernels and broadcast-side joins
+    whose per-row work is tiny, so a parallelism floor only buys an
+    extra Exchange + 32 micro-batches of Python-worker overhead —
+    A/B at sf0.1 (best-of-3, both directions): ann_ivf_topk 3.2→5.6 s,
+    embedding_near_dup_scale 3.5→5.2 s, embedding_covariance 0.7→1.3 s
+    WITH the floor; no _emb consumer measured faster with it.  The
+    _docs floor stays (shingle/minhash/codec scans are compute-bound:
+    exact_spans 9.7→6.1 s, dedup_groups 10.7→5.3 s WITH it)."""
     _ensure(spark)
-    return _scan_floor(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
-    )
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
