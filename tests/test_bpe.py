@@ -139,3 +139,20 @@ def test_token_frequencies_weighted_by_word_count(spark, docs, trained):
     top = token_frequencies(docs, vocab, k=20).collect()
     want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r["token"], r["freq"]) for r in top] == want
+
+
+def test_distributed_path_matches_driver_path(spark, docs, trained):
+    """The distributed merge loop (forced via driver_vocab_rows=0) and
+    the bounded driver-local fast path learn the SAME merges and final
+    segmentations — the equivalence contract of the r14 small-state
+    optimization."""
+    local_merges, local_vocab = trained  # small vocab -> driver path
+    dist_merges, dist_vocab = train_bpe(docs, 30, driver_vocab_rows=0)
+    assert dist_merges == local_merges
+    a = {
+        r["word"]: (r["cnt"], tuple(r["syms"])) for r in local_vocab.collect()
+    }
+    b = {
+        r["word"]: (r["cnt"], tuple(r["syms"])) for r in dist_vocab.collect()
+    }
+    assert a == b
