@@ -79,11 +79,15 @@ def kmv_minima(
         _kmv_hash(F.col(element_col), fast_hash).alias("h"),
     )
     # bounded collect: one row per corpus (the sketch's whole point is
-    # that #corpora is small — crawl snapshots, not documents)
+    # that #corpora is small — crawl snapshots, not documents).  The
+    # cardinality estimate feeds ONLY the filter threshold, so it runs
+    # on the RAW element (HLL hashes internally): column pruning then
+    # drops the md5-derived `h` from this pass entirely — the sketch
+    # hash is computed once, in the survivor pass, not twice.
     est = {
         r["corpus"]: r["n_est"]
-        for r in el.groupBy("corpus")
-        .agg(F.approx_count_distinct("h").alias("n_est"))
+        for r in elements.groupBy(F.col(corpus_col).alias("corpus"))
+        .agg(F.approx_count_distinct(element_col).alias("n_est"))
         .collect()
     }
     thr = F.lit(None).cast("double")
