@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from tube_spark.config.mapping import parse_mapping
 from tube_spark.queries import tpch as _tpch
 from tube_spark.plans.translator import Aggregator, Collector, Pipeline
+from tube_spark.functions.pqread import read_parquet as _pq
 from tube_spark.sources.relational import star_schema_source
 
 SF0001 = "/root/testdata/sf0.001"
@@ -63,7 +64,7 @@ def _scan_floor(df: DataFrame, key: str) -> DataFrame:
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
     return _scan_floor(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+        _pq(spark, f"{sf_dir}/documents.parquet"), "doc_id"
     )
 
 
@@ -78,7 +79,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs floor stays (shingle/minhash/codec scans are compute-bound:
     exact_spans 9.7→6.1 s, dedup_groups 10.7→5.3 s WITH it)."""
     _ensure(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _pq(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -443,7 +444,7 @@ def q_joining_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary over lineitem."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -463,10 +464,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_revenue_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join aggregate: revenue by nation (broadcast dims)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
+    c = _pq(spark, f"{sf_dir}/customer.parquet")
+    n = _pq(spark, f"{sf_dir}/nation.parquet")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -488,13 +489,13 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy+limit compiles to TakeOrderedAndProject — per-partition
     top-k then a 10-row driver merge, never a full sort."""
     cutoff = F.to_timestamp(F.lit("1995-03-15"))
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+    c = _pq(spark, f"{sf_dir}/customer.parquet").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = _pq(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_orderdate").cast("timestamp") < cutoff
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_shipdate").cast("timestamp") > cutoff
     )
     return (
@@ -521,8 +522,8 @@ def q_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag, count high- vs low-priority lineitems via CASE inside SUM
     (one scan, one join, one shuffle; the predicate pair never needs a
     second pass or a real pivot operator)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -541,25 +542,25 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the big fact table is shuffled exactly once on its join key."""
     lo = F.to_timestamp(F.lit("1996-01-01"))
     hi = F.to_timestamp(F.lit("1997-01-01"))
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+    r = _pq(spark, f"{sf_dir}/region.parquet").filter(
         F.col("r_name") == "ASIA"
     )
     n = (
-        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        _pq(spark, f"{sf_dir}/nation.parquet")
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("n_nationkey", "n_name")
     )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    c = _pq(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_nationkey"
     )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    s = _pq(spark, f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", "s_nationkey"
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = _pq(spark, f"{sf_dir}/orders.parquet").filter(
         (F.col("o_orderdate").cast("timestamp") >= lo)
         & (F.col("o_orderdate").cast("timestamp") < hi)
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
@@ -586,11 +587,11 @@ def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched lineitems — Spark keeps only the orders-side columns."""
     lo = F.to_timestamp(F.lit("1996-01-01"))
     hi = F.to_timestamp(F.lit("1996-07-01"))
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = _pq(spark, f"{sf_dir}/orders.parquet").filter(
         (F.col("o_orderdate").cast("timestamp") >= lo)
         & (F.col("o_orderdate").cast("timestamp") < hi)
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_shipdate"
     )
     late = (
@@ -611,15 +612,15 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition top-k, 20-row driver merge)."""
     lo = F.to_timestamp(F.lit("1996-01-01"))
     hi = F.to_timestamp(F.lit("1996-07-01"))
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    o = _pq(spark, f"{sf_dir}/orders.parquet").filter(
         (F.col("o_orderdate").cast("timestamp") >= lo)
         & (F.col("o_orderdate").cast("timestamp") < hi)
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_returnflag") == "R"
     )
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = _pq(spark, f"{sf_dir}/customer.parquet")
+    n = _pq(spark, f"{sf_dir}/nation.parquet")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
@@ -640,8 +641,8 @@ def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter), orders-per-customer count, then a histogram of those
     counts.  Two inherent shuffles (per-customer, then per-count) —
     the second operates on |customers| rows, not |orders|."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    c = _pq(spark, f"{sf_dir}/customer.parquet").select("c_custkey")
+    o = _pq(spark, f"{sf_dir}/orders.parquet").filter(
         F.col("o_orderpriority") != "1-URGENT"
     )
     per_cust = (
@@ -663,11 +664,11 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-group aggregate."""
     lo = F.to_timestamp(F.lit("1996-09-01"))
     hi = F.to_timestamp(F.lit("1996-10-01"))
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         (F.col("l_shipdate").cast("timestamp") >= lo)
         & (F.col("l_shipdate").cast("timestamp") < hi)
     )
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    p = _pq(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_type"
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -689,14 +690,14 @@ def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (groupBy + having over the fact table), then semi-join
     the qualifying keys back through orders to customers.  The
     qualifying-key set is tiny, so it broadcasts into both joins."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
+    c = _pq(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_name"
     )
     return (
@@ -723,9 +724,9 @@ def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     broadcast into the filter, then a left-anti join against the
     filtered orders, grouped by nation.  The scalar avg stays in-plan
     (cross join of a 1-row broadcast), never a driver collect."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = _pq(spark, f"{sf_dir}/customer.parquet")
     o = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _pq(spark, f"{sf_dir}/orders.parquet")
         .filter(
             F.col("o_orderdate").cast("timestamp")
             >= F.to_timestamp(F.lit("2000-01-01"))
@@ -751,7 +752,7 @@ def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time daily windows per event_type (batch twin of the
     streaming windowed aggregation in tube_spark.streaming)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     # events.ts is parquet TIMESTAMP(NANOS) read as long ns (see session.py)
     ts = F.col("ts").cast("timestamp")
     return (
@@ -778,7 +779,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-count aggregation runs on one row per user."""
     from tube_spark.operators.funnel import funnel_report
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").select(
         "user_id",
         F.col("event_type"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -803,7 +804,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts into the enrich join."""
     from tube_spark.operators.funnel import cohort_retention
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").select(
         "user_id",
         "event_type",
         F.col("ts").cast("timestamp").alias("ets"),
@@ -829,7 +830,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide row is ever built."""
     from tube_spark.operators.merge import merge_upsert
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     updates = (
         o.filter(F.col("o_orderkey") % 7 == 0)
         .withColumn("o_orderstatus", F.lit("U"))
@@ -862,7 +863,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted in tests/test_merge.py)."""
     from tube_spark.operators.merge import scd2
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "event_type",
@@ -884,7 +885,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     native ASOF JOIN."""
     from tube_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").select(
         "event_id",
         "user_id",
         F.col("ts").cast("timestamp").alias("ev_ts"),
@@ -892,7 +893,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # determinism: reduce right to ONE row per (key, t) — ties in order
     # date resolved to the highest orderkey on both sides
     orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _pq(spark, f"{sf_dir}/orders.parquet")
         .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
         .agg(
             F.max("o_orderkey").alias("last_orderkey"),
@@ -923,10 +924,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are exact in Spark and DuckDB alike."""
     from tube_spark.operators.rangejoin import interval_point_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ev_us")
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders = _pq(spark, f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("user_id"),
         # NTZ → TZ cast is identity under the UTC session timezone
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ord_us"),
@@ -951,7 +952,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day, month, year, and grand-total aggregates via GROUP BY ROLLUP on
     the time hierarchy (Catalyst plans a single shuffle with partial
     aggregation — the continuous-aggregate pattern at any scale)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     ts = F.col("ts").cast("timestamp")
     return (
         ev.select(
@@ -983,7 +984,7 @@ def q_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle asserts TRUE — a sketch drifting out of bound flips the
     hash red.  Error floors additionally asserted in
     tests/test_sketches.py."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     agg = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("cd_exact"),
@@ -1030,7 +1031,7 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     * kll: the exact rank of the sketch median lands in [0.45, 0.55]
     (both also hold for the MERGED sketches, proving the union/merge
     path, not just the direct path)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_returnflag", "l_orderkey", "l_extendedprice"
     )
     per = li.groupBy("l_returnflag").agg(
@@ -1091,7 +1092,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: ranking window — top-2 orders per customer by price."""
     from pyspark.sql import Window
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
@@ -1106,7 +1107,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: analytic lag — days since the customer's previous order."""
     from pyspark.sql import Window
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_orderdate").over(w)
     return o.select(
@@ -1118,7 +1119,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: ROLLUP subtotals over (returnflag, linestatus)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
@@ -1127,7 +1128,7 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: CUBE over (returnflag, linestatus)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
@@ -1137,8 +1138,8 @@ def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4: set ops — customers with both finished AND open orders, minus
     the BUILDING segment."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
+    c = _pq(spark, f"{sf_dir}/customer.parquet")
     f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
     o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
@@ -1151,8 +1152,8 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: left-anti join — customers with no orders."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = _pq(spark, f"{sf_dir}/customer.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -1161,7 +1162,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (the engine's _props model applied to the
     events.props blob): per event_type stats over a JSON-embedded field."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.count(k).alias("n_with_k"),
@@ -1180,7 +1181,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plan_audit.py now bans the shape registry-wide)."""
     from tube_spark.operators.ranking import ntile_distributed
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     t = ntile_distributed(
         o, 4, ["o_totalprice", "o_orderkey"], tile_col="quartile"
     )
@@ -1197,7 +1198,7 @@ def q_ntile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     TeraSort-style distributed global rank, operators/ranking.py)."""
     from tube_spark.operators.ranking import ntile_distributed
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     tiles = ntile_distributed(
         o, k=7, order_cols=["o_totalprice", "o_orderkey"], tile_col="tile"
     )
@@ -1227,8 +1228,8 @@ def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates per segment: exact median (interpolated
     percentile), stddev, correlation."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
+    c = _pq(spark, f"{sf_dir}/customer.parquet")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return j.groupBy("c_mktsegment").agg(
         F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
@@ -1241,7 +1242,7 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per priority with one column per status."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
@@ -1257,7 +1258,7 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String/regex functions: numeric suffix of c_name, length, case ops."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = _pq(spark, f"{sf_dir}/customer.parquet")
     return c.select(
         "c_custkey",
         F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("long").alias("name_num"),
@@ -1270,7 +1271,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user over the events stream (batch form)."""
     from tube_spark.operators.sessions import sessionize
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
     return sessionize(ev, gap_minutes=30)
@@ -1278,7 +1279,7 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: global sort + limit — 20 most expensive orders."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _pq(spark, f"{sf_dir}/orders.parquet")
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
@@ -1346,7 +1347,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.heavyhitters import heavy_hitters
 
     _ensure(spark)
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _pq(spark, f"{sf_dir}/events.parquet")
     return heavy_hitters(events, "user_id", min_share=0.0075)
 
 
@@ -1359,7 +1360,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.layout import zorder_key
 
     _ensure(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", (F.col("event_id") % 256).alias("e8")
     )
     frame, z = zorder_key(
@@ -1385,9 +1386,9 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure(spark)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _pq(spark, f"{sf_dir}/orders.parquet")
+    lineitem = _pq(spark, f"{sf_dir}/lineitem.parquet")
+    customer = _pq(spark, f"{sf_dir}/customer.parquet")
     return (
         validate(
             orders,
@@ -1442,7 +1443,7 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.profile import profile
 
     _ensure(spark)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _pq(spark, f"{sf_dir}/orders.parquet")
     return profile(
         orders, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
     )
@@ -1455,7 +1456,7 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.profile import histogram
 
     _ensure(spark)
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lineitem = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return histogram(lineitem, "l_extendedprice", 0.0, 60000.0, bins=12)
 
 
@@ -1499,7 +1500,7 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.ranking import grouped_topk
 
     _ensure(spark)
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _pq(spark, f"{sf_dir}/orders.parquet")
     return grouped_topk(
         orders, ["o_orderpriority"], "o_totalprice", 3, tiebreak_col="o_orderkey"
     ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
@@ -1523,7 +1524,7 @@ def q_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.profile import iqr_outliers
 
     _ensure(spark)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
     return iqr_outliers(li, "l_extendedprice", by="l_returnflag")
@@ -1581,7 +1582,7 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's fan-out by O(sqrt(m)) per vertex regardless of hub degree."""
     from tube_spark.operators.triangles import cooccurrence_edges, triangle_stats
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -1598,7 +1599,7 @@ def q_triangle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_stats_sampled,
     )
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -1613,7 +1614,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.communities import label_propagation
     from tube_spark.operators.triangles import cooccurrence_edges
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -1630,7 +1631,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.kcore import k_core
     from tube_spark.operators.triangles import cooccurrence_edges
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -1646,7 +1647,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.pagerank import pagerank
 
     _ensure(spark)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     fwd = li.select(
         F.col("l_suppkey").alias("src"),
         (F.col("l_partkey") + 1000000).alias("dst"),
@@ -1666,7 +1667,7 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.entities import resolve_entities
 
     _ensure(spark)
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _pq(spark, f"{sf_dir}/part.parquet")
     base = part.select(F.col("p_partkey").alias("rid"), F.col("p_name").alias("name"))
     variants = part.filter(F.col("p_partkey") % 7 == 0).select(
         (F.col("p_partkey") + 1000000).alias("rid"),
@@ -1703,7 +1704,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.profile import psi_drift
 
     _ensure(spark)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     old = li.filter(F.col("l_shipdate") < F.lit("1995-06-01"))
     new = li.filter(F.col("l_shipdate") >= F.lit("1995-06-01"))
     return psi_drift(old, new, "l_extendedprice", 0.0, 60000.0, bins=12)
@@ -1769,7 +1770,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×dim partial means."""
     from tube_spark.operators.clustering import kmeans
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _pq(spark, f"{sf_dir}/embeddings.parquet")
     return kmeans(emb, "vec_id", "embedding", k=4, iters=3, round_to=6).select(
         "vec_id", "cluster"
     )
@@ -2012,7 +2013,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.triangles import cooccurrence_edges
     from tube_spark.operators.walks import random_walks
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -2038,7 +2039,7 @@ def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.kcore import k_truss
     from tube_spark.operators.triangles import cooccurrence_edges
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -2054,7 +2055,7 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio arithmetic."""
     from tube_spark.operators.mining import association_rules
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return association_rules(
         li, "l_orderkey", "l_partkey", min_pair_count=2, max_basket=10
     )
@@ -2171,7 +2172,7 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.linkpred import link_prediction
     from tube_spark.operators.triangles import cooccurrence_edges
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -2188,7 +2189,7 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise."""
     from tube_spark.operators.changepoint import cusum_changepoints
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").filter(
         F.col("value").isNotNull()
     )
     return cusum_changepoints(
@@ -2234,7 +2235,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.pagerank import personalized_pagerank
 
     _ensure(spark)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     fwd = li.select(
         F.col("l_suppkey").alias("src"),
         (F.col("l_partkey") + 1000000).alias("dst"),
@@ -2243,7 +2244,7 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     srcs = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        _pq(spark, f"{sf_dir}/supplier.parquet")
         .filter(F.col("s_suppkey") % 5 == 0)
         .select(F.col("s_suppkey").alias("node"))
     )
@@ -2287,7 +2288,7 @@ def q_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.ddsketch import ddsketch_quantiles
 
     _ensure(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+    ev = _pq(spark, f"{sf_dir}/events.parquet").filter(
         F.col("value").isNotNull() & (F.col("value") >= 0)
     )
     est = ddsketch_quantiles(
@@ -3269,7 +3270,7 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor join, and the edit distances."""
     from tube_spark.operators.entities import sorted_neighborhood_pairs
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    part = _pq(spark, f"{sf_dir}/part.parquet").select(
         "p_partkey", "p_name"
     )
     pairs = sorted_neighborhood_pairs(part, "p_partkey", F.col("p_name"), window=4)
@@ -3305,7 +3306,7 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.graphstats import graph_degree_stats
     from tube_spark.operators.triangles import cooccurrence_edges
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -3338,7 +3339,7 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.graphstats import khop_reach
     from tube_spark.operators.triangles import cooccurrence_edges
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -3360,7 +3361,7 @@ def q_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.graphstats import hyperball
     from tube_spark.operators.triangles import cooccurrence_edges
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -3409,7 +3410,7 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tube_spark.operators.graphstats import neighborhood_function
     from tube_spark.operators.triangles import cooccurrence_edges
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_orderkey") % 4 == 0
     )
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group=10)
@@ -3429,7 +3430,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the class counts, and both gates."""
     from tube_spark.operators.privacy import anonymity_report
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _pq(spark, f"{sf_dir}/customer.parquet").select(
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
@@ -3455,7 +3456,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-phase means, the re-centering, and the subtraction."""
     from tube_spark.operators.seasonal import seasonal_decompose
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _pq(spark, f"{sf_dir}/events.parquet")
     return seasonal_decompose(events, "event_type", "ts", "value", period=7)
 
 
@@ -3470,7 +3471,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue rollup."""
     from tube_spark.operators.attribution import session_attribution
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    events = _pq(spark, f"{sf_dir}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
     return session_attribution(events)
@@ -3486,7 +3487,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag pairs and the normalization."""
     from tube_spark.operators.behavior import event_transitions
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    events = _pq(spark, f"{sf_dir}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
     return event_transitions(events)
@@ -3502,7 +3503,7 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     all three ntiles, and the segment."""
     from tube_spark.operators.behavior import rfm_scores
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    events = _pq(spark, f"{sf_dir}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
     return rfm_scores(events)
@@ -3518,7 +3519,7 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the oracle replays every sum and the z formula."""
     from tube_spark.operators.behavior import ab_test
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _pq(spark, f"{sf_dir}/events.parquet")
     arms = events.filter(F.col("event_type") == "purchase").select(
         F.when(F.col("user_id") % 2 == 0, F.lit("control"))
         .otherwise(F.lit("treatment"))
@@ -3558,7 +3559,7 @@ def q_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every chi² term with identical embedded constants."""
     from tube_spark.operators.stats_tests import benford_digits
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return benford_digits(li, "l_extendedprice")
 
 
@@ -3571,7 +3572,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient."""
     from tube_spark.operators.stats_tests import gini_coefficient
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _pq(spark, f"{sf_dir}/orders.parquet")
     return gini_coefficient(orders, "o_custkey", "o_totalprice")
 
 
@@ -3585,7 +3586,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty-cell correction."""
     from tube_spark.operators.stats_tests import chi_square_independence
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _pq(spark, f"{sf_dir}/customer.parquet")
     return chi_square_independence(cust, "c_mktsegment", "c_nationkey")
 
 
@@ -3599,7 +3600,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, the cumulative ECDFs, and the sqrt threshold."""
     from tube_spark.operators.stats_tests import ks_two_sample
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _pq(spark, f"{sf_dir}/orders.parquet")
     return ks_two_sample(
         orders, "o_totalprice", "o_orderpriority", "1-URGENT", "5-LOW"
     )
@@ -3644,7 +3645,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays both exact-percentile aggregations and the fence."""
     from tube_spark.operators.stats_tests import mad_outliers
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _pq(spark, f"{sf_dir}/orders.parquet")
     return mad_outliers(
         orders, "o_orderpriority", "o_totalprice", k=2.0
     ).orderBy("o_orderpriority")
@@ -3664,7 +3665,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     z arithmetic with identical association order."""
     from tube_spark.operators.stats_tests import mann_whitney_u
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return mann_whitney_u(li, "l_extendedprice", "l_returnflag", "R", "A")
 
 
@@ -3679,7 +3680,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic."""
     from tube_spark.operators.stats_tests import spearman_corr
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return spearman_corr(li, "l_quantity", "l_extendedprice")
 
 
@@ -3693,7 +3694,7 @@ def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical association order."""
     from tube_spark.operators.stats_tests import kruskal_wallis
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _pq(spark, f"{sf_dir}/events.parquet")
     return kruskal_wallis(ev, "value", "event_type")
 
 
@@ -3711,7 +3712,7 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractional data with tolerances)."""
     from tube_spark.operators.stats_tests import anova_oneway
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _pq(spark, f"{sf_dir}/lineitem.parquet")
     return anova_oneway(li, "l_quantity", "l_returnflag")
 
 
@@ -3725,7 +3726,7 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-double-log precedent)."""
     from tube_spark.operators.stats_tests import mutual_information
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _pq(spark, f"{sf_dir}/customer.parquet")
     return mutual_information(cust, "c_mktsegment", "c_nationkey")
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from tube_spark.config.mapping import PropSpec
 from tube_spark.dictionary import Dictionary, Link, NodeDef
+from tube_spark.functions.pqread import read_parquet
 from tube_spark.sources.graph import _apply_prop_specs, id_col
 
 
@@ -62,7 +63,10 @@ class RelationalGraphSource:
         self.dictionary = Dictionary(nodes, links)
 
     def _read(self, label: str) -> DataFrame:
-        return self.spark.read.parquet(self.tables[label].path)
+        # schema-cached read: a mapping translation touches the same
+        # table several times (node scan, per-FK edge projections) and
+        # would otherwise pay one footer-inference job per touch
+        return read_parquet(self.spark, self.tables[label].path)
 
     def raw_df(self, label: str) -> DataFrame:
         """Full table with the graph id attached (native column types)."""
