@@ -43,7 +43,7 @@ def _ensure(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def _scan_floor(df: DataFrame, key: str) -> DataFrame:
+def _scan_floor(df: DataFrame, key: str, path: str | None = None) -> DataFrame:
     """Parallelism floor for compute-heavy scans (guide §2.5 "input
     skew: one huge unsplittable file … repartition immediately after
     the read").  The testdata tables are single-row-group parquet, so
@@ -54,18 +54,40 @@ def _scan_floor(df: DataFrame, key: str) -> DataFrame:
     repartition on the id (deterministic row→partition by VALUE — no
     round-robin position dependence, retry-safe) and only when the
     scan yields fewer partitions than cores: at 100 TB the scan has
-    thousands of splits and this is a structural no-op."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    thousands of splits and this is a structural no-op.
+
+    The scan's partition count is memoized per (session, path) when
+    ``path`` is given: ``df.rdd.getNumPartitions()`` materializes a
+    Python RDD handle (~0.14 s measured on local[32]) and the count is
+    plan METADATA — fixed for an immutable input within one session,
+    like the schema pqread caches; every action still computes from
+    the parquet bytes.  Callers with mutable inputs pass path=None and
+    pay the probe each call."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if path is not None:
+        ck = (sc.applicationId, path)
+        parts = _NPART_CACHE.get(ck)
+        if parts is None:
+            parts = df.rdd.getNumPartitions()
+            if len(_NPART_CACHE) >= 4096:  # same safety valve as pqread
+                _NPART_CACHE.clear()
+            _NPART_CACHE[ck] = parts
+    else:
+        parts = df.rdd.getNumPartitions()
+    if parts < n:
         return df.repartition(n, F.col(key))
     return df
 
 
+# (applicationId, path) -> scan partition count (see _scan_floor)
+_NPART_CACHE: "dict[tuple[str, str], int]" = {}
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure(spark)
-    return _scan_floor(
-        _pq(spark, f"{sf_dir}/documents.parquet"), "doc_id"
-    )
+    p = f"{sf_dir}/documents.parquet"
+    return _scan_floor(_pq(spark, p), "doc_id", path=p)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
