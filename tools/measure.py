@@ -84,6 +84,13 @@ def main() -> int:
             spark.sparkContext.setJobDescription(None)
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # same per-query storage isolation as bench.py (r15): drop the
+        # finished query's cached/checkpointed blocks so a multi-query
+        # invocation measures each query on a clean store
+        from tube_spark.plans.lifecycle import persistent_rdd_ids, release_rdds
+
+        spark.catalog.clearCache()
+        release_rdds(spark, persistent_rdd_ids(spark))
     print(json.dumps(timings))
     return 0
 
